@@ -1,13 +1,210 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.cube.{CubeQuery, Engine}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry is one operator of the engine surface (SURVEY §2): the cube
+  * query API reproducing the reference's `get_data`/`get_members`
+  * (`oec.py:27-66`, `oec.py:12-25`), plus the relational and [EXT]
+  * operators. Oracle SQL (DuckDB dialect) mirrors each query exactly —
+  * including aliases, rounding, and ORDER BY — for the driver's
+  * hash-compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def eng(s: SparkSession, dir: String) = new Engine(s, dir)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The Spark-native transposition of the reference docstring query
+    * (`oec.py:30-37`): drilldowns [Year, Nation], measure [Trade Value],
+    * cut {Year: 1995}.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    eng(spark, "/root/testdata/sf0.001").getData(CubeQuery(
+      cube = "trade",
+      drilldowns = Seq("Year", "Nation"),
+      measures = Seq("Trade Value"),
+      cuts = Map("Year" -> Seq("1995"))))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- cube get_data surface (S1, O1-O3, J1-J2, A1, A3, F1) ---
+    "q01_year_nation" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "trade", Seq("Year", "Nation"), Seq("Trade Value"),
+      Map("Year" -> Seq("1995"))))),
+    "q04_multi_cut" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "trade", Seq("Year", "Region"), Seq("Trade Value", "Quantity"),
+      Map("Year" -> Seq("1995", "1996"), "Region" -> Seq("ASIA", "EUROPE"))))),
+    "q05_pricing_summary" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "trade", Seq("Return Flag", "Line Status"),
+      Seq("Quantity", "Trade Value", "Discounted Value", "Charged Value",
+        "Avg Quantity", "Line Count")))),
+    "q06_global_agg" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "trade", Seq.empty, Seq("Trade Value", "Line Count", "Order Count")))),
+    "q07_region_year" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "trade", Seq("Region", "Year"), Seq("Trade Value")))),
+    "q08_brand_stats" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "trade", Seq("Brand"), Seq("Quantity", "Max Price", "Min Price")))),
+    "q09_supplier_nation" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "trade", Seq("Supplier Nation"), Seq("Trade Value", "Line Count")))),
+    "q10_segment_priority" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "trade", Seq("Mkt Segment", "Order Priority"),
+      Seq("Order Count", "Trade Value")))),
+    // --- members surface (S2, A2, T1) ---
+    "q02_members_nation" -> ((s, d) => eng(s, d).getMembers("trade", "Nation ID")),
+    "q03_members_year" -> ((s, d) => eng(s, d).getMembers("trade", "Year")),
+    // --- relational ops (§2.5-2.7) ---
+    "q11_top_customers" -> Relational.topCustomers _,
+    "q12_nation_rank" -> Relational.nationRankInRegion _,
+    "q13_semi_join" -> Relational.ordersWithHeavyItems _,
+    "q14_anti_join" -> Relational.customersWithoutOrders _,
+    "q15_union_nations" -> Relational.activeNations _,
+    "q16_rollup" -> Relational.yearStatusRollup _,
+    // --- events cube (calendar + JSON levels, §2.8) ---
+    "q17_events_hourly" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "events", Seq("Event Hour", "Event Type"),
+      Seq("Event Count", "Total Value")))),
+    "q18_events_propk" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "events", Seq("Prop K"), Seq("Event Count", "Total Value"),
+      Map("Event Type" -> Seq("purchase", "signup"))))),
+    "q19_events_daily" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "events", Seq("Event Day"), Seq("Event Count", "User Count", "Avg Value")))),
+    "q20_docs_lang" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "documents", Seq("Lang"), Seq("Doc Count", "Total Chars", "Avg Chars"))))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_year_nation" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS year, n_name AS nation,
+        | round(sum(l_extendedprice), 2) AS trade_value
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE year(o_orderdate) = 1995
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q04_multi_cut" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS year, r_name AS region,
+        | round(sum(l_extendedprice), 2) AS trade_value,
+        | sum(l_quantity) AS quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE year(o_orderdate) IN (1995, 1996) AND r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q05_pricing_summary" ->
+      """SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+        | sum(l_quantity) AS quantity,
+        | round(sum(l_extendedprice), 2) AS trade_value,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS discounted_value,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS charged_value,
+        | round(avg(l_quantity), 4) AS avg_quantity,
+        | count(*) AS line_count
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q06_global_agg" ->
+      """SELECT round(sum(l_extendedprice), 2) AS trade_value,
+        | count(*) AS line_count,
+        | count(DISTINCT l_orderkey) AS order_count
+        |FROM lineitem""".stripMargin,
+    "q07_region_year" ->
+      """SELECT r_name AS region, CAST(year(o_orderdate) AS INTEGER) AS year,
+        | round(sum(l_extendedprice), 2) AS trade_value
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q08_brand_stats" ->
+      """SELECT p_brand AS brand, sum(l_quantity) AS quantity,
+        | max(l_extendedprice) AS max_price, min(l_extendedprice) AS min_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_supplier_nation" ->
+      """SELECT n_name AS supplier_nation,
+        | round(sum(l_extendedprice), 2) AS trade_value,
+        | count(*) AS line_count
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_segment_priority" ->
+      """SELECT c_mktsegment AS mkt_segment, o_orderpriority AS order_priority,
+        | count(DISTINCT l_orderkey) AS order_count,
+        | round(sum(l_extendedprice), 2) AS trade_value
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_members_nation" ->
+      """SELECT DISTINCT n_nationkey AS id, n_name AS label
+        |FROM nation ORDER BY id""".stripMargin,
+    "q03_members_year" ->
+      """SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS id
+        |FROM orders ORDER BY id""".stripMargin,
+    "q11_top_customers" ->
+      """SELECT c_custkey, c_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "q12_nation_rank" ->
+      """WITH agg AS (
+        | SELECT r_name AS region, n_name AS nation,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2)
+        |SELECT region, nation, revenue,
+        | CAST(rank() OVER (PARTITION BY region ORDER BY revenue DESC, nation) AS INTEGER) AS rank_in_region
+        |FROM agg ORDER BY region, rank_in_region, nation""".stripMargin,
+    "q13_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS customer_count
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_union_nations" ->
+      """SELECT DISTINCT nation FROM (
+        | SELECT n_name AS nation FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | UNION
+        | SELECT n_name AS nation FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |ORDER BY nation""".stripMargin,
+    "q16_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
+        | count(*) AS order_count, round(sum(o_totalprice), 2) AS total_price,
+        | CAST(grouping(year(o_orderdate)) * 2 + grouping(o_orderstatus) AS BIGINT) AS lvl
+        |FROM orders GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+        |ORDER BY o_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q17_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS event_hour, event_type,
+        | count(*) AS event_count, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q18_events_propk" ->
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS prop_k,
+        | count(*) AS event_count, round(sum(value), 2) AS total_value
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_events_daily" ->
+      """SELECT date_trunc('day', ts) AS event_day,
+        | count(*) AS event_count, count(DISTINCT user_id) AS user_count,
+        | round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_docs_lang" ->
+      """SELECT lang, count(*) AS doc_count,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,140 @@
+package graft.cube
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit, timestamp_micros}
+import org.apache.spark.sql.types._
+
+/** Spark-native evaluation of the reference's OLAP query surface.
+  *
+  * The reference ships every query to a remote olap-proxy and gets back
+  * JSON records (`oec.py:43`, `oec.py:62-63`); here the whole
+  * scan -> star-join -> cut-filter -> group-by -> aggregate -> normalize
+  * pipeline is a declarative Catalyst plan:
+  *
+  *   - cuts become typed predicates that Catalyst pushes below the joins
+  *     into the parquet scans (PushDownPredicates + row-group filtering);
+  *   - only the dims a query actually references are joined (join pruning
+  *     via [[CubeDef.requiredAliases]]);
+  *   - fixed-cardinality dims carry an explicit broadcast hint; everything
+  *     else is left to Catalyst/AQE so the plan stays valid when the same
+  *     cube definition runs against 100 TB;
+  *   - the group-by/sum contract (`oec.py:54-55`) maps to HashAggregateExec
+  *     with automatic partial (map-side) aggregation, so the shuffle
+  *     carries only group keys + partial sums.
+  *
+  * @param dir directory of the parquet star schema (one file per table)
+  */
+class Engine(spark: SparkSession, dir: String) {
+
+  // The events fixture stores ts as TIMESTAMP(NANOS), which Spark's
+  // vectorized parquet reader rejects outright; read nanos as long and
+  // convert to a (microsecond) timestamp ourselves.
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // Write timestamps as TIMESTAMP_MICROS (not legacy INT96) so results
+  // round-trip with identical physical type to the DuckDB oracle's.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  /** Scan a physical table. One parquet path per table (`TESTDATA.md`).
+    *
+    * All timestamps are surfaced as TIMESTAMP_NTZ (naive wall-clock, UTC
+    * session): the fixtures store naive timestamps, and NTZ keeps results
+    * bit-identical with ANSI-SQL engines regardless of reader timezone.
+    */
+  def table(name: String): DataFrame = {
+    val df0 = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events")
+        df0.withColumn("ts",
+          timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+      else df0
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  private def dimDf(j: DimJoin): DataFrame = {
+    val base = table(j.table)
+    val renamed = j.renames.foldLeft(base) { case (df, (from, to)) =>
+      df.withColumnRenamed(from, to)
+    }
+    if (j.broadcast) broadcast(renamed) else renamed
+  }
+
+  /** Coerce a stringly-typed cut value (`oec.py:31`: {'Year': '2020'}) to
+    * the level's type, so predicates compare natively (pushdown-friendly)
+    * instead of casting the column.
+    */
+  private[cube] def coerce(v: String, dt: DataType): Any = dt match {
+    case IntegerType => v.toInt
+    case LongType => v.toLong
+    case ShortType => v.toShort
+    case DoubleType => v.toDouble
+    case FloatType => v.toFloat
+    case BooleanType => v.toBoolean
+    case DateType => java.sql.Date.valueOf(v)
+    case TimestampType => java.sql.Timestamp.valueOf(v)
+    case TimestampNTZType => java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+    case _ => v
+  }
+
+  /** Join the fact to exactly the dims `roots` requires (star/snowflake). */
+  private def joined(cube: CubeDef, roots: Set[String]): DataFrame =
+    cube.requiredAliases(roots).foldLeft(table(cube.fact)) { (acc, j) =>
+      acc.join(dimDf(j), col(j.parentKey) === col(j.key), "inner")
+    }
+
+  /** Evaluate a [[CubeQuery]] — the analog of `OEC.get_data`
+    * (`oec.py:27-66`): drilldowns = GROUP BY keys, measures = aggregates,
+    * cuts = member IN-filters; result columns carry normalized names.
+    * Deterministically ordered by the drilldown keys.
+    */
+  def getData(q: CubeQuery): DataFrame = {
+    val cube = CubeCatalog(q.cube)
+    val dds = q.drilldowns.map(cube.level)
+    val cuts = q.cuts.map { case (l, vs) => cube.level(l) -> vs }
+    val msrs = q.measures.map(cube.measure)
+
+    val roots = (dds.map(_.dim) ++ cuts.keys.map(_.dim) ++
+      msrs.flatMap(_.dims)).toSet
+    val star = joined(cube, roots)
+
+    val filtered = cuts.foldLeft(star) { case (df, (lvl, vs)) =>
+      val lits = vs.map(v => lit(coerce(v, lvl.dataType)))
+      df.filter(if (lits.size == 1) lvl.expr === lits.head
+                else lvl.expr.isin(lits: _*))
+    }
+
+    val keyCols: Seq[Column] = dds.map(l => l.expr.as(l.name))
+    val aggCols: Seq[Column] = msrs.map(m => m.agg.as(m.name))
+    val grouped =
+      if (keyCols.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+      else filtered.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+
+    val normalized = Normalize(grouped)
+    val orderKeys = q.drilldowns.map(n => col(Normalize.norm(n)))
+    if (orderKeys.isEmpty) normalized else normalized.orderBy(orderKeys: _*)
+  }
+
+  /** Enumerate distinct members of a level — the analog of
+    * `OEC.get_members` (`oec.py:12-25`). Scans ONLY the level's own table
+    * (never the fact). Result: (ID[, Label]) normalized to (id[, label]).
+    *
+    * NOTE on ordering: the reference *intends* to sort by ID but discards
+    * the sort (`oec.py:23` — `df.sort_values('ID')` unassigned); we
+    * implement the intent and order by ID.
+    */
+  def getMembers(cubeName: String, levelName: String): DataFrame = {
+    val cube = CubeCatalog(cubeName)
+    val lvl = cube.level(levelName)
+    val base =
+      if (lvl.dim == "fact") table(cube.fact)
+      else {
+        val j = cube.requiredAliases(Set(lvl.dim)).find(_.alias == lvl.dim).get
+        dimDf(j)
+      }
+    val cols = Seq(lvl.expr.as("ID")) ++ lvl.memberLabel.map(_.as("Label"))
+    Normalize(base.select(cols: _*).distinct()).orderBy(col("id"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.cube.Engine
+
+/** Relational operators beyond the cube query surface: top-k, window
+  * ranking, semi/anti joins, set ops, rollup (SURVEY §2.5-2.7 — absent in
+  * the reference, provided as first-class engine ops).
+  *
+  * Scale notes: every operator here is a declarative plan — top-k is
+  * `ORDER BY ... LIMIT k` which Spark executes as per-partition top-k
+  * (TakeOrderedAndProject) with no full sort; semi/anti joins shuffle only
+  * the join keys; rollup is a single pass with grouping-set expansion.
+  */
+object Relational {
+
+  private def e(spark: SparkSession, dir: String) = new Engine(spark, dir)
+
+  /** Top-10 customers by revenue — TakeOrderedAndProject, not a full sort.
+    * Deterministic tiebreak on customer key.
+    */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    en.table("lineitem")
+      .join(en.table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(en.table("customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Rank nations by revenue within region (window function over the
+    * aggregated star — the window runs on 25 rows, not the fact).
+    */
+  def nationRankInRegion(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val agg = en.table("lineitem")
+      .join(en.table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(en.table("customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(en.table("nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(en.table("region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+    val w = Window.partitionBy(col("r_name")).orderBy(col("revenue").desc, col("n_name"))
+    agg.withColumn("rank_in_region", rank().over(w))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("revenue"), col("rank_in_region"))
+      .orderBy(col("region"), col("rank_in_region"), col("nation"))
+  }
+
+  /** Orders having at least one heavy lineitem — left-semi join (EXISTS). */
+  def ordersWithHeavyItems(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val heavy = en.table("lineitem").filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"))
+    en.table("orders")
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Customers with no orders — left-anti join (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    en.table("customer")
+      .join(en.table("orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("customer_count"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Nations that appear via customers UNION via suppliers — set op. */
+  def activeNations(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val nation = en.table("nation")
+    val viaCust = en.table("customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"))
+    val viaSupp = en.table("supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"))
+    viaCust.union(viaSupp).distinct()
+      .withColumnRenamed("n_name", "nation").orderBy(col("nation"))
+  }
+
+  /** Year x order-status rollup with subtotals (grouping sets). Single
+    * pass; NULL marks the rolled-up slots, `lvl` = grouping level.
+    */
+  def yearStatusRollup(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    en.table("orders")
+      .select(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .rollup(col("o_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("order_count"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        grouping_id().as("lvl"))
+      .orderBy(col("o_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+}
