@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
 import graft.cube.{CubeQuery, Engine}
-import graft.operators.Relational
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,7 +75,47 @@ object SparkEntry {
     "q19_events_daily" -> ((s, d) => eng(s, d).getData(CubeQuery(
       "events", Seq("Event Day"), Seq("Event Count", "User Count", "Avg Value")))),
     "q20_docs_lang" -> ((s, d) => eng(s, d).getData(CubeQuery(
-      "documents", Seq("Lang"), Seq("Doc Count", "Total Chars", "Avg Chars"))))
+      "documents", Seq("Lang"), Seq("Doc Count", "Total Chars", "Avg Chars")))),
+    // --- [EXT] dedup family (SURVEY §2.11) ---
+    "q21_dedup_exact" -> ((s, d) => Dedup.exact(eng(s, d).table("documents"))),
+    "q26_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(eng(s, d).table("documents"))),
+    "q27_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(eng(s, d).table("documents"))),
+    // --- [EXT] text analysis ---
+    "q22_token_stats" -> ((s, d) => eng(s, d).table("documents")
+      .groupBy(col("lang"))
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+        round(avg(TextAnalysis.typeTokenRatio(col("text"))), 4).as("avg_ttr"),
+        count(lit(1)).as("doc_count"))
+      .orderBy(col("lang"))),
+    "q23_doc_quality" -> ((s, d) => eng(s, d).table("documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextAnalysis.typeTokenRatio(col("text")).as("ttr"),
+        TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))),
+    "q24_langid" -> ((s, d) => eng(s, d).table("documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      .orderBy(col("doc_id"))),
+    "q25_fingerprint" -> ((s, d) => eng(s, d).table("documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        array_min(transform(TextAnalysis.shingles(col("text"), 3),
+          sh => xxhash64(sh))).as("min_shingle_hash"))
+      .orderBy(col("doc_id"))),
+    // --- [EXT] similarity search over embeddings ---
+    "q28_embed_knn" -> ((s, d) =>
+      Similarity.bruteForceTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10)),
+    "q29_embed_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10)),
+    "q30_embed_neardup" -> ((s, d) =>
+      Similarity.lshNearDupPairs(eng(s, d).table("embeddings"), threshold = 0.3)),
+    "q31_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(eng(s, d).table("embeddings")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -205,6 +247,83 @@ object SparkEntry {
       """SELECT lang, count(*) AS doc_count,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | round(avg(n_chars), 4) AS avg_chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q22_token_stats" ->
+      """SELECT lang,
+        | CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+        | round(avg(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / len(string_split(text, ' ')), 4)), 4) AS avg_ttr,
+        | count(*) AS doc_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_doc_quality" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpeish,
+        | round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / len(string_split(text, ' ')), 4) AS ttr,
+        | round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |   / length(text), 4) AS alpha_ratio,
+        | 0.4 * least(len(string_split(text, ' ')) / 64.0, 1.0)
+        |   + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / len(string_split(text, ' ')))
+        |   + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |       / length(text)) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_langid" ->
+      """WITH scored AS (
+        | SELECT doc_id, lang,
+        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('le','la','et','les','des','un','une','est','dans','que'))) AS s_fr,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('el','la','de','que','y','los','las','es','en','un'))) AS s_es,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('der','die','und','das','ist','ein','eine','nicht','mit','den'))) AS s_de
+        | FROM documents)
+        |SELECT doc_id, lang,
+        | CASE WHEN cjk > 0 THEN 'zh'
+        |      WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+        |      WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+        |      WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+        |      ELSE 'de' END AS predicted
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q26_minhash_pairs" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q28_embed_knn" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        | round(list_inner_product(embedding, q_emb)
+        |   / (sqrt(list_inner_product(embedding, embedding))
+        |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q31_label_centroids" ->
+      """WITH e AS (
+        | SELECT label, vec_id, i AS pos, embedding[i] AS v
+        | FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |m AS (
+        | SELECT label, pos, avg(CAST(v AS DOUBLE)) AS mv, count(*) AS n
+        | FROM e GROUP BY 1, 2)
+        |SELECT label, CAST(any_value(n) AS BIGINT) AS n_members,
+        | round(sqrt(sum(mv * mv)), 6) AS centroid_norm
+        |FROM m GROUP BY label ORDER BY label""".stripMargin
   )
 }

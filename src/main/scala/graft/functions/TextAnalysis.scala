@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, and
+  * document fingerprinting.
+  *
+  * Everything here is built from Spark's codegen'd built-in functions and
+  * higher-order functions (transform/aggregate/filter/zip_with) — no Scala
+  * UDFs — so whole-stage codegen survives and the operators are pure
+  * per-row map work: at 100 TB they scan, never shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-boundary token count: runs of word chars, digits, or
+    * single punctuation — the usual pre-tokenization regex shape.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Distinct-token (type) count. */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** Type/token ratio — a repetition / quality signal. */
+  def typeTokenRatio(text: Column): Column =
+    round(distinctTokenCount(text).cast("double") / tokenCount(text), 4)
+
+  /** Ratio of alphabetic characters. */
+  def alphaRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+      / length(text), 4)
+
+  /** Ratio of punctuation characters. */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double")
+      / length(text), 4)
+
+  /** Per-language marker-token profiles (public stopword knowledge). */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "dans", "que"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "es", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "eine", "nicht", "mit", "den"))
+
+  /** Count of tokens contained in a marker set. */
+  private def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(markers)))
+
+  /** Heuristic language ID: CJK-codepoint count identifies zh; otherwise
+    * the language whose stopword profile hits the most tokens wins
+    * (deterministic tie-break by profile order); no evidence -> "und".
+    * A pure per-row expression — language ID of 100 TB is a single scan.
+    */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val scored = (Seq("en", "fr", "es", "de").zipWithIndex.map { case (l, i) =>
+      // order inside the struct: score first, then a rank that makes the
+      // tie-break deterministic (earlier profile wins), then the label
+      struct(markerHits(text, stopwordProfiles(l)).as("score"),
+        lit(3 - i).as("rank"), lit(l).as("lang"))
+    })
+    val best = array_max(filter(array(scored: _*), s => s.getField("score") > 0))
+    when(cjk > 0, lit("zh"))
+      .when(best.isNull, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, lexical
+    * diversity, and alphabetic content. Deterministic, documented weights.
+    * Deliberately NOT rounded: identical per-row FP evaluation order makes
+    * the raw double bit-identical across ANSI engines, whereas rounding
+    * diverges exactly on .xxxx5 representation boundaries.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / lit(64.0), lit(1.0)) // saturates at 64 tokens
+    val diversity = distinctTokenCount(text).cast("double") / nTok
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      length(text)
+    lit(0.4) * lengthScore + lit(0.3) * diversity + lit(0.3) * alpha
+  }
+
+  /** Rolling polynomial hash over the token stream (order-sensitive
+    * document fingerprint), mod the Mersenne prime 2^31-1 so the
+    * accumulator never overflows a long (ANSI mode rejects wrap-around).
+    */
+  def fingerprint(text: Column): Column = {
+    val m = lit(2147483647L)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), m), m))
+  }
+
+  /** Word n-gram shingles, distinct. Documents shorter than n tokens
+    * collapse to one whole-text shingle (sequence() would otherwise run
+    * backwards and explode).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate & exact nearest-neighbor search over an embedding column
+  * (`array<float>`), plus embedding-cosine near-duplicate detection.
+  *
+  * Scale design:
+  *   - cosine/dot/norm are zip_with + aggregate higher-order functions —
+  *     codegen'd per-row math, no UDF;
+  *   - brute-force top-k is score -> TakeOrderedAndProject (per-partition
+  *     heap of k, merged on the driver): the baseline, exact, one scan;
+  *   - the scale path is random-hyperplane LSH: a per-row bucket key from
+  *     sign bits of dot products with deterministic pseudo-random +-1
+  *     planes; kNN/near-dup work is then confined to bucket-local joins
+  *     (shuffle keyed by bucket, never a cross join);
+  *   - multi-probe: querying with all Hamming-1 neighbors of the query's
+  *     bucket key trades b extra lookups for recall.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (element-wise in double — a
+    * float multiply would diverge from ANSI engines' low bits).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (0 where either vector is all-zero). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0d, lit(0.0d)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact brute-force top-k by cosine against one query vector (taken
+    * from the corpus itself by id). Single scan + TakeOrderedAndProject.
+    */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = broadcast(emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb")))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Exact kNN join: for every query row (small, broadcast), the top-k
+    * corpus neighbors — window row_number over the scored cross product.
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random +-1 hyperplane component for (plane p,
+    * dim d): parity of a hash — reproducible across sessions, no RNG
+    * state to ship.
+    */
+  private def planeComponent(p: Int, d: Int): Double =
+    if (((scala.util.hashing.MurmurHash3.productHash((p, d))) & 1) == 0) 1.0 else -1.0
+
+  /** LSH bucket key: `planes` sign bits from dot products with the +-1
+    * hyperplanes. Pure per-row expression over literal plane vectors.
+    */
+  def lshKey(emb: Column, planes: Int, dim: Int): Column =
+    lshKeyOffset(emb, 0, planes, dim)
+
+  /** As [[lshKey]] but starting at plane index `offset` — gives each LSH
+    * table an independent plane family.
+    */
+  def lshKeyOffset(emb: Column, offset: Int, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(offset + p, d))): _*)
+      when(dot(emb, plane) >= 0.0d, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate near-dup pairs via multi-table random-hyperplane LSH:
+    * `tables` independent hash tables of `bitsPerTable` sign bits each; a
+    * pair is a candidate if it collides in ANY table (recall
+    * 1-(1-p^bits)^tables with p = 1-theta/pi), then exact-cosine verified
+    * against `threshold`. Shuffle carries (table_id, bucket, vec_id) —
+    * never a cross join; `maxBucketSize` caps degenerate buckets.
+    */
+  def lshNearDupPairs(
+      emb: DataFrame,
+      threshold: Double = 0.3,
+      tables: Int = 4,
+      bitsPerTable: Int = 6,
+      dim: Int = 64,
+      maxBucketSize: Int = 2000): DataFrame = {
+    val keys = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshKeyOffset(col("embedding"), t * bitsPerTable, bitsPerTable, dim).as("bucket"))
+    }: _*)
+    val keyed = emb.select(col("vec_id"), col("embedding"), explode(keys).as("k"))
+      .select(col("vec_id"), col("embedding"),
+        col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+    val capped = keyed
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
+      .filter(col("bucket_n") <= maxBucketSize).drop("bucket_n")
+    capped.as("a").join(capped.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** IVF-style partitioned kNN: assign rows to the LSH bucket of their
+    * key, then answer a query by probing only its own bucket plus all
+    * Hamming-1 neighbor buckets (multi-probe). Approximate; recall grows
+    * with probes. Returns top-k for one query id.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      queryId: Long,
+      k: Int,
+      planes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val keyed = emb.select(col("vec_id"), col("label"), col("embedding"),
+      lshKey(col("embedding"), planes, dim).as("bucket"))
+    val q = broadcast(keyed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket")))
+    // multi-probe: own bucket + flip each of the `planes` bits
+    val probes = array((0 until planes).map(p =>
+      col("q_bucket").bitwiseXOR(lit(1L << p))) :+ col("q_bucket"): _*)
+    keyed.filter(col("vec_id") =!= queryId)
+      .join(q, array_contains(probes, col("bucket")))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-label centroids (mean embedding) + intra-cluster cohesion (mean
+    * cosine of members to a unit-normalized sum — computed with array
+    * aggregates, no UDAF: sum-vector via element-wise aggregation over
+    * posexploded components).
+    */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val exploded = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val sums = exploded.groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    sums.groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), (col("s") / col("n")).as("m"))))
+        .as("pairs"), first(col("n")).as("n_members"))
+      .select(col("label"), col("n_members"),
+        round(norm(transform(col("pairs"), p => p.getField("m"))), 6).as("centroid_norm"))
+      .orderBy(col("label"))
+  }
+}
