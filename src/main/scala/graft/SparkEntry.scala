@@ -4,7 +4,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.cube.{CubeQuery, Engine}
 import graft.functions.TextAnalysis
+import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Relational, Similarity}
+import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -115,7 +117,15 @@ object SparkEntry {
     "q30_embed_neardup" -> ((s, d) =>
       Similarity.lshNearDupPairs(eng(s, d).table("embeddings"), threshold = 0.3)),
     "q31_label_centroids" -> ((s, d) =>
-      Similarity.labelCentroids(eng(s, d).table("embeddings")))
+      Similarity.labelCentroids(eng(s, d).table("embeddings"))),
+    // --- [EXT] structured streaming (SURVEY §2.9) ---
+    "q32_stream_hourly" -> EventsStream.hourlyRollup _,
+    "q33_stream_user_state" -> EventsStream.userSummaries _,
+    // --- [EXT] multimodal columns ---
+    "q34_multimodal_stats" -> ((s, d) =>
+      Multimodal.assetStats(eng(s, d).table("documents"))),
+    "q35_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(eng(s, d).table("documents")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -324,6 +334,22 @@ object SparkEntry {
         | FROM e GROUP BY 1, 2)
         |SELECT label, CAST(any_value(n) AS BIGINT) AS n_members,
         | round(sqrt(sum(mv * mv)), 6) AS centroid_norm
-        |FROM m GROUP BY label ORDER BY label""".stripMargin
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "q32_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS event_hour, event_type,
+        | count(*) AS event_count, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q33_stream_user_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        | arg_max(event_type, ts) AS last_type,
+        | round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_multimodal_stats" ->
+      """SELECT source, count(*) AS n_assets,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        | round(avg(16 + doc_id % 64), 4) AS avg_width,
+        | max(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+        |     WHEN 1 THEN 'jpeg' ELSE 'wav' END) AS max_format
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (absent in the reference —
+  * batch-only, SURVEY §2.9 — provided as [EXT] engine surface).
+  *
+  * The batch parquet drives the stream synchronously (memory sink +
+  * processAllAvailable), so results are deterministic and oracle-checkable
+  * against the equivalent batch SQL. At scale the same plans run against a
+  * real source (Kafka/files) with the watermark bounding state: the
+  * tumbling-window agg keeps one row per (window, type) per trigger, and
+  * the stateful session op keeps one state row per user.
+  */
+object EventsStream {
+
+  /** Events schema as stored (ts is TIMESTAMP(NANOS) -> long under
+    * nanosAsLong; converted to NTZ micros, mirroring Engine.table).
+    */
+  private def streamingEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // file stream sources take directories; pathGlobFilter selects the one
+    // events file. ts stays tz-aware TIMESTAMP here — watermarks demand it
+    // — and is cast to NTZ only at the output edge.
+    spark.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Tumbling 1-hour rollup with a 1-hour watermark — the streaming twin
+    * of the batch `events` cube query (same oracle SQL applies).
+    */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val agg = streamingEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        round(sum(col("value")), 2).as("total_value"))
+    runToMemory(agg, "graft_stream_hourly", OutputMode.Complete())
+      .select(col("window.start").cast(TimestampNTZType).as("event_hour"),
+        col("event_type"),
+        col("event_count"), col("total_value"))
+      .orderBy(col("event_hour"), col("event_type"))
+  }
+
+  // NB: public — encoder codegen cannot access private case classes
+  case class Ev(user_id: Long, tsMicros: Long, event_type: String,
+      value: Double)
+  case class UserState(n: Long, lastTs: Long, lastType: String,
+      total: Double)
+  case class UserSummary(user_id: Long, n_events: Long,
+      last_type: String, total_value: Double)
+
+  /** Custom per-key state via mapGroupsWithState: per-user event count,
+    * running value total, and latest event type (by event time). With the
+    * fixture driven as one batch this equals the batch
+    * count/sum/max_by(event_type, ts) — which is its oracle.
+    */
+  def userSummaries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = streamingEvents(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_type"), col("value"))
+      .as[Ev]
+    val summarized = evs.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSummary](GroupStateTimeout.NoTimeout()) {
+        case (uid, events, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue, "", 0.0))
+          // fold in event-time order so "latest type" is deterministic
+          val next = events.toSeq.sortBy(e => (e.tsMicros, e.event_type))
+            .foldLeft(prev) { (s, e) =>
+              UserState(s.n + 1,
+                math.max(s.lastTs, e.tsMicros),
+                if (e.tsMicros >= s.lastTs) e.event_type else s.lastType,
+                s.total + e.value)
+            }
+          state.update(next)
+          UserSummary(uid, next.n, next.lastType, next.total)
+      }
+    runToMemory(summarized.toDF(), "graft_stream_users", OutputMode.Update())
+      .select(col("user_id"), col("n_events"), col("last_type"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+}
