@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class DedupTextSpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("shingles: 3-grams of a known sentence") {
+    val df = docs((1L, "a b c d")).select(
+      TextAnalysis.shingles(col("text"), 3).as("sh"))
+    assert(df.collect().head.getSeq[String](0).toSet == Set("a b c", "b c d"))
+  }
+
+  test("shingles: doc shorter than n collapses to whole text") {
+    val df = docs((1L, "a b")).select(TextAnalysis.shingles(col("text"), 3).as("sh"))
+    assert(df.collect().head.getSeq[String](0) == Seq("a b"))
+  }
+
+  test("exact dedup keeps min doc_id and counts copies") {
+    val df = docs((5L, "same text"), (2L, "same text"), (9L, "other"))
+    val out = Dedup.exact(df).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 2L), (9L, 1L)))
+  }
+
+  test("minhash finds a planted near-dup and skips unrelated docs") {
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((0 until 39).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val other = (100 until 140).map(i => s"tok$i").mkString(" ")
+    val out = Dedup.minhashPairs(docs((1L, base), (2L, nearDup), (3L, other)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((0 until 38).map(i => s"tok$i") ++ Seq("x", "y")).mkString(" ")
+    val other = (100 until 140).map(i => s"tok$i").mkString(" ")
+    val out = Dedup.simhashPairs(docs((1L, base), (2L, base), (3L, nearDup), (4L, other)),
+      maxDist = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out((1L, 2L)) == 0)
+    assert(out.get((1L, 3L)).exists(_ <= 16))
+    assert(!out.contains((1L, 4L)))
+  }
+
+  test("langId recognizes marker-heavy texts and CJK; und on no evidence") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "el perro y la casa de los gatos"),
+      (4L, "中文文本"),
+      (5L, "zzz qqq xxx")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "zh", 5L -> "und"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = docs((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).select(
+      col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(3L) && m(1L) != m(2L))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq((1L, "hello world, it's 42 degrees!")).toDF("doc_id", "text")
+      .select(TextAnalysis.tokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe"))
+    val r = df.collect().head
+    assert(r.getInt(0) == 5)
+    // hello|world|,|it|'|s|42|degrees|! = 9
+    assert(r.getInt(1) == 9)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f), "same"),
+      (Seq(1f, 0f), Seq(0f, 1f), "orth"),
+      (Seq(1f, 0f), Seq(-1f, 0f), "opp")).toDF("a", "b", "k")
+      .select(col("k"), Similarity.cosine(col("a"), col("b")).as("c"))
+    val m = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m("same") - 1.0) < 1e-12)
+    assert(math.abs(m("orth")) < 1e-12)
+    assert(math.abs(m("opp") + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns nearest first, excludes the query") {
+    val df = vecs(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f), 1),
+      (3L, Seq(-1f, 0f, 0f), 1))
+    val out = Similarity.bruteForceTopK(df, 0L, 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.head.getDouble(2) > 0.99)
+  }
+
+  test("knn join produces k ranked neighbors per query") {
+    val df = vecs(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0f, 1f), 1), (3L, Seq(0.1f, 0.9f), 1))
+    val out = Similarity.knnJoin(df, df.filter(col("vec_id") < 2), 2).collect()
+    assert(out.length == 4)
+    val q0 = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+    assert(q0.map(_.getLong(2)).toSeq == Seq(1L, 2L) ||
+      q0.map(_.getLong(2)).head == 1L)
+  }
+
+  test("lsh near-dup pairs find close vectors and verify with exact cosine") {
+    val close = (0 until 64).map(i => math.sin(i * 0.1).toFloat)
+    val close2 = close.updated(0, close(0) + 0.01f)
+    val far = (0 until 64).map(i => math.cos(i * 1.7).toFloat)
+    val out = Similarity.lshNearDupPairs(
+      vecs((1L, close, 0), (2L, close2, 0), (3L, far, 1)), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("label centroids: unit vectors per axis give norm 1") {
+    val df = vecs(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),
+      (3L, Seq(0f, 1f), 1))
+    val out = Similarity.labelCentroids(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0, 2L, 1.0), (1, 1L, 1.0)))
+  }
+}
