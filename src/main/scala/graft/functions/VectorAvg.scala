@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed UDAF (`Aggregator[IN, BUF, OUT]`): element-wise mean of a vector
+  * column — the custom-aggregate surface of the engine (SURVEY §2.10).
+  *
+  * Scale: the buffer is one (dim-length double array, count) pair per
+  * group per partition; partial aggregation means the shuffle carries one
+  * buffer per (group, map task), exactly like a built-in avg. Dimension is
+  * discovered from the first row (vectors must agree within a group).
+  */
+object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+
+  override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+
+  override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    val s = if (b._1.isEmpty) new Array[Double](v.size) else b._1
+    var i = 0
+    while (i < v.size && i < s.length) { s(i) += v(i); i += 1 }
+    (s, b._2 + 1)
+  }
+
+  override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
+    if (x._1.isEmpty) y
+    else if (y._1.isEmpty) x
+    else {
+      var i = 0
+      while (i < x._1.length && i < y._1.length) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+
+  override def finish(b: (Array[Double], Long)): Seq[Double] =
+    if (b._2 == 0L) Seq.empty else b._1.toSeq.map(_ / b._2)
+
+  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+    ExpressionEncoder[(Array[Double], Long)]()
+  override def outputEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+
+  /** Column function: vec_avg(embedding). */
+  def column(c: Column): Column = {
+    implicit val in: Encoder[Seq[Float]] = ExpressionEncoder[Seq[Float]]()
+    udaf(this).apply(c)
+  }
+}

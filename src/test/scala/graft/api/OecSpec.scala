@@ -1,0 +1,52 @@
+package graft.api
+
+import graft.SparkFunSuite
+
+class OecSpec extends SparkFunSuite {
+
+  private def oec = new Oec(spark, sf)
+
+  test("getData mirrors the reference call shape (oec.py:27-42)") {
+    val df = oec.getData(auth = false, cube = "trade",
+      drilldown = Seq("Year", "Nation"), measure = Seq("Trade Value"),
+      cut = Map("Year" -> "1995"))
+    assert(df.columns.toSeq == Seq("year", "nation", "trade_value"))
+    assert(df.count() == 25)
+  }
+
+  test("comma-separated cut values form an IN-list") {
+    val df = oec.getData(auth = false, cube = "trade",
+      drilldown = Seq("Year"), measure = Seq("Line Count"),
+      cut = Map("Year" -> "1995, 1996"))
+    assert(df.select("year").collect().map(_.getInt(0)).toSet == Set(1995, 1996))
+  }
+
+  test("auth=true without token or OEC_TOKEN throws (parity with oec.py:60)") {
+    assume(!sys.env.contains("OEC_TOKEN"))
+    intercept[NoSuchElementException] {
+      oec.getData(auth = true, cube = "trade",
+        drilldown = Seq("Year"), measure = Seq("Trade Value"))
+    }
+  }
+
+  test("auth=true with explicit token succeeds") {
+    val df = oec.getData(auth = true, cube = "trade",
+      drilldown = Seq("Year"), measure = Seq("Trade Value"),
+      token = Some("t"))
+    assert(df.count() > 0)
+  }
+
+  test("getMembers payload shape (oec.py:13-18), sorted by id") {
+    val m = oec.getMembers(Map("cube" -> "trade", "level" -> "Nation ID")).collect()
+    assert(m.map(_.getInt(0)).toSeq == (0 until 25))
+    intercept[IllegalArgumentException](oec.getMembers(Map("cube" -> "trade")))
+  }
+
+  test("wire grammar byte-for-byte (util.py)") {
+    assert(WireFormat.genCut(Seq("Year" -> "2020", "Trade Flow" -> "2"))
+      == "Year=2020&Trade Flow=2")
+    assert(WireFormat.genCut(Nil) == "")
+    assert(WireFormat.genMsrDd(Seq("Trade Value", "Quantity"))
+      == "Trade Value,Quantity")
+  }
+}

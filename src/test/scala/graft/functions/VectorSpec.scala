@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkFunSuite
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkFunSuite {
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("native cosine expression equals the HOF composition on real data") {
+    val pairs = emb.limit(50).select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(emb.limit(50).select(col("vec_id").as("b_id"), col("embedding").as("b")))
+    val diff = pairs.select(
+      abs(Similarity.cosineHof(col("a"), col("b")) -
+        VectorExpressions.cosineNative(col("a"), col("b"))).as("d"))
+      .agg(max(col("d"))).collect().head.getDouble(0)
+    assert(diff == 0.0) // bit-identical, not just close
+  }
+
+  test("native cosine is SQL-callable after registration") {
+    VectorExpressions.register(spark)
+    emb.limit(5).createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      "SELECT cosine_similarity(embedding, embedding) AS c FROM emb_v")
+      .collect().map(_.getDouble(0))
+    assert(r.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("native cosine type-checks its inputs") {
+    val e = intercept[Exception] {
+      emb.select(VectorExpressions.cosineNative(col("vec_id"), col("embedding")))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine") ||
+      e.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("VectorAvg aggregator centroids equal the posexplode implementation") {
+    val a = Similarity.labelCentroids(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val b = Similarity.labelCentroidsAgg(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("brute-force top-k identical under HOF and native cosine") {
+    val hof = Similarity.bruteForceTopK(emb, 0L, 10,
+      Similarity.cosineHof).collect().toSeq
+    val nat = Similarity.bruteForceTopK(emb, 0L, 10).collect().toSeq
+    assert(hof == nat)
+  }
+}
