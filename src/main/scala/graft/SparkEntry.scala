@@ -125,7 +125,13 @@ object SparkEntry {
     "q34_multimodal_stats" -> ((s, d) =>
       Multimodal.assetStats(eng(s, d).table("documents"))),
     "q35_multimodal_decode" -> ((s, d) =>
-      Multimodal.decodeFeatures(eng(s, d).table("documents")))
+      Multimodal.decodeFeatures(eng(s, d).table("documents"))),
+    // --- range cuts, grouping sets, sketches ---
+    "q36_range_cut" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "trade", Seq("Region"), Seq("Trade Value", "Line Count"),
+      rangeCuts = Map("Year" -> ("1996", "1998"))))),
+    "q37_cube_grouping" -> Relational.segmentPriorityCube _,
+    "q38_approx_distinct" -> Relational.approxCustomerCounts _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -350,6 +356,22 @@ object SparkEntry {
         | round(avg(16 + doc_id % 64), 4) AS avg_width,
         | max(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
         |     WHEN 1 THEN 'jpeg' ELSE 'wav' END) AS max_format
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_range_cut" ->
+      """SELECT r_name AS region, round(sum(l_extendedprice), 2) AS trade_value,
+        | count(*) AS line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_cube_grouping" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        | count(*) AS order_count, round(sum(o_totalprice), 2) AS total_price,
+        | CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS BIGINT) AS lvl
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
   )
 }

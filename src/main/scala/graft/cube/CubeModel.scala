@@ -121,9 +121,13 @@ case class CubeDef(
   *
   * @param cuts level -> member values (strings, coerced to level type);
   *             multi-member cut = IN-list
+  * @param rangeCuts level -> inclusive (lo, hi) bounds, same stringly-typed
+  *                  coercion (theta predicates — absent in the reference,
+  *                  SURVEY §2.2, provided as engine surface)
   */
 case class CubeQuery(
     cube: String,
     drilldowns: Seq[String],
     measures: Seq[String],
-    cuts: Map[String, Seq[String]] = Map.empty)
+    cuts: Map[String, Seq[String]] = Map.empty,
+    rangeCuts: Map[String, (String, String)] = Map.empty)

@@ -94,16 +94,21 @@ class Engine(spark: SparkSession, dir: String) {
     val cube = CubeCatalog(q.cube)
     val dds = q.drilldowns.map(cube.level)
     val cuts = q.cuts.map { case (l, vs) => cube.level(l) -> vs }
+    val ranges = q.rangeCuts.map { case (l, b) => cube.level(l) -> b }
     val msrs = q.measures.map(cube.measure)
 
     val roots = (dds.map(_.dim) ++ cuts.keys.map(_.dim) ++
-      msrs.flatMap(_.dims)).toSet
+      ranges.keys.map(_.dim) ++ msrs.flatMap(_.dims)).toSet
     val star = joined(cube, roots)
 
-    val filtered = cuts.foldLeft(star) { case (df, (lvl, vs)) =>
+    val filtered0 = cuts.foldLeft(star) { case (df, (lvl, vs)) =>
       val lits = vs.map(v => lit(coerce(v, lvl.dataType)))
       df.filter(if (lits.size == 1) lvl.expr === lits.head
                 else lvl.expr.isin(lits: _*))
+    }
+    val filtered = ranges.foldLeft(filtered0) { case (df, (lvl, (lo, hi))) =>
+      df.filter(lvl.expr.between(
+        lit(coerce(lo, lvl.dataType)), lit(coerce(hi, lvl.dataType))))
     }
 
     val keyCols: Seq[Column] = dds.map(l => l.expr.as(l.name))

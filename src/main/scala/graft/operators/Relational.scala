@@ -89,6 +89,37 @@ object Relational {
       .withColumnRenamed("n_name", "nation").orderBy(col("nation"))
   }
 
+  /** Full CUBE over (mkt segment, order priority): all 4 grouping sets in
+    * one pass (expanded map-side, aggregated once).
+    */
+  def segmentPriorityCube(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    en.table("orders")
+      .join(en.table("customer"), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        grouping_id().as("lvl"))
+      .orderBy(col("c_mktsegment").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Approximate distinct customers per nation (HyperLogLog++ sketch —
+    * one pass, constant memory per group; rsd 5% default). The scale
+    * answer to COUNT(DISTINCT) at 100 TB.
+    */
+  def approxCustomerCounts(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    en.table("orders")
+      .join(en.table("customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(en.table("nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+      .withColumnRenamed("n_name", "nation")
+      .orderBy(col("nation"))
+  }
+
   /** Year x order-status rollup with subtotals (grouping sets). Single
     * pass; NULL marks the rolled-up slots, `lvl` = grouping level.
     */

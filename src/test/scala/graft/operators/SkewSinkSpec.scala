@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import graft.sources.Sink
+import org.apache.spark.sql.functions._
+
+class SkewSinkSpec extends SparkFunSuite {
+
+  private def li = spark.read.parquet(s"$sf/lineitem.parquet")
+  private def orders = spark.read.parquet(s"$sf/orders.parquet")
+
+  test("salted join equals the plain inner join") {
+    val plain = li.join(orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "l_orderkey")
+    val big = li
+    val salted = Skew.saltedJoin(big, orders
+      .withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", saltFactor = 4)
+    assert(salted.count() == plain.count())
+    val a = plain.agg(round(sum(col("l_extendedprice") * col("o_totalprice")), 0))
+      .collect().head.getDouble(0)
+    val b = salted.agg(round(sum(col("l_extendedprice") * col("o_totalprice")), 0))
+      .collect().head.getDouble(0)
+    assert(a == b)
+  }
+
+  test("two-phase agg equals single-phase") {
+    val single = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val two = Skew.twoPhaseAgg(li, Seq("l_returnflag"), 8,
+      partials = Map("q" -> sum(col("l_quantity")), "n" -> count(lit(1))),
+      finals = Map("q" -> sum(col("q")), "n" -> sum(col("n"))))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(two == single)
+  }
+
+  test("partitioned sink writes hive-style dirs and partition-prunes reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    Sink.writePartitioned(li, s"$dir/li", Seq("l_returnflag"), Seq("l_shipdate"))
+    val dirs = new java.io.File(s"$dir/li").listFiles().map(_.getName)
+      .filter(_.startsWith("l_returnflag=")).sorted
+    assert(dirs.toSeq == Seq("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"))
+    val back = spark.read.parquet(s"$dir/li").filter(col("l_returnflag") === "A")
+    assert(back.count() == li.filter(col("l_returnflag") === "A").count())
+    // the partition filter must reach the scan (pruned read, not post-filter)
+    assert(back.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
+  test("key-clustered sink round-trips and clusters by key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    Sink.writeKeyClustered(orders, s"$dir/o", "o_custkey", buckets = 4)
+    val back = spark.read.parquet(s"$dir/o")
+    assert(back.count() == orders.count())
+    val files = new java.io.File(s"$dir/o").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 4)
+  }
+
+  test("approx distinct is within rsd of exact") {
+    val rows = Relational.approxCustomerCounts(spark, sf).collect()
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact) <= math.max(2L, (exact * 0.15).toLong),
+        s"nation ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("range cut is inclusive on both bounds") {
+    val e = new graft.cube.Engine(spark, sf)
+    val df = e.getData(graft.cube.CubeQuery("trade", Seq("Year"),
+      Seq("Line Count"), rangeCuts = Map("Year" -> ("1996", "1998"))))
+    assert(df.select("year").collect().map(_.getInt(0)).toSet == Set(1996, 1997, 1998))
+  }
+}
