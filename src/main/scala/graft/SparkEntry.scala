@@ -131,7 +131,9 @@ object SparkEntry {
       "trade", Seq("Region"), Seq("Trade Value", "Line Count"),
       rangeCuts = Map("Year" -> ("1996", "1998"))))),
     "q37_cube_grouping" -> Relational.segmentPriorityCube _,
-    "q38_approx_distinct" -> Relational.approxCustomerCounts _
+    "q38_approx_distinct" -> Relational.approxCustomerCounts _,
+    "q39_user_sessions" -> EventsStream.userSessions _,
+    "q40_term_freq" -> Relational.termFrequencies _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -372,6 +374,29 @@ object SparkEntry {
         | CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS BIGINT) AS lvl
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
-        |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+        |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q39_user_sessions" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        > INTERVAL 30 MINUTE OR
+        |       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |  THEN 1 ELSE 0 END AS new_session
+        | FROM events),
+        |sessions AS (
+        | SELECT user_id, ts, value,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM flagged)
+        |SELECT user_id,
+        | date_trunc('microsecond', min(ts)) AS session_start,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q40_term_freq" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM (
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        | FROM documents)
+        |GROUP BY token ORDER BY df DESC, tf DESC, token LIMIT 20""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.cube
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit, timestamp_micros}
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Spark-native evaluation of the reference's OLAP query surface.
@@ -44,8 +44,10 @@ class Engine(spark: SparkSession, dir: String) {
     val df0 = spark.read.parquet(s"$dir/$name.parquet")
     val df =
       if (name == "events")
-        df0.withColumn("ts",
-          timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+        // integer `div`, NOT `/`: long / long evaluates in double, which
+        // cannot represent epoch-nanos exactly (53-bit mantissa) and
+        // rounds the microsecond digit
+        df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df0
     val cols = df.schema.fields.map { f =>
       if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)

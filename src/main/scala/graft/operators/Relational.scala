@@ -120,6 +120,22 @@ object Relational {
       .orderBy(col("nation"))
   }
 
+  /** Corpus term frequencies: tokenize -> explode -> count, the canonical
+    * map-side-combinable word count; top 20 by document frequency with
+    * deterministic tie-break.
+    */
+  def termFrequencies(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    en.table("documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("tf").desc, col("token"))
+      .limit(20)
+  }
+
   /** Year x order-status rollup with subtotals (grouping sets). Single
     * pass; NULL marks the rolled-up slots, `lvl` = grouping level.
     */

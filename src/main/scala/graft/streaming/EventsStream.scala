@@ -32,7 +32,7 @@ object EventsStream {
     spark.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Engine.table
   }
 
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
@@ -67,6 +67,24 @@ object EventsStream {
       total: Double)
   case class UserSummary(user_id: Long, n_events: Long,
       last_type: String, total_value: Double)
+
+  /** Batch session windows: per-user sessions with a 30-minute inactivity
+    * gap (session_window merges overlapping [ts, ts+gap) intervals). The
+    * oracle is the classic gaps-and-islands SQL. Works identically over
+    * readStream for online sessionization.
+    */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        col("w.start").cast(TimestampNTZType).as("session_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
 
   /** Custom per-key state via mapGroupsWithState: per-user event count,
     * running value total, and latest event type (by event time). With the
