@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class OecJsonSourceSpec extends SparkFunSuite {
+
+  private def writeResponses(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("oecjson").toString
+    // the FIXTURES.md §B wire example, split over two response files
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/r1.json"),
+      """{"data": [
+        |{"Year": 2020, "Country ID": "saarm", "Country": "Armenia", "Trade Value": 2456831.0},
+        |{"Year": 2020, "Country ID": "asgeo", "Country": "Georgia", "Trade Value": 1934502.5}
+        |]}""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/r2.json"),
+      """{"data": [
+        |{"Year": 2021, "Country ID": "saaze", "Country": "Azerbaijan", "Trade Value": 999.25}
+        |]}""".stripMargin)
+    // a non-json file that must be ignored
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/notes.txt"), "x")
+    dir
+  }
+
+  test("reads the wire format with normalized names and inferred types") {
+    val df = spark.read.format("oecjson").load(writeResponses())
+    assert(df.columns.toSeq == Seq("year", "country_id", "country", "trade_value"))
+    assert(df.schema("year").dataType.typeName == "long")
+    assert(df.schema("trade_value").dataType.typeName == "double")
+    assert(df.count() == 3)
+    val am = df.filter(col("country") === "Armenia").collect().head
+    assert(am.getLong(0) == 2020L && am.getDouble(3) == 2456831.0)
+  }
+
+  test("one partition per response file") {
+    val df = spark.read.format("oecjson").load(writeResponses())
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("column pruning reaches the scan") {
+    val df = spark.read.format("oecjson").load(writeResponses())
+      .select("country")
+    // the scan's read schema must be pruned to the single column
+    assert(df.queryExecution.executedPlan.toString.contains("country"))
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("Armenia", "Azerbaijan", "Georgia"))
+  }
+
+  test("aggregation over the source composes with the engine surface") {
+    val df = spark.read.format("oecjson").load(writeResponses())
+      .groupBy(col("year")).agg(round(sum(col("trade_value")), 2).as("tv"))
+      .orderBy(col("year"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((2020L, 4391333.5), (2021L, 999.25)))
+  }
+
+  test("missing data key fails with the wire-contract message") {
+    val dir = java.nio.file.Files.createTempDirectory("oecjson_bad").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad.json"),
+      """{"rows": []}""")
+    val e = intercept[Exception] {
+      spark.read.format("oecjson").load(dir).collect()
+    }
+    assert(e.getMessage.contains("data"))
+  }
+}
