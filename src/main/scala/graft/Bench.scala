@@ -14,11 +14,10 @@ object Bench {
     // codegen / parquet-footer costs so per-query timings measure the
     // queries, not class loading.
     val warmDir = "/root/testdata/sf0.001"
-    Seq("q01_year_nation", "q26_minhash_pairs", "q28_embed_knn")
-      .foreach { q =>
-        try SparkEntry.queries(q)(spark, warmDir).count()
-        catch { case _: Throwable => () }
-      }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -32,20 +32,18 @@ object Dedup {
       .select(col("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
 
-  /** MinHash signatures, distributed form: explode shingles and take 64
-    * seeded-hash MINs as partial aggregates. The map-side combine means
-    * the shuffle carries exactly 64 longs per document; the alternative
-    * (64 nested transform/array_min HOFs over one projected alias) gets
-    * inlined by CollapseProject into 64 recomputations of the shingle
-    * array and falls out of whole-stage codegen — measured 20x slower.
+  /** MinHash signatures: a native per-row expression over the shingle
+    * set — signatures are per-document, so the scale-optimal plan is a
+    * pure map with NO shuffle at all. (Two earlier forms are preserved in
+    * history for the record: 64 nested HOFs — inlined 64x by
+    * CollapseProject, 25x slower — and explode + 64 partial mins — right
+    * shape for an aggregate but pays an unnecessary 270k-row shuffle.)
     * Returns (doc_id, sig array<long>).
     */
   def minhashSigs(docs: DataFrame, shingleN: Int, numPerms: Int): DataFrame =
     docs.select(col("doc_id"),
-        explode(TextAnalysis.shingles(col("text"), shingleN)).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(array((0 until numPerms).map(k =>
-        min(xxhash64(lit(k), col("s")))): _*).as("sig"))
+      graft.functions.TextExpressions.minhashSig(
+        TextAnalysis.shingles(col("text"), shingleN), numPerms).as("sig"))
 
   /** LSH band hashes of a minhash signature: b bands of r rows each. */
   def bandHashes(sig: Column, b: Int, r: Int): Column =
@@ -71,19 +69,34 @@ object Dedup {
       .select(col("doc_id"), bandHashes(col("sig"), bands, r).as("bands"))
     val exploded = sig.select(col("doc_id"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-    val capped = exploded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    val a = capped.as("a")
-    val bb = capped.as("b")
-    val cand = a.join(bb,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bucketPairs(exploded, Seq("band", "sig"), "doc_id", maxBucketSize)
     verifyJaccard(cand, withSh, threshold)
+  }
+
+  /** Distinct (idA < idB) pairs of ids sharing a bucket: ONE aggregation
+    * per bucket with in-bucket pair expansion via higher-order functions.
+    * Strictly better than the textbook exploded self-join: the signature
+    * pipeline runs once (a self-join evaluates it for both sides), there
+    * is exactly one shuffle (the groupBy), and the bucket cap is a plain
+    * size filter instead of a window sort. Oversized buckets (degenerate
+    * duplicate clusters) are dropped whole.
+    */
+  private[operators] def bucketPairs(
+      exploded: DataFrame,
+      bucketCols: Seq[String],
+      idCol: String,
+      maxBucketSize: Int): DataFrame = {
+    val grouped = exploded
+      .groupBy(bucketCols.map(col): _*)
+      .agg(collect_set(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(sort_array(col("ids")).as("ids"))
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    grouped.select(explode(pairs).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard on candidate pairs: join shingle sets back and
@@ -100,23 +113,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash signatures as arrays of 64 sign values (+1/-1), distributed
-    * form: explode tokens, sum the per-bit +-1 contributions as 64 partial
-    * aggregates (bit i of a token = sign of its i-seeded hash — seeded
-    * hashing instead of variable-distance bit shifts keeps everything in
-    * plain codegen'd expressions), then take signs.
-    * Returns (doc_id, signs array<int>).
+  /** SimHash signatures as arrays of 64 sign values (+1/-1): native
+    * per-row expression over the token array (bit i of a token = sign of
+    * its i-seeded hash) — a pure map, no shuffle; same rationale as
+    * [[minhashSigs]]. Returns (doc_id, signs array<int>).
     */
   def simhashSigns(docs: DataFrame, bits: Int = 64): DataFrame =
     docs.select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("t"))
-      .groupBy(col("doc_id"))
-      .agg(array((0 until bits).map { i =>
-        sum(when(xxhash64(lit(i), col("t")) > 0, 1).otherwise(-1))
-      }: _*).as("sums"))
-      .select(col("doc_id"),
-        transform(col("sums"), s => when(s > 0, lit(1)).otherwise(lit(-1)))
-          .as("signs"))
+      graft.functions.TextExpressions.simhashSigns(
+        TextAnalysis.tokens(col("text")), bits).as("signs"))
 
   /** Pack sign array into a 64-bit fingerprint (powers-of-two literals —
     * no variable shifts).
@@ -144,24 +149,16 @@ object Dedup {
     val chunks = maxDist + 1
     val width = 64 / chunks
     val sigd = simhashSigns(docs)
-    val chunked = sigd.select(col("doc_id"), col("signs"),
-      array((0 until chunks).map { c =>
+    val exploded = sigd.select(col("doc_id"),
+      explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
           xxhash64(lit(c), slice(col("signs"), c * width + 1, width)).as("sig"))
-      }: _*).as("chunks"))
-    val exploded = chunked.select(col("doc_id"), col("signs"), explode(col("chunks")).as("c"))
-      .select(col("doc_id"), col("signs"), col("c.chunk").as("chunk"), col("c.sig").as("sig"))
-    val capped = exploded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("chunk", "sig")))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    capped.as("a").join(capped.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.signs").as("signs_a"), col("b.signs").as("signs_b"))
-      .distinct()
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("c.chunk").as("chunk"), col("c.sig").as("sig"))
+    val cand = bucketPairs(exploded, Seq("chunk", "sig"), "doc_id", maxBucketSize)
+    cand
+      .join(sigd.select(col("doc_id").as("doc_a"), col("signs").as("signs_a")), "doc_a")
+      .join(sigd.select(col("doc_id").as("doc_b"), col("signs").as("signs_b")), "doc_b")
       .withColumn("hamming", hamming(col("signs_a"), col("signs_b")))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))

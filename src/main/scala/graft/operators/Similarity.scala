@@ -126,18 +126,17 @@ object Similarity {
       struct(lit(t).as("tbl"),
         lshKeyOffset(col("embedding"), t * bitsPerTable, bitsPerTable, dim).as("bucket"))
     }: _*)
-    val keyed = emb.select(col("vec_id"), col("embedding"), explode(keys).as("k"))
-      .select(col("vec_id"), col("embedding"),
-        col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
-    val capped = keyed
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
-      .filter(col("bucket_n") <= maxBucketSize).drop("bucket_n")
-    capped.as("a").join(capped.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
-      .distinct()
+    val keyed = emb.select(col("vec_id"), explode(keys).as("k"))
+      .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+    // one aggregation per bucket (see Dedup.bucketPairs): sigs computed
+    // once, single shuffle, size-filter cap — no self-join, no window
+    val cand = Dedup.bucketPairs(keyed, Seq("tbl", "bucket"), "vec_id", maxBucketSize)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("e_a"), col("e_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -21,6 +21,27 @@ class DedupTextSpec extends SparkFunSuite {
     assert(df.collect().head.getSeq[String](0) == Seq("a b"))
   }
 
+  test("native minhash signature equals the builtin xxhash64 composition") {
+    val real = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val sh = TextAnalysis.shingles(col("text"), 3)
+    val builtin = array((0 until 64).map(k =>
+      array_min(transform(sh, s => xxhash64(lit(k), s)))): _*)
+    val cmp = real.select(
+      graft.functions.TextExpressions.minhashSig(sh, 64).as("a"),
+      builtin.as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(cmp.count() == 0)
+  }
+
+  test("native shingles equal the HOF reference on real docs") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val cmp = real.select(
+      TextAnalysis.shingles(col("text"), 3).as("a"),
+      TextAnalysis.shinglesHof(col("text"), 3).as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(cmp.count() == 0)
+  }
+
   test("exact dedup keeps min doc_id and counts copies") {
     val df = docs((5L, "same text"), (2L, "same text"), (9L, "other"))
     val out = Dedup.exact(df).collect().map(r => (r.getLong(0), r.getLong(1)))
