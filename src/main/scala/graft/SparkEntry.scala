@@ -133,7 +133,15 @@ object SparkEntry {
     "q37_cube_grouping" -> Relational.segmentPriorityCube _,
     "q38_approx_distinct" -> Relational.approxCustomerCounts _,
     "q39_user_sessions" -> EventsStream.userSessions _,
-    "q40_term_freq" -> Relational.termFrequencies _
+    "q40_term_freq" -> Relational.termFrequencies _,
+    "q41_dedup_clusters" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+      Dedup.clusters(Dedup.minhashPairs(docs))
+    }),
+    "q42_dedup_keep" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+      Dedup.keepList(docs, Dedup.minhashPairs(docs))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -397,6 +405,56 @@ object SparkEntry {
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM (
         | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
         | FROM documents)
-        |GROUP BY token ORDER BY df DESC, tf DESC, token LIMIT 20""".stripMargin
+        |GROUP BY token ORDER BY df DESC, tf DESC, token LIMIT 20""".stripMargin,
+    "q41_dedup_clusters" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | WITH RECURSIVE r(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        | SELECT * FROM r)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q42_dedup_keep" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | WITH RECURSIVE r(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        | SELECT * FROM r),
+        |comp AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        | FROM reach GROUP BY src)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -137,6 +137,56 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => when(x === y, lit(0)).otherwise(lit(1))),
       lit(0), (acc, x) => acc + x)
 
+  /** Connected components over an undirected near-dup pair graph:
+    * (doc_id, cluster_id) with cluster_id = min doc_id reachable. Label
+    * propagation — each iteration is one join + min-aggregate, and the
+    * iteration count is the graph diameter (near-dup clusters are tiny,
+    * so 2-4 rounds in practice; `maxIters` bounds adversarial chains).
+    * The driver loop only orchestrates; all data movement is joins.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // localCheckpoint (not cache) after every round: iterative plans grow
+    // exponentially in lineage otherwise — planning itself OOMs past a
+    // handful of iterations. Checkpointing truncates the logical plan.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin.withColumnRenamed("src", "id2"),
+          col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** End-to-end dedup keep-list: canonical representatives only — every
+    * doc except non-minimal members of near-dup clusters. The pipeline
+    * deliverable: `docs.join(keepList, "doc_id", "left_semi")` is the
+    * deduplicated corpus.
+    */
+  def keepList(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = clusters(pairs).filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(drop, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found by the
     * pigeonhole trick: split 64 bits into (maxDist+1) chunks — any pair
     * within maxDist collides on at least one chunk. Shuffles only

@@ -69,6 +69,25 @@ class DedupTextSpec extends SparkFunSuite {
     assert(!out.contains((1L, 4L)))
   }
 
+  test("clusters: chains merge to the min label; keep-list drops non-canonical") {
+    import graft.SparkTestBase.spark.implicits._
+    // components: {1,2,3} via chain 1-2, 2-3; {7,9}; 5 isolated (no pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val c = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val keep = Dedup.keepList(docs, pairs).collect().map(_.getLong(0)).toSeq
+    assert(keep == Seq(1L, 5L, 7L))
+  }
+
+  test("clusters converge on a long chain (diameter > 2)") {
+    import graft.SparkTestBase.spark.implicits._
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val c = Dedup.clusters(chain).collect().map(r => r.getLong(1)).distinct
+    assert(c.toSeq == Seq(0L))
+  }
+
   test("langId recognizes marker-heavy texts and CJK; und on no evidence") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
