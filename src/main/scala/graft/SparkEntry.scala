@@ -141,7 +141,15 @@ object SparkEntry {
     "q42_dedup_keep" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
       Dedup.keepList(docs, Dedup.minhashPairs(docs))
-    })
+    }),
+    "q43_sliding_window" -> EventsStream.slidingTraffic _,
+    "q44_running_totals" -> EventsStream.runningDailyTotals _,
+    "q45_chars_percentiles" -> ((s, d) => eng(s, d).table("documents")
+      .groupBy(col("lang"))
+      .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -455,6 +463,31 @@ object SparkEntry {
         | FROM reach GROUP BY src)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q43_sliding_window" ->
+      """SELECT ws AS window_start, event_type,
+        | count(*) AS event_count, round(sum(value), 2) AS total_value
+        |FROM (
+        | SELECT unnest([date_trunc('hour', ts),
+        |                date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+        |        event_type, value
+        | FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q44_running_totals" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', ts) AS day, event_type,
+        |  count(*) AS event_count, round(sum(value), 2) AS day_value
+        | FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, event_count, day_value,
+        | round(sum(day_value) OVER (PARTITION BY event_type ORDER BY day
+        |   ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+        | CAST(sum(event_count) OVER (PARTITION BY event_type ORDER BY day
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_events
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+    "q45_chars_percentiles" ->
+      """SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        | round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        | CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

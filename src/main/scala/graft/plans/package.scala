@@ -1,0 +1,27 @@
+package graft
+
+/** Custom logical/physical plan nodes — deliberately EMPTY, as a design
+  * decision rather than an omission (SURVEY §4, §7.3).
+  *
+  * The reference's entire relational surface (scan, star join, member
+  * filter, group-by/sum, sort, rename — `oec.py:27-66`) lowers onto
+  * Catalyst built-ins, which already provide predicate pushdown, column
+  * pruning, broadcast selection, partial aggregation, and AQE re-planning.
+  * A custom `LogicalPlan`/`SparkStrategy` would duplicate what the
+  * optimizer does and would *lose* those properties unless re-implemented.
+  *
+  * Where built-ins genuinely could not express the hot path, the engine
+  * drops one level — to native Catalyst `Expression`s
+  * ([[graft.functions.CosineSimilarity]], [[graft.functions.DotProduct]],
+  * [[graft.functions.WordShingles]], [[graft.functions.MinHashSig]],
+  * [[graft.functions.SimHashSigns]]), a typed `Aggregator`
+  * ([[graft.functions.VectorAvg]]), and a DataSource V2 provider
+  * ([[graft.sources.OecJsonSource]]) — the narrowest extension points
+  * that keep Catalyst in charge of the plan shape.
+  *
+  * If a future operator needs whole-plan semantics Spark cannot express
+  * (e.g. an as-of join), the intended shape is: logical node + resolution
+  * rule + `SparkStrategy` + exec node, registered via
+  * `SparkSessionExtensions` — see the project README's scale-design notes.
+  */
+package object plans

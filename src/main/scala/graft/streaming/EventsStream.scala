@@ -86,6 +86,41 @@ object EventsStream {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Sliding windows: 2-hour windows advancing hourly — every event lands
+    * in exactly two windows. Same plan runs under readStream with a
+    * watermark for online use.
+    */
+  def slidingTraffic(spark: SparkSession, dir: String): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("event_type"), col("event_count"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Per-type daily running totals — the analytic-window time-series
+    * surface (cumulative sums over event time).
+    */
+  def runningDailyTotals(spark: SparkSession, dir: String): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        round(sum(col("value")), 2).as("day_value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily
+      .withColumn("running_value", round(sum(col("day_value")).over(w), 2))
+      .withColumn("running_events", sum(col("event_count")).over(w))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Custom per-key state via mapGroupsWithState: per-user event count,
     * running value total, and latest event type (by event time). With the
     * fixture driven as one batch this equals the batch
