@@ -149,7 +149,13 @@ object SparkEntry {
       .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
         round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
         max(col("n_chars")).as("max_chars"))
-      .orderBy(col("lang")))
+      .orderBy(col("lang"))),
+    "q46_embed_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10)),
+    "q47_multimodal_resize" -> ((s, d) =>
+      // checksum needs a byte-fold the SQL oracle can't express; it stays in
+      // the API (determinism gated by IvfSpec) but off the parity surface
+      Multimodal.resizeAndSample(eng(s, d).table("documents")).drop("checksum"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -488,6 +494,20 @@ object SparkEntry {
       """SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
         | round(quantile_cont(n_chars, 0.9), 4) AS p90,
         | CAST(max(n_chars) AS BIGINT) AS max_chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q47_multimodal_resize" ->
+      """WITH sized AS (
+        | SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+        |    AS format,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n,
+        |  CAST(GREATEST(1, octet_length(encode(text)) // 64) AS INTEGER)
+        |    AS stride
+        | FROM documents)
+        |SELECT doc_id, format, n AS n_bytes,
+        | CAST((n + stride - 1) // stride AS INTEGER) AS resized_bytes,
+        | CAST((n + 31) // 32 AS INTEGER) AS n_frames,
+        | CAST(((n + 31) // 32 + 3) // 4 AS INTEGER) AS sampled_frames
+        |FROM sized ORDER BY doc_id""".stripMargin
   )
 }

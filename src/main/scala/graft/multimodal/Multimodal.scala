@@ -47,6 +47,51 @@ object Multimodal {
         max(col("meta.format")).as("max_format"))
       .orderBy(col("source"))
 
+  private val transformSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("resized_bytes", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("sampled_frames", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** "Resize" + "frame-sample" stand-ins, batch-per-partition over the
+    * binary payload (the shapes a codec-backed pipeline needs):
+    *   - resize: keep every stride-th byte down to <= `target` bytes;
+    *   - frame-sample: treat the payload as fixed-size frames and keep
+    *     every `sampleEvery`-th frame.
+    * Deterministic byte arithmetic; a real image/video codec swaps in at
+    * the marked lines without touching schema or partitioning.
+    */
+  def resizeAndSample(
+      docs: DataFrame,
+      target: Int = 64,
+      frameBytes: Int = 32,
+      sampleEvery: Int = 4): DataFrame = {
+    val assets = withAssets(docs)
+      .select(col("doc_id"), col("meta.format").as("format"), col("payload"))
+    val spark = assets.sparkSession
+    val rows = assets.rdd.mapPartitions { it =>
+      it.map { r =>
+        val docId = r.getLong(0)
+        val format = r.getString(1)
+        val payload = r.getAs[Array[Byte]](2)
+        // --- stub decode boundary: a codec would decode here ---
+        val stride = math.max(1, payload.length / target)
+        val resized = payload.indices.by(stride).map(payload).toArray
+        val nFrames = (payload.length + frameBytes - 1) / frameBytes
+        val sampled = (0 until nFrames by sampleEvery).size
+        var sum = 0L
+        var i = 0
+        while (i < resized.length) { sum = sum * 31 + (resized(i) & 0xff); i += 1 }
+        // --- end stub boundary ---
+        Row(docId, format, payload.length, resized.length, nFrames, sampled, sum)
+      }
+    }
+    spark.createDataFrame(rows, transformSchema).orderBy(col("doc_id"))
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("format", StringType),

@@ -167,6 +167,122 @@ object Similarity {
       .limit(k)
   }
 
+  /** K-means coarse quantizer for [[ivfTopK]], trained on a bounded
+    * deterministic sample (hash order on vec_id) collected to the
+    * driver. This is the scale-correct shape: at 100 TB you never Lloyd-
+    * iterate the full corpus to build a coarse quantizer — you train on
+    * a few thousand sampled vectors (model state, k × dim doubles) and
+    * spend the distributed work on the single full-corpus assignment
+    * pass in [[ivfTopK]]. Init = farthest-point traversal (k-means++
+    * without the randomness) seeded at the first sample vector, so
+    * cluster spread is guaranteed; then `iters` Lloyd iterations, empty
+    * clusters keeping their previous centroid.
+    * Returns the final centroids as (cid, centroid array<double>).
+    */
+  def kmeans(emb: DataFrame, k: Int = 16, iters: Int = 5,
+      maxSample: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = emb.sparkSession
+    val sample: Array[Array[Double]] =
+      emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxSample)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "kmeans needs a non-empty embedding table")
+    val dim = sample(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // farthest-point init; ties keep the earliest sample index
+    val init = scala.collection.mutable.ArrayBuffer(sample(0))
+    val minD = sample.map(d2(_, sample(0)))
+    while (init.length < math.min(k, sample.length)) {
+      var best = 0
+      var i = 1
+      while (i < sample.length) { if (minD(i) > minD(best)) best = i; i += 1 }
+      val c = sample(best)
+      init += c
+      i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), c); if (d < minD(i)) minD(i) = d; i += 1
+      }
+    }
+    var cents: Array[Array[Double]] = init.toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var bi = 0; var bd = Double.MaxValue; var i = 0
+        while (i < cents.length) {
+          val d = d2(v, cents(i)); if (d < bd) { bd = d; bi = i }; i += 1
+        }
+        counts(bi) += 1
+        var j = 0
+        while (j < dim) { sums(bi)(j) += v(j); j += 1 }
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) == 0) cents(i) else sums(i).map(_ / counts(i))
+      }.toArray
+    }
+    val centroids = cents.zipWithIndex.map { case (c, i) => i -> c }
+    val rows = centroids.map { case (cid, c) => Row(cid, c.toSeq) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+  }
+
+  /** Nearest-centroid assignment: per-row argmin of squared L2 distance
+    * (min over (c.c - 2 x.c) — the ||x||^2 term is constant per row);
+    * ties break to the lowest cid.
+    */
+  private def assignToCentroids(
+      emb: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val scored = centroids.map { case (cid, c) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(col("embedding"), cLit)).as("score"),
+        lit(cid).as("cid"))
+    }
+    emb.withColumn("cid", array_min(array(scored.toIndexedSeq: _*)).getField("cid"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: vectors are partitioned into
+    * k-means cells; a query scans only its `nprobe` nearest cells. At
+    * scale the assignment is a pure map over the corpus (k dot products
+    * per row) and the probed fraction bounds the search cost to
+    * ~nprobe/nlist of a full scan.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      queryId: Long,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val centroids = kmeans(emb, nlist, iters).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val assigned = assignToCentroids(emb, centroids)
+    val q = emb.filter(col("vec_id") === queryId).collect().head
+    val qv = q.getSeq[Float](q.fieldIndex("embedding")).map(_.toDouble).toArray
+    val probes = centroids.map { case (cid, c) =>
+      val d2 = c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      cid -> d2
+    }.sortBy(_._2).take(nprobe).map(_._1).toSet
+    val qLit = array(qv.map(lit).toIndexedSeq: _*)
+    assigned
+      .filter(col("cid").isInCollection(probes) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), qLit), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label centroids (mean embedding) + intra-cluster cohesion (mean
     * cosine of members to a unit-normalized sum — computed with array
     * aggregates, no UDAF: sum-vector via element-wise aggregation over
