@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.cube.{CubeQuery, Engine}
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{AsOf, Corpus, Dedup, Relational, Similarity}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -155,7 +155,14 @@ object SparkEntry {
     "q47_multimodal_resize" -> ((s, d) =>
       // checksum needs a byte-fold the SQL oracle can't express; it stays in
       // the API (determinism gated by IvfSpec) but off the parity surface
-      Multimodal.resizeAndSample(eng(s, d).table("documents")).drop("checksum"))
+      Multimodal.resizeAndSample(eng(s, d).table("documents")).drop("checksum")),
+    "q48_quality_filter" -> ((s, d) =>
+      Corpus.qualityFilter(eng(s, d).table("documents"))),
+    "q49_train_split" -> ((s, d) =>
+      Corpus.trainSplitStats(eng(s, d).table("documents"))),
+    "q50_tfidf" -> ((s, d) =>
+      Corpus.tfidfTopTerms(eng(s, d).table("documents"))),
+    "q51_asof_join" -> AsOf.clickLastPurchase _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -508,6 +515,69 @@ object SparkEntry {
         | CAST((n + stride - 1) // stride AS INTEGER) AS resized_bytes,
         | CAST((n + 31) // 32 AS INTEGER) AS n_frames,
         | CAST(((n + 31) // 32 + 3) // 4 AS INTEGER) AS sampled_frames
-        |FROM sized ORDER BY doc_id""".stripMargin
+        |FROM sized ORDER BY doc_id""".stripMargin,
+    "q48_quality_filter" ->
+      """WITH tc AS (
+        | SELECT doc_id, tok, count(*) AS cnt
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents)
+        | GROUP BY 1, 2),
+        |agg AS (
+        | SELECT doc_id,
+        |  CAST(sum(cnt) AS INTEGER) AS n_tokens,
+        |  CAST(count(*) AS INTEGER) AS distinct_tokens,
+        |  CAST(max(cnt) AS INTEGER) AS top_count,
+        |  CAST(sum(length(tok) * cnt) AS BIGINT) AS tok_chars
+        | FROM tc GROUP BY 1)
+        |SELECT doc_id, n_tokens, distinct_tokens,
+        | round(1.0 - CAST(distinct_tokens AS DOUBLE) / n_tokens, 4) AS dup_ratio,
+        | round(CAST(top_count AS DOUBLE) / n_tokens, 4) AS top_ratio,
+        | round(CAST(tok_chars AS DOUBLE) / n_tokens, 4) AS mean_tok_len,
+        | (n_tokens >= 20
+        |  AND 1.0 - CAST(distinct_tokens AS DOUBLE) / n_tokens < 0.6
+        |  AND CAST(top_count AS DOUBLE) / n_tokens < 0.15) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q49_train_split" ->
+      """SELECT lang,
+        | CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |      WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split,
+        | count(*) AS n_docs,
+        | round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q50_tfidf" ->
+      """WITH tc AS (
+        | SELECT doc_id, tok, count(*) AS cnt
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents)
+        | GROUP BY 1, 2),
+        |tot AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY doc_id) AS DOUBLE)
+        |          AS total FROM tc),
+        |dfc AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT t.doc_id, t.tok AS term,
+        |  (CAST(t.cnt AS DOUBLE) / t.total) *
+        |    ln(CAST(n.n_docs AS DOUBLE) / d.df) AS s
+        | FROM tot t JOIN dfc d ON t.tok = d.tok CROSS JOIN n),
+        |ranked AS (
+        | SELECT doc_id, term, s,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term)
+        |    AS INTEGER) AS rnk
+        | FROM scored)
+        |SELECT doc_id, term, rnk, round(s, 4) AS score
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q51_asof_join" ->
+      """WITH clicks AS (
+        | SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts, value
+        | FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        | SELECT user_id, date_trunc('microsecond', ts) AS ts, value
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts,
+        | p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin
   )
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.cube.Engine
+
+/** As-of join — for each left row, the latest right row with the same
+  * key and right.time <= left.time. Spark has no native as-of operator;
+  * the naive form (theta join on key + range, then per-key argmax) is a
+  * quadratic blowup on hot keys.
+  *
+  * This is the scale-correct single-shuffle form: tag and union both
+  * sides, window by key ordered by (time, side) with the right side
+  * sorting first on ties, and carry the right payload forward with
+  * last(_, ignoreNulls). One shuffle on the key, sort within partitions,
+  * no range predicate, no skew amplification — the same plan shape at
+  * 100 TB. Equivalent to ANSI `ASOF LEFT JOIN` (DuckDB oracle gates it).
+  *
+  * If several right rows share (key, time), which one is carried is
+  * tie-ambiguous — same as ASOF JOIN itself; callers needing
+  * determinism should pre-aggregate the right side to unique times.
+  */
+object AsOf {
+
+  /** Left keeps all its columns; right contributes its non-key columns
+    * prefixed `r_` (its time column becomes `r_<time>`). Left rows with
+    * no prior right row carry nulls (left-outer semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, time: String): DataFrame = {
+    val lPay = left.columns.filterNot(c => c == key || c == time).toSeq
+    val rPay = (time +: right.columns.filterNot(c => c == key || c == time)).toSeq
+    val lType = StructType(lPay.map(left.schema(_)))
+    val rType = StructType(rPay.map(right.schema(_)))
+    val lu = left.select(col(key), col(time), lit(1).as("_side"),
+      struct(lPay.map(col): _*).as("_l"), lit(null).cast(rType).as("_r"))
+    val ru = right.select(col(key), col(time), lit(0).as("_side"),
+      lit(null).cast(lType).as("_l"), struct(rPay.map(col): _*).as("_r"))
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lu.unionByName(ru)
+      .withColumn("_rff", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col(key) +: col(time) +:
+        (lPay.map(c => col("_l." + c).as(c)) ++
+          rPay.map(c => col("_rff." + c).as("r_" + c))): _*)
+  }
+
+  /** Events wiring: each click event annotated with the user's most
+    * recent purchase at or before the click.
+    */
+  def clickLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = new Engine(spark, dir).table("events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    asofJoin(clicks, purchases, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("r_ts").as("purchase_ts"), col("r_purchase_value").as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data pipeline operators: repetition/quality
+  * filtering (Gopher-style), deterministic train/val/test splits, and
+  * TF-IDF term scoring.
+  *
+  * All are single-shuffle-chain aggregations over an exploded
+  * (doc_id, token) relation — no driver-side iteration, no UDFs, no
+  * collect — so they run unchanged on a 100 TB corpus: the shuffle keys
+  * ((doc_id, token), then doc_id / token) are fine-grained and skew-free,
+  * and every aggregate is map-side-partial (HashAggregateExec).
+  *
+  * The reference has no text operators (its whole surface is the OLAP
+  * client in `oec.py`); these belong to the [EXT] pipeline scope
+  * (SURVEY §2.11).
+  */
+object Corpus {
+
+  /** Exploded per-document token counts: (doc_id, tok, cnt). Documents
+    * are single-space tokenized (matches the fixture corpus and the
+    * ANSI-SQL `string_split(text, ' ')` oracle form exactly).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Gopher-style per-document repetition metrics and a keep flag:
+    *   - dup_ratio: 1 - distinct/total tokens (repeated-token mass);
+    *   - top_ratio: most frequent token's share of the document;
+    *   - mean_tok_len: token-length mean, computed inside the same
+    *     aggregation (sum(len(tok)*cnt)/total) so no join back to text.
+    * The keep decision compares the UNROUNDED doubles (both engines
+    * compute them with the identical op order, so the flag is stable);
+    * the reported ratios are rounded for the result surface.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      minTokens: Int = 20,
+      maxDupRatio: Double = 0.6,
+      maxTopRatio: Double = 0.15): DataFrame = {
+    val total = col("n_tokens").cast("double")
+    val dup = lit(1.0) - col("distinct_tokens").cast("double") / total
+    val top = col("top_count").cast("double") / total
+    tokenCounts(docs)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("int").as("n_tokens"),
+        count(lit(1)).cast("int").as("distinct_tokens"),
+        max(col("cnt")).cast("int").as("top_count"),
+        sum(length(col("tok")) * col("cnt")).cast("long").as("tok_chars"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        round(dup, 4).as("dup_ratio"),
+        round(top, 4).as("top_ratio"),
+        round(col("tok_chars").cast("double") / total, 4).as("mean_tok_len"),
+        (col("n_tokens") >= minTokens && dup < maxDupRatio &&
+          top < maxTopRatio).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/val/test assignment by Knuth multiplicative
+    * hash of doc_id (2654435761 = floor(2^32/phi)). Reproducible across
+    * engines, runs, and cluster sizes — no RNG state, no sampling
+    * nondeterminism — which is what a training pipeline actually needs
+    * from a split: stable membership under re-runs and backfills.
+    */
+  def splitAssign(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs
+      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("bucket")
+
+  /** Per-(lang, split) cardinality + size stats — the stratification
+    * report for [[splitAssign]].
+    */
+  def trainSplitStats(docs: DataFrame): DataFrame =
+    splitAssign(docs)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("lang"), col("split"))
+
+  /** TF-IDF top-k terms per document: tf = cnt/doc_total,
+    * idf = ln(N/df). N is a 1-row aggregate broadcast-cross-joined in
+    * (declarative — no driver-side count action); df comes from a
+    * token-key aggregation of the same exploded relation. Ranking uses
+    * the unrounded score (identical FP op order on both engines), ties
+    * broken by term; the surfaced score is rounded.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val tc = tokenCounts(docs)
+    val dfCounts = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val score = (col("cnt").cast("double") / col("total")) *
+      log(col("n_docs").cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+    val rankW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s").desc, col("term"))
+    tc.withColumn("total", sum(col("cnt")).over(w).cast("double"))
+      .join(dfCounts, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok").as("term"), score.as("s"))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("term"), col("rnk"),
+        round(col("s"), 4).as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class CorpusAsOfSpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  test("asofJoin carries the latest right row at or before left time") {
+    val left = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 10L, 1.0), (1L, 15L, 2.0), (3L, 1L, 9.0)
+    ).toDF("k", "t", "rv")
+    val out = AsOf.asofJoin(left, right, "k", "t")
+      .orderBy(col("k"), col("t"))
+      .select(col("lv"), col("r_t"), col("r_rv")).collect()
+    // k=1,t=5: no prior right -> nulls; t=10: right@10 (ties include equal
+    // time); t=20: right@15; k=2: no right rows at all -> nulls
+    assert(out.map(r => (r.getString(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
+      Seq(("c", -1L), ("a", 10L), ("b", 15L), ("d", -1L)))
+  }
+
+  test("splitAssign is deterministic and roughly 80/10/10") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val counts = Corpus.splitAssign(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // membership is a pure function of doc_id: re-run is identical
+    val a = Corpus.splitAssign(docs).select("doc_id", "split").collect().toSeq
+    val b = Corpus.splitAssign(docs).select("doc_id", "split").collect().toSeq
+    assert(a.toSet == b.toSet)
+  }
+
+  test("qualityFilter computes exact ratios on a known doc") {
+    val docs = Seq((1L, "a a a b c")).toDF("doc_id", "text")
+    val r = Corpus.qualityFilter(docs).collect().head
+    assert(r.getInt(1) == 5)            // n_tokens
+    assert(r.getInt(2) == 3)            // distinct
+    assert(r.getDouble(3) == 0.4)       // dup_ratio = 1 - 3/5
+    assert(r.getDouble(4) == 0.6)       // top_ratio = 3/5
+    assert(!r.getBoolean(6))            // short + repetitive -> dropped
+  }
+
+  test("tfidf ranks the discriminative term first") {
+    val docs = Seq(
+      (1L, "x x y"), (2L, "y y y"), (3L, "y z z")
+    ).toDF("doc_id", "text")
+    val top = Corpus.tfidfTopTerms(docs, topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'y' appears in every doc (idf=0); doc-unique terms win
+    assert(top == Map(1L -> "x", 2L -> "y", 3L -> "z"))
+  }
+}
