@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.cube.{CubeQuery, Engine}
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, Corpus, Dedup, Relational, Similarity}
+import graft.operators.{AsOf, Corpus, Dedup, RangeJoin, Relational, Similarity}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -162,7 +162,9 @@ object SparkEntry {
       Corpus.trainSplitStats(eng(s, d).table("documents"))),
     "q50_tfidf" -> ((s, d) =>
       Corpus.tfidfTopTerms(eng(s, d).table("documents"))),
-    "q51_asof_join" -> AsOf.clickLastPurchase _
+    "q51_asof_join" -> AsOf.clickLastPurchase _,
+    "q52_pivot" -> Relational.returnFlagPivot _,
+    "q53_range_join" -> ((s, d) => RangeJoin.nearbyEventCounts(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -578,6 +580,20 @@ object SparkEntry {
         | p.ts AS purchase_ts, p.value AS purchase_value
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.event_id""".stripMargin
+        |ORDER BY c.event_id""".stripMargin,
+    "q52_pivot" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+        | sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+        | sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+        | sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q53_range_join" ->
+      """WITH ev AS (
+        | SELECT event_id, epoch_us(date_trunc('microsecond', ts)) AS us
+        | FROM events)
+        |SELECT e.event_id, count(r.event_id) AS n_nearby
+        |FROM ev e LEFT JOIN ev r
+        |  ON r.event_id != e.event_id AND abs(r.us - e.us) <= 60000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

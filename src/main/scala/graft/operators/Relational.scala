@@ -150,4 +150,20 @@ object Relational {
         grouping_id().as("lvl"))
       .orderBy(col("o_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
   }
+
+  /** Ship-year x return-flag pivot (wide OLAP cross-tab). The pivot
+    * values are declared explicitly, so Spark skips the extra
+    * values-discovery aggregation it would otherwise run first — at
+    * 100 TB that discovery pass is a full scan you don't want. Quantity
+    * is an integer-valued double: sums are exact, no rounding needed.
+    */
+  def returnFlagPivot(spark: SparkSession, dir: String): DataFrame =
+    e(spark, dir).table("lineitem")
+      .select(year(col("l_shipdate")).cast("int").as("year"),
+        col("l_returnflag"), col("l_quantity"))
+      .groupBy(col("year"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity")))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+      .orderBy(col("year"))
 }
