@@ -164,7 +164,11 @@ object SparkEntry {
       Corpus.tfidfTopTerms(eng(s, d).table("documents"))),
     "q51_asof_join" -> AsOf.clickLastPurchase _,
     "q52_pivot" -> Relational.returnFlagPivot _,
-    "q53_range_join" -> ((s, d) => RangeJoin.nearbyEventCounts(s, d))
+    "q53_range_join" -> ((s, d) => RangeJoin.nearbyEventCounts(s, d)),
+    "q54_stream_join" -> EventsStream.purchaseAttribution _,
+    "q55_balanced_sample" -> ((s, d) =>
+      Corpus.balancedSample(eng(s, d).table("documents"), "lang", 50)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -594,6 +598,26 @@ object SparkEntry {
         |SELECT e.event_id, count(r.event_id) AS n_nearby
         |FROM ev e LEFT JOIN ev r
         |  ON r.event_id != e.event_id AND abs(r.us - e.us) <= 60000000
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q54_stream_join" ->
+      """WITH ev AS (
+        | SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts,
+        |        event_type, value
+        | FROM events)
+        |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        | p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM ev c JOIN ev p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+        |ORDER BY 1, 4""".stripMargin,
+    "q55_balanced_sample" ->
+      """WITH ranked AS (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+        | FROM documents)
+        |SELECT doc_id, lang FROM ranked WHERE rn <= 50
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -86,6 +86,22 @@ object Corpus {
         round(avg(col("n_chars")), 4).as("avg_chars"))
       .orderBy(col("lang"), col("split"))
 
+  /** Deterministic per-group cap — keep at most `cap` docs per group,
+    * chosen by multiplicative-hash order (stable across runs, engines,
+    * and cluster sizes). This is the corpus-balancing primitive (cap the
+    * dominant language/source); the rank filter compiles to
+    * WindowGroupLimit, so each partition keeps only `cap` rows per group
+    * before the shuffle — no full per-group sort materializes.
+    */
+  def balancedSample(docs: DataFrame, groupCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)),
+        col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+  }
+
   /** TF-IDF top-k terms per document: tf = cnt/doc_total,
     * idf = ln(N/df). N is a 1-row aggregate broadcast-cross-joined in
     * (declarative — no driver-side count action); df comes from a

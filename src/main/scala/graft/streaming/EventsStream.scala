@@ -121,6 +121,38 @@ object EventsStream {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Stream-stream interval join: each click paired with the same user's
+    * purchases in the hour leading up to it (purchase attribution).
+    * Watermarks on BOTH sides plus the two-sided event-time bound are
+    * what let Spark expire join state: a purchase older than
+    * click-watermark - 1 h can never match again and is dropped, so
+    * state stays proportional to one hour of traffic per key — this is
+    * the only join shape that survives an unbounded 100 TB/day stream.
+    * With the fixture driven as one batch it equals the batch interval
+    * join, which is its oracle.
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = streamingEvents(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+    runToMemory(joined, "graft_stream_attrib", OutputMode.Append())
+      .select(col("click_id"), col("user_id"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"),
+        col("purchase_value"))
+      .orderBy(col("click_id"), col("purchase_ts"))
+  }
+
   /** Custom per-key state via mapGroupsWithState: per-user event count,
     * running value total, and latest event type (by event time). With the
     * fixture driven as one batch this equals the batch

@@ -23,6 +23,38 @@ class CorpusAsOfSpec extends SparkFunSuite {
       Seq(("c", -1L), ("a", 10L), ("b", 15L), ("d", -1L)))
   }
 
+  test("asofJoin equals the naive argmax theta join on the fixture") {
+    val banded = AsOf.clickLastPurchase(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getAs[Any](3)))
+      .toMap
+    val ev = new graft.cube.Engine(spark, sf).table("events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val naive = c.join(p, col("pu") === col("user_id") && col("pts") <= col("ts"),
+        "left_outer")
+      .groupBy(col("event_id")).agg(max(col("pts")).as("pts"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getAs[Any](1)))
+      .toMap
+    assert(banded == naive)
+    assert(banded.values.exists(_ != null))
+  }
+
+  test("balancedSample caps each group deterministically") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sampled = Corpus.balancedSample(docs, "lang", 10)
+    val byLang = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.forall(_ <= 10))
+    val a = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.balancedSample(docs, "lang", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("splitAssign is deterministic and roughly 80/10/10") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val counts = Corpus.splitAssign(docs).groupBy("split").count()
