@@ -43,6 +43,32 @@ class CorpusAsOfSpec extends SparkFunSuite {
     assert(banded.values.exists(_ != null))
   }
 
+  test("asofJoin matches the naive argmax on randomized data (3 seeds)") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // left times even, right times odd and distinct: no cross-side or
+      // right-right ties, so the naive argmax is uniquely defined
+      val left = (1 to 300).map(i =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(100000).toLong * 2, i.toLong))
+        .toDF("k", "t", "lid")
+      val rTimes = rnd.shuffle((0 until 100000).toList).take(300)
+      val right = rTimes.map(t =>
+        (rnd.nextInt(25).toLong, t.toLong * 2 + 1, rnd.nextInt(1000).toLong))
+        .toDF("k", "t", "rv")
+      val got = AsOf.asofJoin(left, right, "k", "t")
+        .collect()
+        .map(r => r.getLong(2) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toMap
+      val naive = left.as("l").join(right.as("r"),
+          col("l.k") === col("r.k") && col("r.t") <= col("l.t"), "left_outer")
+        .groupBy(col("lid")).agg(max(col("r.t")).as("rt"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      assert(got == naive, s"seed=$seed")
+    }
+  }
+
   test("balancedSample caps each group deterministically") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sampled = Corpus.balancedSample(docs, "lang", 10)
