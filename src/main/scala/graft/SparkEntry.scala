@@ -168,7 +168,11 @@ object SparkEntry {
     "q54_stream_join" -> EventsStream.purchaseAttribution _,
     "q55_balanced_sample" -> ((s, d) =>
       Corpus.balancedSample(eng(s, d).table("documents"), "lang", 50)
-        .select(col("doc_id"), col("lang")).orderBy(col("doc_id")))
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    "q56_curation" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+      Corpus.curate(docs, Dedup.minhashPairs(docs))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -618,6 +622,52 @@ object SparkEntry {
         |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
         | FROM documents)
         |SELECT doc_id, lang FROM ranked WHERE rn <= 50
+        |ORDER BY doc_id""".stripMargin,
+    "q56_curation" ->
+      """WITH tc AS (
+        | SELECT doc_id, tok, count(*) AS cnt
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents)
+        | GROUP BY 1, 2),
+        |quality AS (
+        | SELECT doc_id FROM (
+        |  SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_tokens,
+        |   CAST(count(*) AS INTEGER) AS distinct_tokens,
+        |   CAST(max(cnt) AS INTEGER) AS top_count
+        |  FROM tc GROUP BY 1)
+        | WHERE n_tokens >= 20
+        |  AND 1.0 - CAST(distinct_tokens AS DOUBLE) / n_tokens < 0.6
+        |  AND CAST(top_count AS DOUBLE) / n_tokens < 0.15),
+        |s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | WITH RECURSIVE r(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        | SELECT * FROM r),
+        |comp AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        | FROM reach GROUP BY src)
+        |SELECT doc_id, lang,
+        | CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |      WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents
+        |WHERE doc_id IN (SELECT doc_id FROM quality)
+        | AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
         |ORDER BY doc_id""".stripMargin
   )
 }

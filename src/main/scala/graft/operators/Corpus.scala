@@ -102,6 +102,26 @@ object Corpus {
       .drop("rn")
   }
 
+  /** End-to-end corpus curation — the composed training-data pipeline:
+    * quality filter (repetition thresholds) ∧ near-dup keep-list
+    * (canonical representative per cluster) ∧ deterministic split
+    * assignment, emitting the curated-corpus manifest
+    * (doc_id, lang, split). Each stage is left-semi composed, so the
+    * full text never travels past its own stage's shuffle; the
+    * deliverable joins back to `docs` by doc_id.
+    */
+  def curate(docs: DataFrame, pairs: DataFrame,
+      minTokens: Int = 20, maxDupRatio: Double = 0.6,
+      maxTopRatio: Double = 0.15): DataFrame = {
+    val qualityKeep = qualityFilter(docs, minTokens, maxDupRatio, maxTopRatio)
+      .filter(col("keep")).select(col("doc_id"))
+    val dedupKeep = Dedup.keepList(docs, pairs)
+    splitAssign(docs).select(col("doc_id"), col("lang"), col("split"))
+      .join(qualityKeep, Seq("doc_id"), "left_semi")
+      .join(dedupKeep, Seq("doc_id"), "left_semi")
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF top-k terms per document: tf = cnt/doc_total,
     * idf = ln(N/df). N is a 1-row aggregate broadcast-cross-joined in
     * (declarative — no driver-side count action); df comes from a
