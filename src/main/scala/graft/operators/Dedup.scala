@@ -138,11 +138,17 @@ object Dedup {
       lit(0), (acc, x) => acc + x)
 
   /** Connected components over an undirected near-dup pair graph:
-    * (doc_id, cluster_id) with cluster_id = min doc_id reachable. Label
-    * propagation — each iteration is one join + min-aggregate, and the
-    * iteration count is the graph diameter (near-dup clusters are tiny,
-    * so 2-4 rounds in practice; `maxIters` bounds adversarial chains).
-    * The driver loop only orchestrates; all data movement is joins.
+    * (doc_id, cluster_id) with cluster_id = min doc_id reachable.
+    * Label propagation with pointer jumping: each round takes the min
+    * label over graph neighbors (one join + min-aggregate) and then
+    * shortcuts label(x) <- min(label(x), label(label(x))) — labels are
+    * always node ids, so the jump is a self-join. Propagation alone
+    * needs diameter rounds; with the jump the distance-to-root halves
+    * each round, so adversarial near-dup CHAINS (the worst case a viral
+    * template produces) converge in O(log d) rounds — that, not the
+    * typical tiny cluster, is what matters on a 100 TB corpus.
+    * `maxIters` stays as a hard bound. The driver loop only
+    * orchestrates; all data movement is joins.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // localCheckpoint (not cache) after every round: iterative plans grow
@@ -159,11 +165,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin.withColumnRenamed("src", "id2"),
           col("id") === col("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint() // the jump self-joins this frame — don't recompute it
+      val updated = propagated.as("a")
+        .join(propagated.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("a.label") === col("jid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"))
         .localCheckpoint()
       converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") < col("old")).isEmpty

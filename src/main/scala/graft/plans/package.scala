@@ -19,9 +19,16 @@ package graft
   * ([[graft.sources.OecJsonSource]]) — the narrowest extension points
   * that keep Catalyst in charge of the plan shape.
   *
-  * If a future operator needs whole-plan semantics Spark cannot express
-  * (e.g. an as-of join), the intended shape is: logical node + resolution
-  * rule + `SparkStrategy` + exec node, registered via
-  * `SparkSessionExtensions` — see the project README's scale-design notes.
+  * The decision held under pressure: the operators Spark "lacks" turned
+  * out to be compositions with the right plan shape already —
+  * [[graft.operators.AsOf]] (as-of join = tag-union + window
+  * carry-forward: one shuffle, oracle-equal to ANSI ASOF JOIN) and
+  * [[graft.operators.RangeJoin]] (banded |Δt| ≤ w proximity join =
+  * bucket ±1 replication + shuffle equi-join, never a nested loop).
+  *
+  * If a future operator needs whole-plan semantics composition cannot
+  * express, the intended shape is: logical node + resolution rule +
+  * `SparkStrategy` + exec node, registered via `SparkSessionExtensions`
+  * — see the project README's scale-design notes.
   */
 package object plans
