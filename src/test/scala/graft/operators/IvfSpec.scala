@@ -54,6 +54,15 @@ class IvfSpec extends SparkFunSuite {
     assert(ivf == bf) // nprobe = nlist => exhaustive => exact
   }
 
+  test("decodeFeatures computes the byte-histogram features exactly") {
+    val docs = Seq((3L, "aaaa", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Multimodal.decodeFeatures(docs).collect().head
+    assert(r.getInt(2) == 4)      // n_bytes
+    assert(r.getDouble(3) == 4.0) // all bytes 0x61 -> one bin of count 4
+    assert(r.getInt(4) == 6)      // 0x61 / 16 = bin 6
+  }
+
   test("resize and frame-sample are deterministic and bounded") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val a = Multimodal.resizeAndSample(docs).collect()
