@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated SparkSession factory — the configuration half of the
+  * engine's scale posture, in one place instead of scattered per-main.
+  *
+  * What is pinned and why:
+  *   - UTC session time zone: every timestamp in the engine is naive
+  *     wall-clock (TIMESTAMP_NTZ surface); a non-UTC session would shift
+  *     NTZ<->TZ casts and break cross-engine determinism.
+  *   - AQE + partition coalescing + skew-join splitting: explicitly on
+  *     (they are Spark 4 defaults — pinned so a cluster-side override
+  *     cannot silently change plan shapes). AQE is the first line of
+  *     defense for skew; `operators.Skew` is the explicit fallback.
+  *   - TIMESTAMP_MICROS parquet output: results round-trip with the same
+  *     physical type ANSI engines write (INT96 reads back as nanos).
+  *   - nanosAsLong: the events fixture stores TIMESTAMP(NANOS), which the
+  *     vectorized reader otherwise rejects (`cube.Engine` converts).
+  *   - shuffle partitions are a REQUIRED argument: there is no correct
+  *     global default — size to ~2-3x total cores on a cluster, to the
+  *     core count locally. (The streaming mains further cap stateful
+  *     partitions — see `streaming.EventsStream`.)
+  *
+  * Also registers the engine's SQL functions (cosine_similarity,
+  * dot_product) so pure-SQL users get the native codegen expressions.
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized to `cpus` threads (the harness shape). */
+  def local(cpus: Int): SparkSession = {
+    val spark = builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorExpressions.register(spark)
+    spark
+  }
+}
