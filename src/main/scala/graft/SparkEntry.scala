@@ -172,7 +172,22 @@ object SparkEntry {
     "q56_curation" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
       Corpus.curate(docs, Dedup.minhashPairs(docs))
-    })
+    }),
+    // Gopher-style duplicate n-gram fractions: shingles() is distinct, so
+    // dup ratio = 1 - distinct/(n_tokens - n + 1); single-pass per row
+    "q57_ngram_repetition" -> ((s, d) => eng(s, d).table("documents")
+      .select(col("doc_id"),
+        (TextAnalysis.tokenCount(col("text")) - 1).as("n_bigrams"),
+        round(lit(1.0) -
+          size(TextAnalysis.shingles(col("text"), 2)).cast("double") /
+            (TextAnalysis.tokenCount(col("text")) - 1), 4)
+          .as("dup_bigram_ratio"),
+        (TextAnalysis.tokenCount(col("text")) - 2).as("n_trigrams"),
+        round(lit(1.0) -
+          size(TextAnalysis.shingles(col("text"), 3)).cast("double") /
+            (TextAnalysis.tokenCount(col("text")) - 2), 4)
+          .as("dup_trigram_ratio"))
+      .orderBy(col("doc_id")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -668,6 +683,21 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IN (SELECT doc_id FROM quality)
         | AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q57_ngram_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        | CAST(len(toks) - 1 AS INTEGER) AS n_bigrams,
+        | round(1.0 - CAST(len(list_distinct(list_transform(
+        |    generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+        |   / (len(toks) - 1), 4) AS dup_bigram_ratio,
+        | CAST(len(toks) - 2 AS INTEGER) AS n_trigrams,
+        | round(1.0 - CAST(len(list_distinct(list_transform(
+        |    generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+        |   / (len(toks) - 2), 4) AS dup_trigram_ratio
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }
