@@ -1,0 +1,53 @@
+package graft
+
+import graft.SparkFunSuite
+
+/** Locks in the physical-plan properties the scale design claims — a
+  * regression here means an operator silently lost its plan shape (e.g.
+  * a range join degrading to a nested loop), which no row-level test
+  * would catch at fixture scale.
+  */
+class PlanShapeSpec extends SparkFunSuite {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize so AQE finalizes stages
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("banded range join never falls back to a nested-loop join") {
+    val plan = planOf("q53_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("as-of join shuffles once on the key, no join operator at all") {
+    val plan = planOf("q51_asof_join")
+    assert(plan.contains("Window"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+    // one hash exchange: the window partitioning on user_id
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size >= 1)
+  }
+
+  test("tf-idf and balanced sample push top-k below the window") {
+    assert(planOf("q50_tfidf").contains("WindowGroupLimit"))
+    assert(planOf("q55_balanced_sample").contains("WindowGroupLimit"))
+  }
+
+  test("token pipeline scans only the columns it projects") {
+    val plan = planOf("q48_quality_filter")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("cube query pushes cut predicates into the parquet scan") {
+    val df = new graft.cube.Engine(spark, sf).getData(graft.cube.CubeQuery(
+      "trade", Seq("Nation"), Seq("Trade Value"),
+      Map("Nation" -> Seq("JAPAN"))))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val pushedToScan = plan.linesIterator
+      .exists(l => l.contains("FileScan") && l.contains("EqualTo(n_name,JAPAN)")
+        && l.contains("PushedFilters"))
+    assert(pushedToScan, "cut predicate did not reach the parquet scan")
+  }
+}
