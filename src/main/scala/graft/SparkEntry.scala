@@ -187,7 +187,18 @@ object SparkEntry {
           size(TextAnalysis.shingles(col("text"), 3)).cast("double") /
             (TextAnalysis.tokenCount(col("text")) - 2), 4)
           .as("dup_trigram_ratio"))
-      .orderBy(col("doc_id")))
+      .orderBy(col("doc_id"))),
+    // Pure-SQL surface: temp view + the registered native function — the
+    // same engine serving SQL-first users end-to-end through spark.sql
+    "q58_sql_surface" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      eng(s, d).table("embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql("""
+        WITH q AS (SELECT embedding AS q_emb FROM embeddings_v WHERE vec_id = 0)
+        SELECT vec_id, label, round(cosine_similarity(embedding, q_emb), 4) AS cos_sim
+        FROM embeddings_v, q WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10""")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -698,6 +709,14 @@ object SparkEntry {
         |    generate_series(1, len(toks) - 2),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
         |   / (len(toks) - 2), 4) AS dup_trigram_ratio
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q58_sql_surface" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        | round(list_inner_product(embedding, q_emb)
+        |   / (sqrt(list_inner_product(embedding, embedding))
+        |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
   )
 }
