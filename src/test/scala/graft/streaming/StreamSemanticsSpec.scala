@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Incremental streaming semantics the single-batch oracle runs cannot
+  * exercise: multi-trigger processing, watermark advancement, and
+  * late-data drop. Uses MemoryStream so each addData/processAllAvailable
+  * cycle is one micro-batch.
+  */
+class StreamSemanticsSpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("watermarked tumbling agg emits closed windows and drops late data") {
+    val input = MemoryStream[(Timestamp, Double)](spark)
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("n"), col("total"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_test").start()
+
+    // batch 1: three events in the 10:00 window; watermark still low, so
+    // nothing is emitted yet (the window might still grow)
+    input.addData((ts("10:01"), 1.0), (ts("10:03"), 2.0), (ts("10:07"), 3.0))
+    q.processAllAvailable()
+    assert(spark.table("wm_test").count() == 0)
+
+    // batch 2: an 11:00 event advances the watermark to 10:50 — the
+    // 10:00-10:10 window is now closed and emitted exactly once
+    input.addData((ts("11:00"), 9.0))
+    q.processAllAvailable()
+    val emitted = spark.table("wm_test").collect()
+    assert(emitted.length == 1)
+    assert(emitted.head.getLong(1) == 3 && emitted.head.getDouble(2) == 6.0)
+
+    // batch 3: a late 10:02 event is behind the watermark — dropped, the
+    // closed window is NOT re-emitted or revised
+    input.addData((ts("10:02"), 100.0))
+    q.processAllAvailable()
+    assert(spark.table("wm_test").count() == 1)
+    q.stop()
+  }
+
+  test("stream-stream interval join matches only within the time bound across batches") {
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val purchases = MemoryStream[(Long, Timestamp, Double)](spark)
+    val c = clicks.toDF().toDF("user_id", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.toDF().toDF("p_user", "purchase_ts", "value")
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join_test").start()
+
+    // purchase arrives in an earlier batch than the click it attributes
+    purchases.addData((7L, ts("10:00"), 5.0))
+    q.processAllAvailable()
+    clicks.addData((7L, ts("10:30")))         // within the hour -> match
+    clicks.addData((7L, ts("11:30")))         // 90 min later -> no match
+    clicks.addData((8L, ts("10:30")))         // other user -> no match
+    q.processAllAvailable()
+    val rows = spark.table("ss_join_test")
+      .select("user_id", "click_ts", "value").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 7L && rows.head.getDouble(2) == 5.0)
+    q.stop()
+  }
+}
