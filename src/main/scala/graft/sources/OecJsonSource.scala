@@ -113,37 +113,105 @@ class OecJsonTable(schema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class OecJsonScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Claim the comparison/membership filters the reader can evaluate
+    * during parse (cuts are exactly these — `oec.py:45-48`); anything
+    * else stays with Spark. Claimed filters skip records BEFORE row
+    * materialization, so a cut-selective response file costs its parse,
+    * not its row construction.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    val (supported, rest) = filters.partition(OecJsonFilters.supports)
+    pushed = supported
+    rest
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
+    // surfaces the claimed filters in .explain, like FileScan does
+    override def description(): String =
+      s"oecjson PushedFilters: [${pushed.mkString(", ")}], " +
+        s"ReadSchema: ${required.catalogString}"
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       OecJsonSource.listFiles(options)
         .map(f => OecJsonPartition(f): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new OecJsonReaderFactory(required)
+      new OecJsonReaderFactory(required, pushed)
+  }
+}
+
+/** Pushed-filter evaluation against the RAW wire record — once a filter
+  * is claimed, Spark may prune its column out of the projection, so it
+  * cannot be evaluated on the output row.
+  */
+object OecJsonFilters {
+  import org.apache.spark.sql.sources._
+
+  def supports(f: Filter): Boolean = f match {
+    case _: EqualTo | _: In | _: IsNotNull | _: IsNull | _: GreaterThan |
+        _: GreaterThanOrEqual | _: LessThan | _: LessThanOrEqual => true
+    case _ => false
+  }
+
+  def eval(f: Filter, rec: JsonNode): Boolean = {
+    def node(attr: String): Option[JsonNode] =
+      rec.fields().asScala
+        .find(e => graft.cube.Normalize.norm(e.getKey) == attr)
+        .map(_.getValue).filterNot(_.isNull)
+    def text(n: JsonNode): String = if (n.isTextual) n.asText() else n.toString
+    def cmp(attr: String, v: Any): Option[Int] = node(attr).map { n =>
+      v match {
+        case num: Number =>
+          java.lang.Double.compare(n.asDouble(), num.doubleValue())
+        case s: String => text(n).compareTo(s)
+        case other => text(n).compareTo(other.toString)
+      }
+    }
+    f match {
+      case IsNotNull(a) => node(a).isDefined
+      case IsNull(a) => node(a).isEmpty
+      case EqualTo(a, v) => cmp(a, v).contains(0)
+      case In(a, vs) => vs.exists(v => cmp(a, v).contains(0))
+      case GreaterThan(a, v) => cmp(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+      case LessThan(a, v) => cmp(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
+      case _ => true
+    }
   }
 }
 
 case class OecJsonPartition(file: String) extends InputPartition
 
-class OecJsonReaderFactory(schema: StructType)
+class OecJsonReaderFactory(schema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new OecJsonReader(p.asInstanceOf[OecJsonPartition].file, schema)
+    new OecJsonReader(p.asInstanceOf[OecJsonPartition].file, schema, pushed)
 }
 
-class OecJsonReader(file: String, schema: StructType)
+class OecJsonReader(file: String, schema: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
 
-  // original wire key per normalized field name (records carry raw keys)
+  // original wire key per normalized field name (records carry raw keys);
+  // pushed filters run on the raw record, before row materialization
   private val it = OecJsonSource.records(file)
+    .filter(rec => pushed.forall(OecJsonFilters.eval(_, rec)))
   private var current: JsonNode = _
 
   override def next(): Boolean = {

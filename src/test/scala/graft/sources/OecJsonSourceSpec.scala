@@ -54,6 +54,23 @@ class OecJsonSourceSpec extends SparkFunSuite {
     assert(rows.toSeq == Seq((2020L, 4391333.5), (2021L, 999.25)))
   }
 
+  test("filters push into the source and evaluate on raw records") {
+    val df = spark.read.format("oecjson").load(writeResponses())
+    // filter column (year) pruned from the projection — the source must
+    // evaluate it on the raw record, not the output row
+    val q = df.filter(col("year") === 2020 && col("trade_value") > 1000000.0)
+      .select(col("country"))
+    val rows = q.collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("Armenia", "Georgia"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("EqualTo(year,2020)"),
+      s"expected pushed filters in:\n$scan")
+    // IN-list cut (the reference's multi-member cut shape)
+    val in = df.filter(col("country_id").isin("saarm", "saaze"))
+      .select(col("country")).collect().map(_.getString(0)).sorted.toSeq
+    assert(in == Seq("Armenia", "Azerbaijan"))
+  }
+
   test("missing data key fails with the wire-contract message") {
     val dir = java.nio.file.Files.createTempDirectory("oecjson_bad").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad.json"),
