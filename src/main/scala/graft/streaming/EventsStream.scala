@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -131,6 +131,64 @@ object EventsStream {
       .withColumn("running_value", round(sum(col("day_value")).over(w), 2))
       .withColumn("running_events", sum(col("event_count")).over(w))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  // ts stays a Timestamp column end-to-end: the watermark tag travels
+  // with the column, and flatMapGroupsWithState's event-time timeout
+  // requires a watermarked input
+  case class SessEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Online sessionization with flatMapGroupsWithState + event-time
+    * timeout: a user's session closes (and is emitted exactly once)
+    * either when a new event arrives past the gap, or — crucially for an
+    * unbounded stream — when the WATERMARK passes session_end + gap with
+    * no further events, via the state timeout. This is the capability
+    * `session_window` aggregation cannot give you: per-session custom
+    * payloads emitted on silence, with state removed (bounded memory).
+    * Input df needs (user_id, ts: timestamp, value) and an event-time
+    * watermark column `ts`.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, events, state: GroupState[SessionState]) =>
+          def out(s: SessionState) = SessionOut(uid,
+            new java.sql.Timestamp(s.start / 1000),
+            new java.sql.Timestamp(s.end / 1000), s.n, s.total)
+          if (state.hasTimedOut) {
+            val done = out(state.get)
+            state.remove()
+            Iterator(done)
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption.orNull
+            events.toSeq.map(e => (e.ts.getTime * 1000L, e.value))
+              .sortBy(_._1).foreach { case (us, v) =>
+                if (cur == null) cur = SessionState(us, us, 1, v)
+                else if (us - cur.end > gapUs) {
+                  closed += out(cur)
+                  cur = SessionState(us, us, 1, v)
+                } else cur = SessionState(cur.start,
+                  math.max(cur.end, us), cur.n + 1, cur.total + v)
+              }
+            state.update(cur)
+            // fire when the watermark passes the gap after the last event
+            state.setTimeoutTimestamp(cur.end / 1000 + gapMinutes * 60L * 1000L)
+            closed.iterator
+          }
+      }
   }
 
   /** Stream-stream interval join: each click paired with the same user's

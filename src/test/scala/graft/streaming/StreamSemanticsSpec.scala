@@ -48,6 +48,40 @@ class StreamSemanticsSpec extends SparkFunSuite {
     q.stop()
   }
 
+  test("sessionize emits on in-batch gap and on watermark timeout, exactly once") {
+    val input = MemoryStream[(Long, Timestamp, Double)](spark)
+    val sessions = EventsStream.sessionize(
+      input.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30)
+    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_test").start()
+
+    // batch 1: user 7 has two events 10 min apart (one open session);
+    // user 9 has one event
+    input.addData((7L, ts("10:00"), 1.0), (7L, ts("10:10"), 2.0),
+      (9L, ts("10:00"), 5.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_test").count() == 0) // everything still open
+
+    // batch 2: user 9 reappears 2h later — its first session closes via
+    // the in-call gap logic; the same batch advances the watermark past
+    // user 7's end+gap (10:40), so its session fires via EventTimeTimeout
+    // in the follow-up no-data micro-batch processAllAvailable drains
+    input.addData((9L, ts("12:00"), 7.0))
+    q.processAllAvailable()
+    val afterB2 = spark.table("sess_test")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+    assert(afterB2 == Set((9L, 1L, 5.0), (7L, 2L, 3.0)))
+
+    // batch 3: an event inside user 9's open session extends it — nothing
+    // new is emitted, and nothing is emitted twice
+    input.addData((9L, ts("12:10"), 1.0))
+    q.processAllAvailable()
+    val afterB3 = spark.table("sess_test")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+    assert(afterB3 == afterB2)
+    q.stop()
+  }
+
   test("stream-stream interval join matches only within the time bound across batches") {
     val clicks = MemoryStream[(Long, Timestamp)](spark)
     val purchases = MemoryStream[(Long, Timestamp, Double)](spark)
