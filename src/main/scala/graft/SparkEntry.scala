@@ -198,7 +198,9 @@ object SparkEntry {
         SELECT vec_id, label, round(cosine_similarity(embedding, q_emb), 4) AS cos_sim
         FROM embeddings_v, q WHERE vec_id <> 0
         ORDER BY cos_sim DESC, vec_id LIMIT 10""")
-    })
+    }),
+    "q59_approx_percentiles" -> Relational.approxPricePercentiles _,
+    "q60_price_stats" -> Relational.priceQuantityStats _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -717,6 +719,12 @@ object SparkEntry {
         |   / (sqrt(list_inner_product(embedding, embedding))
         |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
-        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q60_price_stats" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS price_covar,
+        | round(stddev_samp(l_extendedprice), 2) AS price_stddev
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -151,6 +151,35 @@ object Relational {
       .orderBy(col("o_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
   }
 
+  /** Approximate percentiles (KLL-style sketch under percentile_approx):
+    * the single-pass, mergeable, bounded-memory path for quantiles at
+    * 100 TB — exact percentile materializes per-group value arrays, the
+    * sketch shuffles fixed-size summaries. Accuracy 1000 ≈ 0.1% rank
+    * error (tolerance-tested against the exact percentile in
+    * RangeJoinSpec).
+    */
+  def approxPricePercentiles(spark: SparkSession, dir: String): DataFrame =
+    e(spark, dir).table("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+        .as("approx_p"))
+      .select(col("l_returnflag"),
+        col("approx_p").getItem(0).as("p50"),
+        col("approx_p").getItem(1).as("p95"))
+      .orderBy(col("l_returnflag"))
+
+  /** Bivariate stats over the star: Pearson correlation and sample
+    * covariance of quantity vs line price per return flag — single-pass
+    * moment aggregates (no per-group materialization).
+    */
+  def priceQuantityStats(spark: SparkSession, dir: String): DataFrame =
+    e(spark, dir).table("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("price_covar"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"))
+      .orderBy(col("l_returnflag"))
+
   /** Ship-year x return-flag pivot (wide OLAP cross-tab). The pivot
     * values are declared explicitly, so Spark skips the extra
     * values-discovery aggregation it would otherwise run first — at

@@ -23,6 +23,23 @@ class RangeJoinSpec extends SparkFunSuite {
     assert(banded.values.sum > 0)
   }
 
+  test("approx percentiles land within rank tolerance of exact") {
+    val approx = Relational.approxPricePercentiles(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = new graft.cube.Engine(spark, sf).table("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.45, 0.55))").as("b50"),
+        expr("percentile(l_extendedprice, array(0.93, 0.97))").as("b95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
+    // the sketch's 0.1% rank error is far inside these +/-2-5% rank bands
+    approx.foreach { case (flag, (p50, p95)) =>
+      val (b50, b95) = exact(flag)
+      assert(p50 >= b50.head && p50 <= b50.last, s"$flag p50=$p50 not in $b50")
+      assert(p95 >= b95.head && p95 <= b95.last, s"$flag p95=$p95 not in $b95")
+    }
+  }
+
   test("pivot columns partition the total quantity") {
     val p = Relational.returnFlagPivot(spark, sf)
     val total = p.select((coalesce(col("qty_a"), lit(0.0)) +
