@@ -43,4 +43,21 @@ object Sink {
       .sortWithinPartitions(col(keyCol))
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
+
+  /** True metastore bucketing: `bucketBy` + `saveAsTable`, so the
+    * catalog records the hash distribution and two tables bucketed into
+    * the SAME count on their join keys sort-merge-join with NO shuffle
+    * exchange on either side (asserted in SkewSinkSpec). This is the
+    * co-location contract for repeatedly-joined 100 TB fact tables —
+    * shuffle once at write time, never again at read time.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keyCol: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(table)
 }

@@ -56,6 +56,27 @@ class SkewSinkSpec extends SparkFunSuite {
     assert(files == 4)
   }
 
+  test("bucketed tables sort-merge-join without a shuffle exchange") {
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Sink.writeBucketed(orders.select(col("o_orderkey"), col("o_totalprice")),
+        "b_orders", "o_orderkey", 8)
+      Sink.writeBucketed(li.select(col("l_orderkey"), col("l_quantity")),
+        "b_lineitem", "l_orderkey", 8)
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      assert(j.count() == li.count()) // every lineitem has its order
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("approx distinct is within rsd of exact") {
     val rows = Relational.approxCustomerCounts(spark, sf).collect()
     rows.foreach { r =>
