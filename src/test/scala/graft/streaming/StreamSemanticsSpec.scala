@@ -82,6 +82,30 @@ class StreamSemanticsSpec extends SparkFunSuite {
     q.stop()
   }
 
+  test("parquet file sink resumes from checkpoint exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val input = MemoryStream[(Long, Double)](spark)
+    def start() = input.toDF().toDF("id", "v").writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    input.addData((1L, 1.0), (2L, 2.0))
+    q1.processAllAvailable(); q1.stop()
+
+    // restart from the same checkpoint: only the new batch is written —
+    // the committed offsets prevent re-emission of batch 1
+    val q2 = start()
+    input.addData((3L, 3.0))
+    q2.processAllAvailable(); q2.stop()
+
+    val ids = spark.read.parquet(s"$dir/out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L)) // all present, none duplicated
+  }
+
   test("stream-stream interval join matches only within the time bound across batches") {
     val clicks = MemoryStream[(Long, Timestamp)](spark)
     val purchases = MemoryStream[(Long, Timestamp, Double)](spark)
