@@ -31,6 +31,10 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       key: String, time: String): DataFrame = {
+    for (df <- Seq(left, right); c <- Seq(key, time))
+      require(df.columns.contains(c),
+        s"asofJoin: column '$c' missing from one side " +
+          s"(left: ${left.columns.mkString(",")}; right: ${right.columns.mkString(",")})")
     val lPay = left.columns.filterNot(c => c == key || c == time).toSeq
     val rPay = (time +: right.columns.filterNot(c => c == key || c == time)).toSeq
     val lType = StructType(lPay.map(left.schema(_)))

@@ -268,7 +268,9 @@ object Similarity {
     val centroids = kmeans(emb, nlist, iters).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     val assigned = assignToCentroids(emb, centroids)
-    val q = emb.filter(col("vec_id") === queryId).collect().head
+    val qRows = emb.filter(col("vec_id") === queryId).collect()
+    require(qRows.nonEmpty, s"ivfTopK: query vec_id=$queryId not found")
+    val q = qRows.head
     val qv = q.getSeq[Float](q.fieldIndex("embedding")).map(_.toDouble).toArray
     val probes = centroids.map { case (cid, c) =>
       val d2 = c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
