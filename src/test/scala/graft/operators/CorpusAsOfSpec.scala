@@ -81,6 +81,17 @@ class CorpusAsOfSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("splitAssign is invariant to physical partitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Corpus.splitAssign(df).select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same membership at 1 partition, 13 partitions, and key-shuffled —
+    // the split is a pure function of doc_id, not of data placement
+    assert(assign(docs.coalesce(1)) == assign(docs.repartition(13)) &&
+      assign(docs.repartition(7, col("lang"))) == assign(docs))
+  }
+
   test("splitAssign is deterministic and roughly 80/10/10") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val counts = Corpus.splitAssign(docs).groupBy("split").count()
