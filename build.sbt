@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The bench/verify harness parses the LAST stdout line as JSON; sbt's
+// trailing "[success] Total time: ..." banner breaks that, and routing
+// the forked app's stdout through sbt's logger prepends "[info] ". Keep
+// stdout clean: inherit the forked process's stdout verbatim and drop
+// the success banner, so the app's JSON println is the final line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(StdoutOutput)

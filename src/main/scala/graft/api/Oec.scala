@@ -29,8 +29,11 @@ class Oec(spark: SparkSession, dataDir: String) {
   private val engine = new Engine(spark, dataDir)
 
   /** Reference `get_data` (`oec.py:27`). Multi-member cuts use the same
-    * Map with comma-separated values (wire-compatible with the olap-proxy
-    * member-list syntax).
+    * Map with comma-separated values — that IS the olap-proxy wire syntax
+    * for member lists, so this overload is wire-compatible but cannot
+    * express a single member whose value contains a literal comma. For
+    * lossless multi-member cuts use the `Map[String, Seq[String]]`
+    * overload below, where every element is one member verbatim.
     */
   def getData(
       auth: Boolean,
@@ -39,13 +42,27 @@ class Oec(spark: SparkSession, dataDir: String) {
       measure: Seq[String],
       token: Option[String] = None,
       cut: Map[String, String] = Map.empty): DataFrame = {
+    val cuts = cut.map { case (k, v) => k -> v.split(",").map(_.trim).toSeq }
+    getData(auth, cube, drilldown, measure, token, cuts)(DummyImplicit.dummyImplicit)
+  }
+
+  /** Lossless cut form: each Seq element is exactly one member value (no
+    * comma convention, no splitting). (`DummyImplicit` only disambiguates
+    * the two Map erasures.)
+    */
+  def getData(
+      auth: Boolean,
+      cube: String,
+      drilldown: Seq[String],
+      measure: Seq[String],
+      token: Option[String],
+      cut: Map[String, Seq[String]])(implicit d: DummyImplicit): DataFrame = {
     if (auth) {
       token.orElse(sys.env.get("OEC_TOKEN")).getOrElse(
         throw new NoSuchElementException(
           "OEC_TOKEN not set and no token passed (parity with oec.py:60)"))
     }
-    val cuts = cut.map { case (k, v) => k -> v.split(",").map(_.trim).toSeq }
-    engine.getData(CubeQuery(cube, drilldown, measure, cuts))
+    engine.getData(CubeQuery(cube, drilldown, measure, cut))
   }
 
   /** Reference `get_members` (`oec.py:12`): payload {'cube', 'level'}. */

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions.udaf
   * Scale: the buffer is one (dim-length double array, count) pair per
   * group per partition; partial aggregation means the shuffle carries one
   * buffer per (group, map task), exactly like a built-in avg. Dimension is
-  * discovered from the first row (vectors must agree within a group).
+  * discovered from the first row; a mismatched vector anywhere in the
+  * group fails loudly rather than silently truncating the centroid.
   */
 object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
 
@@ -19,8 +20,10 @@ object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doubl
 
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
     val s = if (b._1.isEmpty) new Array[Double](v.size) else b._1
+    require(v.size == s.length,
+      s"VectorAvg: dimension mismatch within group (${v.size} vs ${s.length})")
     var i = 0
-    while (i < v.size && i < s.length) { s(i) += v(i); i += 1 }
+    while (i < s.length) { s(i) += v(i); i += 1 }
     (s, b._2 + 1)
   }
 
@@ -28,8 +31,10 @@ object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doubl
     if (x._1.isEmpty) y
     else if (y._1.isEmpty) x
     else {
+      require(x._1.length == y._1.length,
+        s"VectorAvg: dimension mismatch across partials (${x._1.length} vs ${y._1.length})")
       var i = 0
-      while (i < x._1.length && i < y._1.length) { x._1(i) += y._1(i); i += 1 }
+      while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
       (x._1, x._2 + y._2)
     }
 

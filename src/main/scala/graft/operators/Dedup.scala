@@ -14,10 +14,10 @@ import graft.functions.TextAnalysis
   *     tuples — never text — and self-joins on the band hash;
   *   - verification joins shingle sets back for the (small) candidate set
   *     only; AQE broadcasts the candidate list;
-  *   - degenerate buckets (giant clusters of identical docs) are capped by
-  *     `maxBucketSize` so one viral duplicate cannot quadratic-blow a
-  *     partition (the capped bucket IS a duplicate cluster already —
-  *     members are reported pairwise up to the cap).
+  *   - degenerate buckets (giant clusters of identical docs) switch from
+  *     quadratic all-pairs to a linear star expansion past `maxBucketSize`
+  *     so one viral duplicate cannot quadratic-blow a partition, while
+  *     every member stays connected for clustering (see [[bucketPairs]]).
   */
 object Dedup {
 
@@ -54,6 +54,16 @@ object Dedup {
   /** Candidate pairs whose band hashes collide, then exact-Jaccard
     * verified against `threshold`. Banding 16x4 targets the ~0.8+ Jaccard
     * near-dup regime (P[detect] = 1-(1-j^4)^16: .9998 at j=.8, ~1 at .9).
+    *
+    * Precision/recall contract: exact-Jaccard verification makes the
+    * output FALSE-POSITIVE-FREE — every emitted pair truly has
+    * jaccard >= threshold. Recall is the banding probability above:
+    * a pair exactly at j=0.8 is missed with p≈2.2e-4; real near-dup
+    * corpora (the fixture plants pairs at j≈0.98) sit where the S-curve
+    * is ≈1 (miss p≈1.6e-18 at j=.98). DedupTextSpec verifies recall is
+    * exactly 1.0 against the brute-force all-pairs oracle on the fixture;
+    * against a regenerated corpus with mass at the threshold boundary,
+    * gate this with a recall tolerance rather than exact equality.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -78,8 +88,17 @@ object Dedup {
     * Strictly better than the textbook exploded self-join: the signature
     * pipeline runs once (a self-join evaluates it for both sides), there
     * is exactly one shuffle (the groupBy), and the bucket cap is a plain
-    * size filter instead of a window sort. Oversized buckets (degenerate
-    * duplicate clusters) are dropped whole.
+    * size comparison instead of a window sort.
+    *
+    * Oversized buckets (degenerate clusters of near-identical docs — the
+    * viral-template case) are NOT dropped: they emit a linear STAR
+    * pattern (min id paired with every other member) instead of the
+    * quadratic all-pairs expansion. The star keeps the whole cluster
+    * connected — exactly what [[clusters]]/[[keepList]] need — while
+    * bounding output at O(bucket) instead of O(bucket^2); only pairwise
+    * *completeness* inside one bucket is capped. (The aggregation buffer
+    * still holds the id set once; a bucket too large even for that is a
+    * data-quality signal to handle upstream with [[exact]] first.)
     */
   private[operators] def bucketPairs(
       exploded: DataFrame,
@@ -89,11 +108,15 @@ object Dedup {
     val grouped = exploded
       .groupBy(bucketCols.map(col): _*)
       .agg(collect_set(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
+      .filter(size(col("ids")) >= 2)
       .select(sort_array(col("ids")).as("ids"))
-    val pairs = flatten(transform(col("ids"), (x, i) =>
+    val allPairs = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
         struct(x.as("a"), y.as("b")))))
+    val starPairs = transform(slice(col("ids"), lit(2), size(col("ids"))), y =>
+      struct(element_at(col("ids"), 1).as("a"), y.as("b")))
+    val pairs = when(size(col("ids")) <= maxBucketSize, allPairs)
+      .otherwise(starPairs)
     grouped.select(explode(pairs).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
@@ -157,8 +180,24 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // Seed label = min(id, min direct neighbor): one aggregation that is
+    // exactly the first propagation round for free. For the typical shape
+    // (near-dup clusters are near-cliques) every member sees the cluster
+    // min immediately and the loop below terminates on its first
+    // no-change check.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("label"))
+      .localCheckpoint()
+    // Labels are node ids and only ever decrease, so sum(label) strictly
+    // decreases until the fixed point: a one-column aggregate over the
+    // just-checkpointed frame replaces a join-based change detector.
+    // A propagation fixed point has equal labels across every edge =
+    // one label per component = the component min (the min node's own
+    // label never changes), so stopping there is exact.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -171,15 +210,24 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint() // the jump self-joins this frame — don't recompute it
-      val updated = propagated.as("a")
-        .join(propagated.select(col("id").as("jid"), col("label").as("jlabel")),
-          col("a.label") === col("jid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"))
-        .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).isEmpty
-      labels = updated
+      val propSum = labelSum(propagated)
+      if (propSum.compareTo(prevSum) == 0) {
+        converged = true // propagation fixed point — the jump cannot move it
+        labels = propagated
+      } else {
+        // Pointer jumping: label(x) <- min(label(x), label(label(x))).
+        // Labels are node ids, so the jump is a self-join; it halves the
+        // distance-to-root each round, making adversarial near-dup CHAINS
+        // (worst case of a viral template) converge in O(log d) rounds.
+        val updated = propagated.as("a")
+          .join(propagated.select(col("id").as("jid"), col("label").as("jlabel")),
+            col("a.label") === col("jid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"))
+          .localCheckpoint()
+        prevSum = labelSum(updated)
+        labels = updated
+      }
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The salt expression: a per-partition counter (the low bits of
+    * monotonically_increasing_id) mod saltFactor — round-robin within
+    * each input partition. Deterministic per task attempt (the counter
+    * replays identically for a deterministic input split), and — unlike
+    * a hash of the row — it spreads FULLY IDENTICAL duplicate rows, the
+    * most common hot-key degenerate case, evenly over all salts.
+    */
+  private[operators] def salt(saltFactor: Int): org.apache.spark.sql.Column =
+    pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
+
   /** Salted equi-join of a skewed `big` side against a smaller `right`
     * side: big rows get a deterministic salt in [0, saltFactor); `right`
     * is replicated saltFactor times (explode of a literal range — cheap
@@ -30,10 +40,7 @@ object Skew {
       key: String,
       saltFactor: Int = 8): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    // deterministic salt: spread rows by a hash of the whole row rather
-    // than rand() so retries/speculative tasks agree
-    val salted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)))
+    val salted = big.withColumn("__salt", salt(saltFactor))
     val replicated = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     salted.join(replicated,
@@ -53,8 +60,7 @@ object Skew {
       saltFactor: Int,
       partials: Map[String, org.apache.spark.sql.Column],
       finals: Map[String, org.apache.spark.sql.Column]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)))
+    val salted = df.withColumn("__salt", salt(saltFactor))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head._2.as(partials.head._1),

@@ -173,8 +173,25 @@ object OecJsonFilters {
         .find(e => graft.cube.Normalize.norm(e.getKey) == attr)
         .map(_.getValue).filterNot(_.isNull)
     def text(n: JsonNode): String = if (n.isTextual) n.asText() else n.toString
+    // Claimed filters are NOT re-evaluated by Spark, so comparisons must
+    // be exact: integral/integral pairs compare as longs (doubles lose
+    // precision above 2^53 and would silently match/miss wrong rows);
+    // only genuinely fractional comparisons go through double.
+    def isIntegral(v: Number): Boolean = v match {
+      case _: java.lang.Long | _: Integer | _: java.lang.Short |
+          _: java.lang.Byte => true
+      case bd: java.math.BigDecimal => bd.scale <= 0
+      case bi: java.math.BigInteger => bi != null
+      case _ => false
+    }
+    def longOf(v: Number): Long = v match {
+      case bd: java.math.BigDecimal => bd.longValueExact()
+      case n => n.longValue()
+    }
     def cmp(attr: String, v: Any): Option[Int] = node(attr).map { n =>
       v match {
+        case num: Number if n.isIntegralNumber && isIntegral(num) =>
+          java.lang.Long.compare(n.asLong(), longOf(num))
         case num: Number =>
           java.lang.Double.compare(n.asDouble(), num.doubleValue())
         case s: String => text(n).compareTo(s)

@@ -21,6 +21,24 @@ class OecSpec extends SparkFunSuite {
     assert(df.select("year").collect().map(_.getInt(0)).toSet == Set(1995, 1996))
   }
 
+  test("Seq cut members pass verbatim — no comma splitting") {
+    // string-Map form: comma IS the wire member-list separator
+    val wire = oec.getData(auth = false, cube = "trade",
+      drilldown = Seq("Nation"), measure = Seq("Line Count"),
+      cut = Map("Nation" -> "NATION_1,NATION_2"))
+    assert(wire.count() == 2)
+    // Seq form: each element is exactly one member — the same string is
+    // a single (nonexistent) member value, not a list
+    val verbatim = oec.getData(auth = false, cube = "trade",
+      drilldown = Seq("Nation"), measure = Seq("Line Count"),
+      token = None, cut = Map("Nation" -> Seq("NATION_1,NATION_2")))
+    assert(verbatim.count() == 0)
+    val multi = oec.getData(auth = false, cube = "trade",
+      drilldown = Seq("Nation"), measure = Seq("Line Count"),
+      token = None, cut = Map("Nation" -> Seq("NATION_1", "NATION_2")))
+    assert(multi.count() == 2)
+  }
+
   test("auth=true without token or OEC_TOKEN throws (parity with oec.py:60)") {
     assume(!sys.env.contains("OEC_TOKEN"))
     intercept[NoSuchElementException] {

@@ -44,6 +44,17 @@ class VectorSpec extends SparkFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("VectorAvg rejects dimension mismatch instead of truncating") {
+    import graft.SparkTestBase.spark.implicits._
+    val df = Seq((1, Seq(1.0f, 2.0f)), (1, Seq(3.0f))).toDF("g", "v")
+    val e = intercept[Throwable] {
+      df.groupBy(col("g")).agg(VectorAvg.column(col("v")).as("c")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dimension mismatch")))
+  }
+
   test("brute-force top-k identical under HOF and native cosine") {
     val hof = Similarity.bruteForceTopK(emb, 0L, 10,
       Similarity.cosineHof).collect().toSeq

@@ -23,6 +23,17 @@ class SkewSinkSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("salt spreads fully identical duplicate rows across buckets") {
+    import graft.SparkTestBase.spark.implicits._
+    // the degenerate hot-key case: every row identical — a row-hash salt
+    // would send all of them to ONE bucket; the per-partition counter
+    // must cover all saltFactor buckets
+    val dup = Seq.fill(64)(("hot", 1)).toDF("k", "v").repartition(2)
+    val buckets = dup.withColumn("s", Skew.salt(8))
+      .select("s").distinct().count()
+    assert(buckets == 8)
+  }
+
   test("two-phase agg equals single-phase") {
     val single = li.groupBy(col("l_returnflag"))
       .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))

@@ -71,6 +71,25 @@ class OecJsonSourceSpec extends SparkFunSuite {
     assert(in == Seq("Armenia", "Azerbaijan"))
   }
 
+  test("pushed equality on longs above 2^53 compares exactly, not via double") {
+    val dir = java.nio.file.Files.createTempDirectory("oecjson_big").toString
+    // 2^53 and 2^53+1 are the same double; they must stay distinct rows
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/r.json"),
+      """{"data": [
+        |{"Big ID": 9007199254740992, "Tag": "even"},
+        |{"Big ID": 9007199254740993, "Tag": "odd"}
+        |]}""".stripMargin)
+    val df = spark.read.format("oecjson").load(dir)
+    // project the filter column away: the claimed filter is evaluated
+    // only at the source, never re-checked by Spark
+    val got = df.filter(col("big_id") === 9007199254740993L)
+      .select(col("tag")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("odd"))
+    val range = df.filter(col("big_id") > 9007199254740992L)
+      .select(col("tag")).collect().map(_.getString(0)).toSeq
+    assert(range == Seq("odd"))
+  }
+
   test("missing data key fails with the wire-contract message") {
     val dir = java.nio.file.Files.createTempDirectory("oecjson_bad").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad.json"),
