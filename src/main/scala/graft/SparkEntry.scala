@@ -200,7 +200,28 @@ object SparkEntry {
         ORDER BY cos_sim DESC, vec_id LIMIT 10""")
     }),
     "q59_approx_percentiles" -> Relational.approxPricePercentiles _,
-    "q60_price_stats" -> Relational.priceQuantityStats _
+    "q60_price_stats" -> Relational.priceQuantityStats _,
+    // Benchmark decontamination: docs sharing any word 4-gram with the
+    // (deterministic) eval subset doc_id % 97 == 0. API default is n=8;
+    // the fixture corpus's ~30-token vocabulary needs n=4 to exercise
+    // both hit and miss paths.
+    "q61_decontam" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+      Corpus.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), n = 4)
+    }),
+    "q62_pack_sequences" -> ((s, d) =>
+      Corpus.packSequences(eng(s, d).table("documents"), budget = 2048)),
+    "q63_scrub" -> ((s, d) => {
+      val bl = Seq("customer", "vector")
+      eng(s, d).table("documents").select(col("doc_id"),
+        TextAnalysis.scrub(col("text"), bl).as("scrubbed"),
+        TextAnalysis.scrubCount(col("text"), bl).as("n_masked"))
+        .orderBy(col("doc_id"))
+    }),
+    "q64_temperature_resample" -> ((s, d) =>
+      Corpus.temperatureResample(eng(s, d).table("documents")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -725,6 +746,54 @@ object SparkEntry {
         | round(corr(l_quantity, l_extendedprice), 4) AS price_corr,
         | round(covar_samp(l_quantity, l_extendedprice), 2) AS price_covar,
         | round(stddev_samp(l_extendedprice), 2) AS price_stddev
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q61_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 4
+        |   THEN list_distinct(list_transform(
+        |     generate_series(1, len(toks) - 3),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |          || ' ' || toks[i+3]))
+        |   ELSE [array_to_string(toks, ' ')] END) AS gram FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, CAST(count(*) AS INTEGER) AS n_hit_grams
+        |FROM g JOIN bench USING (gram)
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q62_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  (doc_id * 2654435761) % 1000000007 AS key FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY key, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS tok_offset
+        | FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, tok_offset,
+        | tok_offset // 2048 AS bin, tok_offset % 2048 AS bin_offset
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "q63_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(text,
+        |  '(?:https?://\S+|\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b|\b\Qcustomer\E\b|\b\Qvector\E\b)',
+        |  '<MASK>', 'g') AS scrubbed,
+        | CAST(len(regexp_extract_all(text,
+        |  '(?:https?://\S+|\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b|\b\Qcustomer\E\b|\b\Qvector\E\b)'))
+        |  AS INTEGER) AS n_masked
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q64_temperature_resample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_docs) AS min_n FROM c),
+        |r AS (SELECT lang, n_docs,
+        |  least(CAST(1.0 AS DOUBLE),
+        |    sqrt(CAST(min_n AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS rate
+        | FROM c, m)
+        |SELECT d.lang, r.n_docs, round(r.rate, 4) AS keep_rate,
+        | CAST(sum(CASE WHEN (d.doc_id * 2654435761) % 1000000
+        |       < floor(r.rate * 1000000.0) THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_kept
+        |FROM documents d JOIN r USING (lang)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   )
 }

@@ -99,6 +99,28 @@ object TextAnalysis {
       (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), m), m))
   }
 
+  /** Redaction pattern over PII shapes (URLs, emails) plus caller-supplied
+    * blocklist terms (word-bounded, regex-quoted). Restricted to the
+    * regex subset shared by java.util.regex and RE2, so the same pattern
+    * string runs identically on Spark and ANSI/RE2 engines.
+    */
+  def maskPattern(blocklist: Seq[String]): String = {
+    val terms = blocklist.map(t => "\\b" + java.util.regex.Pattern.quote(t) + "\\b")
+    (Seq("https?://\\S+", "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b")
+      ++ terms).mkString("(?:", "|", ")")
+  }
+
+  /** Scrub sensitive spans: replace every match of [[maskPattern]] with
+    * `<MASK>` and count the redactions. Pure per-row map work — scrubbing
+    * 100 TB is a single scan with no shuffle.
+    */
+  def scrub(text: Column, blocklist: Seq[String]): Column =
+    regexp_replace(text, maskPattern(blocklist), "<MASK>")
+
+  /** Number of spans [[scrub]] would redact. */
+  def scrubCount(text: Column, blocklist: Seq[String]): Column =
+    size(regexp_extract_all(text, lit(maskPattern(blocklist)), lit(0)))
+
   /** Word n-gram shingles, distinct. Documents shorter than n tokens
     * collapse to one whole-text shingle. Native single-pass expression —
     * the HOF composition below is kept as the reference implementation

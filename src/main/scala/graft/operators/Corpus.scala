@@ -122,6 +122,108 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * n-gram with an eval/benchmark set — the standard screen against
+    * test-set leakage into training data.
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus (eval
+    * suites are thousands of docs against billions), so its distinct
+    * grams are broadcast and the probe is a map-side hash join over the
+    * exploded corpus grams — the only shuffle is the final per-doc count
+    * aggregation, keyed by doc_id (fine-grained, skew-free). Shingles are
+    * per-doc distinct ([[TextAnalysis.shingles]]), so `n_hit_grams`
+    * counts distinct leaked grams without a countDistinct.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(graft.functions.TextAnalysis.shingles(col("text"), n)).as("gram"))
+      .distinct()
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.shingles(col("text"), n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_hit_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Concat-and-chunk sequence packing: lay documents end to end in a
+    * deterministic (multiplicative-hash) order and chunk the token stream
+    * into fixed `budget`-token training bins — GPT-style pretraining
+    * packing. Emits each document's global token `offset`, its `bin`, and
+    * its starting `bin_offset`.
+    *
+    * Scale shape: the global prefix sum is computed DISTRIBUTED, not with
+    * a single-partition window — range-repartition by the order key, an
+    * intra-partition running sum (parallel window per partition), then a
+    * per-partition-totals exclusive cumsum (one tiny row per partition)
+    * broadcast back. Offsets depend only on the total order (key, doc_id),
+    * not on where partitions were cut, so the result is identical on any
+    * cluster size. The ranged frame is localCheckpoint'ed because range
+    * boundaries are sampled per materialization — both consumers (rows
+    * and totals) must observe the SAME partitioning.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    val sized = docs.select(
+      col("doc_id"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("__key"))
+    val ranged = sized
+      .repartitionByRange(col("__key"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wRow = Window.partitionBy(col("__pid"))
+      .orderBy(col("__key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPart = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partOffsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptot"))
+      .withColumn("__poff", coalesce(sum(col("__ptot")).over(wPart), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    ranged
+      .withColumn("__local",
+        coalesce(sum(col("n_tokens")).over(wRow).cast("long"), lit(0L)))
+      .join(broadcast(partOffsets), "__pid")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__local") + col("__poff")).as("tok_offset"))
+      .withColumn("bin", expr(s"tok_offset div $budget"))
+      .withColumn("bin_offset", pmod(col("tok_offset"), lit(budget.toLong)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature resampling across languages: downsample dominant
+    * languages toward the alpha=0.5 tempered distribution (keep rate
+    * sqrt(min_n / n_l), capped at 1 — the smallest language keeps
+    * everything, a language 100x larger keeps 10%). Membership is the
+    * deterministic multiplicative hash, so the resample is reproducible
+    * across runs, engines, and cluster sizes. Every FP step (double
+    * divide, sqrt, multiply, floor) is IEEE-correctly-rounded with the
+    * same op order on any ANSI engine, so the keep decision is stable.
+    *
+    * Scale shape: two aggregations over (lang) — 1 row per language —
+    * broadcast back onto the corpus; the per-doc keep test is pure map
+    * work.
+    */
+  def temperatureResample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("min_n"))
+    val rated = counts.crossJoin(broadcast(minN))
+      .withColumn("rate",
+        least(lit(1.0), sqrt(col("min_n").cast("double") / col("n_docs").cast("double"))))
+      .select(col("lang"), col("n_docs"), col("rate"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(rated), "lang")
+      .withColumn("keep",
+        pmod(col("doc_id") * lit(2654435761L), lit(1000000L)) <
+          floor(col("rate") * lit(1000000.0)))
+      .groupBy(col("lang"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        round(first(col("rate")), 4).as("keep_rate"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** TF-IDF top-k terms per document: tf = cnt/doc_total,
     * idf = ln(N/df). N is a 1-row aggregate broadcast-cross-joined in
     * (declarative — no driver-side count action); df comes from a

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-2 pipeline operators: benchmark decontamination,
+  * sequence packing (distributed prefix sum), temperature resampling, and
+  * PII/blocklist scrubbing.
+  */
+class CorpusPipelineSpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the bench set") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // shares "alpha beta" with bench
+      (2L, "epsilon zeta eta theta"),   // clean
+      (3L, "x alpha beta y alpha beta") // shares, distinct-gram count = 1
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "q alpha beta r")).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(docs, bench, n = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((1L, 1), (3L, 1)))
+  }
+
+  test("packSequences is an exclusive prefix sum in hash order with correct bins") {
+    val docs = Seq.tabulate(10)(i => (i.toLong, Seq.fill(i + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Corpus.packSequences(docs, budget = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // reconstruct the expected order: multiplicative hash then doc_id
+    val key = (id: Long) => ((id * 2654435761L) % 1000000007L + 1000000007L) % 1000000007L
+    val ordered = (0L until 10L).sortBy(id => (key(id), id))
+    var off = 0L
+    val expected = ordered.map { id =>
+      val n = id.toInt + 1
+      val row = (id, n, off, off / 7, off % 7)
+      off += n
+      row
+    }.sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq == expected)
+  }
+
+  test("packSequences offsets are invariant to input partitioning") {
+    val docs = Seq.tabulate(50)(i => (i.toLong, Seq.fill(i % 7 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Corpus.packSequences(docs.repartition(1), budget = 16)
+      .collect().map(r => r.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val b = Corpus.packSequences(docs.repartition(13, col("doc_id")), budget = 16)
+      .collect().map(r => r.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(a == b)
+  }
+
+  test("temperatureResample keeps the smallest language whole and downsamples the rest") {
+    val docs = (1L to 400L).map(i => (i, if (i <= 16) "fr" else "en"))
+      .toDF("doc_id", "lang")
+    val out = Corpus.temperatureResample(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(out("fr")._1 == 16 && out("fr")._2 == 1.0 && out("fr")._3 == 16)
+    // en: rate = sqrt(16/384) ≈ 0.2041 — kept count near rate*384, and
+    // strictly a downsample
+    assert(math.abs(out("en")._2 - math.sqrt(16.0 / 384.0)) < 1e-3)
+    assert(out("en")._3 < 384)
+  }
+
+  test("scrub masks URLs, emails, and word-bounded blocklist terms") {
+    val bl = Seq("secret")
+    val df = Seq(
+      (1L, "contact me at a.b+c@mail.example.org today"),
+      (2L, "see https://example.com/x?y=1 for details"),
+      (3L, "the secret plan is secretly not secret"),
+      (4L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.scrub(col("text"), bl).as("s"),
+        TextAnalysis.scrubCount(col("text"), bl).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq.sortBy(_._1)
+    assert(out(0)._2 == "contact me at <MASK> today" && out(0)._3 == 1)
+    assert(out(1)._2 == "see <MASK> for details" && out(1)._3 == 1)
+    // "secretly" must NOT match (word boundary); two bare "secret" do
+    assert(out(2)._2 == "the <MASK> plan is secretly not <MASK>" && out(2)._3 == 2)
+    assert(out(3)._2 == "nothing sensitive here" && out(3)._3 == 0)
+  }
+}
