@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.cube.{CubeQuery, Engine}
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, Corpus, Dedup, RangeJoin, Relational, Similarity}
+import graft.operators.{AsOf, Corpus, Dedup, RangeJoin, Relational, RuntimeFilter, Similarity}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -221,7 +221,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q64_temperature_resample" -> ((s, d) =>
-      Corpus.temperatureResample(eng(s, d).table("documents")))
+      Corpus.temperatureResample(eng(s, d).table("documents"))),
+    // Bloom runtime-filter join: probe side pruned map-side before its
+    // shuffle; exact (oracle is the plain semi join) because the bloom
+    // has no false negatives and the semi join removes false positives.
+    "q65_bloom_join" -> ((s, d) => RuntimeFilter.bloomNationLineitems(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -794,6 +798,16 @@ object SparkEntry {
         |       < floor(r.rate * 1000000.0) THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_kept
         |FROM documents d JOIN r USING (lang)
-        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q65_bloom_join" ->
+      """SELECT l_returnflag,
+        | count(*) AS n_lines,
+        | sum(l_quantity) AS total_qty,
+        | round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem
+        |WHERE l_suppkey IN (
+        |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
