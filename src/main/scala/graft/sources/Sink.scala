@@ -60,4 +60,25 @@ object Sink {
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .saveAsTable(table)
+
+  /** Training-shard writer: exactly `shards` equal-weight output files,
+    * membership decided by the deterministic multiplicative hash of
+    * `idCol` (reproducible across runs and cluster sizes — a re-run
+    * produces byte-identical shard membership, which checkpointed
+    * training loaders depend on), rows sorted by `idCol` within each
+    * shard, and `maxRecordsPerFile` bounding any one file so a single
+    * loader task never gets an unbounded read. This is the terminal
+    * stage of the curation pipeline: `Corpus.curate` → shards.
+    */
+  def writeTrainingShards(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      shards: Int,
+      maxRecordsPerFile: Long = 0L): Unit =
+    df.repartition(shards, pmod(col(idCol) * lit(2654435761L), lit(shards)))
+      .sortWithinPartitions(col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
 }

@@ -103,4 +103,42 @@ class SkewSinkSpec extends SparkFunSuite {
       Seq("Line Count"), rangeCuts = Map("Year" -> ("1996", "1998"))))
     assert(df.select("year").collect().map(_.getInt(0)).toSet == Set(1996, 1997, 1998))
   }
+
+  test("training shards: deterministic membership, sorted files, record cap honored") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+
+    graft.sources.Sink.writeTrainingShards(docs, s"$dir/a", "doc_id",
+      shards = 4, maxRecordsPerFile = 100)
+    val files = new java.io.File(s"$dir/a").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // 500 docs over 4 hash shards, each file capped at 100 records
+    assert(files.length >= 5)
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows.length <= 100)
+      assert(rows == rows.sorted) // sortWithinPartitions survived the write
+    }
+    // round trip is lossless
+    assert(spark.read.parquet(s"$dir/a").count() == 500)
+
+    // re-writing from a differently-partitioned input yields identical
+    // shard membership (hash membership, not partition accident)
+    graft.sources.Sink.writeTrainingShards(docs.repartition(7), s"$dir/b",
+      "doc_id", shards = 4, maxRecordsPerFile = 100)
+    def membership(p: String): Map[Long, Int] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          // part-NNNNN-uuid… — NNNNN is the writing task's partition id,
+          // i.e. the shard (cap splits stay within one task)
+          val shard = f.getName.stripPrefix("part-").take(5).toInt
+          spark.read.parquet(f.getPath).select("doc_id")
+            .collect().map(r => r.getLong(0) -> shard)
+        }.toMap
+    val a = membership(s"$dir/a")
+    val b = membership(s"$dir/b")
+    assert(a == b)
+  }
 }

@@ -133,4 +133,36 @@ class StreamSemanticsSpec extends SparkFunSuite {
     assert(rows.head.getLong(0) == 7L && rows.head.getDouble(2) == 5.0)
     q.stop()
   }
+
+  test("streaming dedup within watermark drops replays, keeps distinct ids, bounds state") {
+    // at-least-once upstreams (Kafka replays, task retries) make exact
+    // dedup a core streaming operator: dropDuplicatesWithinWatermark
+    // keeps one copy per id while only retaining state for ids newer
+    // than the watermark — bounded state on an unbounded stream
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val deduped = input.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_test").start()
+
+    input.addData((1L, ts("10:00")), (1L, ts("10:01")), (2L, ts("10:02")))
+    q.processAllAvailable()
+    // replay of id=1 in a later batch, still within the watermark window
+    input.addData((1L, ts("10:03")), (3L, ts("10:04")))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_test").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+
+    // advance event time far past the watermark gap: id=1's dedup state
+    // has expired, so a very late re-occurrence is emitted again — the
+    // documented contract (dedup guaranteed only within the watermark)
+    input.addData((9L, ts("12:00")))
+    q.processAllAvailable()
+    input.addData((1L, ts("12:01")))
+    q.processAllAvailable()
+    val after = spark.table("dedup_test").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == Seq(1L, 1L, 2L, 3L, 9L))
+    q.stop()
+  }
 }
