@@ -225,7 +225,11 @@ object SparkEntry {
     // Bloom runtime-filter join: probe side pruned map-side before its
     // shuffle; exact (oracle is the plain semi join) because the bloom
     // has no false negatives and the semi join removes false positives.
-    "q65_bloom_join" -> ((s, d) => RuntimeFilter.bloomNationLineitems(s, d))
+    "q65_bloom_join" -> ((s, d) => RuntimeFilter.bloomNationLineitems(s, d)),
+    "q66_inverted_index" -> ((s, d) =>
+      Corpus.invertedIndex(eng(s, d).table("documents"))),
+    "q67_chars_histogram" -> ((s, d) => Relational.charsHistogram(s, d)),
+    "q68_daily_deltas" -> ((s, d) => Relational.dailyDeltas(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -808,6 +812,35 @@ object SparkEntry {
         |WHERE l_suppkey IN (
         |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |  WHERE n_name = 'NATION_7')
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q66_inverted_index" ->
+      """WITH pairs AS (
+        | SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        | FROM documents),
+        |r AS (SELECT token, doc_id,
+        |  row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        | FROM pairs)
+        |SELECT token, count(*) AS df,
+        | array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 20)), ',')
+        |  AS postings
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q67_chars_histogram" ->
+      """SELECT CAST(least(floor(n_chars / 100), 9) AS BIGINT) AS bucket,
+        | CAST(least(floor(n_chars / 100), 9) AS BIGINT) * 100 AS bucket_lo,
+        | count(*) AS n_docs,
+        | CAST(min(n_chars) AS BIGINT) AS min_chars,
+        | CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q68_daily_deltas" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', ts) AS day, count(*) AS n_purchases,
+        |  round(sum(value), 2) AS day_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT day, n_purchases, day_value,
+        | lag(day_value, 1) OVER (ORDER BY day) AS prev_value,
+        | day_value - lag(day_value, 1) OVER (ORDER BY day) AS delta,
+        | (day_value - lag(day_value, 1) OVER (ORDER BY day))
+        |   / lag(day_value, 1) OVER (ORDER BY day) * 100.0 AS pct_change
+        |FROM daily ORDER BY day""".stripMargin
   )
 }

@@ -224,6 +224,32 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  /** Inverted-index build: token -> document frequency + the first
+    * `maxPostings` posting doc_ids (comma-joined, ascending) — the search
+    * index construction pass of a corpus pipeline.
+    *
+    * Scale shape: the posting cap is applied BEFORE collection — a
+    * row_number window per token (WindowGroupLimit-prunable) marks the
+    * first `maxPostings` docs, and `collect_set(when(rn <= cap, id))`
+    * keeps the aggregation buffer bounded per token even for stopwords
+    * that appear in every document of a 100 TB corpus; df still counts
+    * all postings. The window and the aggregate share the token hash
+    * partitioning, so the cap costs no extra shuffle.
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    tokenCounts(docs)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("tok").as("token"))
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(
+            sort_array(collect_set(when(col("rn") <= maxPostings, col("doc_id")))),
+            x => x.cast("string")),
+          ",").as("postings"))
+      .orderBy(col("token"))
+  }
+
   /** TF-IDF top-k terms per document: tf = cnt/doc_total,
     * idf = ln(N/df). N is a 1-row aggregate broadcast-cross-joined in
     * (declarative — no driver-side count action); df comes from a

@@ -195,4 +195,46 @@ object Relational {
       .agg(sum(col("l_quantity")))
       .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
       .orderBy(col("year"))
+
+  /** Fixed-width histogram of document sizes: explicit arithmetic binning
+    * (bucket = min(n_chars div width, nbins-1)) rather than an
+    * engine-specific histogram aggregate, so the binning is portable and
+    * the plan is a plain single-pass hash aggregate over at most `nbins`
+    * groups — histogramming 100 TB is one map-side-combined scan.
+    */
+  def charsHistogram(spark: SparkSession, dir: String,
+      width: Int = 100, nbins: Int = 10): DataFrame =
+    e(spark, dir).table("documents")
+      .select(least(floor(col("n_chars") / lit(width)), lit(nbins - 1L))
+        .as("bucket"), col("n_chars"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("bucket_lo", col("bucket") * width)
+      .select(col("bucket"), col("bucket_lo"), col("n_docs"),
+        col("min_chars"), col("max_chars"))
+      .orderBy(col("bucket"))
+
+  /** Day-over-day purchase deltas: daily rollup + lag analytics. The
+    * delta and pct_change are deliberately UNROUNDED — both operands are
+    * already rounded daily sums, and identical FP op order keeps the
+    * derived doubles bit-identical across ANSI engines, whereas
+    * re-rounding a subtraction diverges on .xx5 boundaries.
+    */
+  def dailyDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val daily = e(spark, dir).table("events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("day_value"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev_value", lag(col("day_value"), 1).over(w))
+      .withColumn("delta", col("day_value") - col("prev_value"))
+      .withColumn("pct_change",
+        (col("day_value") - col("prev_value")) / col("prev_value") * 100.0)
+      .orderBy(col("day"))
+  }
 }

@@ -64,6 +64,37 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(out("en")._3 < 384)
   }
 
+  test("invertedIndex caps postings but counts full document frequency") {
+    val docs = (1L to 30L).map(i => (i, if (i <= 25) "common word" else "word"))
+      .toDF("doc_id", "text")
+    val out = Corpus.invertedIndex(docs, maxPostings = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // "common" appears in 25 docs: df keeps all, postings cap at first 5
+    assert(out("common") == (25L, "1,2,3,4,5"))
+    assert(out("word")._1 == 30L && out("word")._2 == "1,2,3,4,5")
+  }
+
+  test("charsHistogram buckets are right-closed at the last bin and cover all docs") {
+    val out = Relational.charsHistogram(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._3).sum == 500)
+    out.foreach { case (bucket, lo, _, mn, mx) =>
+      assert(lo == bucket * 100)
+      assert(mn >= bucket * 100)
+      if (bucket < 9) assert(mx < (bucket + 1) * 100) // overflow pools in bin 9
+    }
+  }
+
+  test("dailyDeltas: delta and pct reconstruct from consecutive day values") {
+    val rows = Relational.dailyDeltas(spark, sf).collect()
+    assert(rows.length > 1)
+    assert(rows.head.isNullAt(3) && rows.head.isNullAt(4)) // no prior day
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getDouble(3) == prev.getDouble(2)) // prev_value = lag
+      assert(cur.getDouble(4) == cur.getDouble(2) - prev.getDouble(2))
+    }
+  }
+
   test("scrub masks URLs, emails, and word-bounded blocklist terms") {
     val bl = Seq("secret")
     val df = Seq(
