@@ -229,7 +229,9 @@ object SparkEntry {
     "q66_inverted_index" -> ((s, d) =>
       Corpus.invertedIndex(eng(s, d).table("documents"))),
     "q67_chars_histogram" -> ((s, d) => Relational.charsHistogram(s, d)),
-    "q68_daily_deltas" -> ((s, d) => Relational.dailyDeltas(s, d))
+    "q68_daily_deltas" -> ((s, d) => Relational.dailyDeltas(s, d)),
+    "q69_latest_snapshot" -> Relational.latestSnapshot _,
+    "q70_scd2" -> Relational.scd2 _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -841,6 +843,32 @@ object SparkEntry {
         | day_value - lag(day_value, 1) OVER (ORDER BY day) AS delta,
         | (day_value - lag(day_value, 1) OVER (ORDER BY day))
         |   / lag(day_value, 1) OVER (ORDER BY day) * 100.0 AS pct_change
-        |FROM daily ORDER BY day""".stripMargin
+        |FROM daily ORDER BY day""".stripMargin,
+    "q69_latest_snapshot" ->
+      """WITH r AS (
+        | SELECT user_id, event_id, event_type,
+        |  date_trunc('microsecond', ts) AS ts, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('microsecond', ts) DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT user_id, event_id, event_type, ts, value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q70_scd2" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |  date_trunc('microsecond', ts) AS ts FROM events),
+        |c AS (
+        | SELECT user_id, event_id, event_type, ts,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type
+        | FROM e),
+        |f AS (SELECT * FROM c
+        |      WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        | lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS valid_to,
+        | lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |   AS is_current
+        |FROM f ORDER BY user_id, valid_from""".stripMargin
   )
 }

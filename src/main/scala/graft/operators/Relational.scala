@@ -216,6 +216,50 @@ object Relational {
         col("min_chars"), col("max_chars"))
       .orderBy(col("bucket"))
 
+  /** CDC compaction / latest-per-key snapshot: keep each user's most
+    * recent event (ts desc, event_id desc tie-break) — the "apply the
+    * changelog, latest wins" step of every incremental ETL load.
+    *
+    * Scale shape: the rank-1 filter compiles to WindowGroupLimit, so
+    * each map partition forwards at most one row per user before the
+    * shuffle — compaction of a 100 TB changelog moves ~one row per key,
+    * not the full history.
+    */
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e(spark, dir).table("events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("user_id"))
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) build: collapse each user's
+    * event-type changelog into validity intervals — a row per state
+    * CHANGE carrying [valid_from, valid_to) and a current-row flag, the
+    * standard warehouse dimension-history shape.
+    *
+    * Single shuffle: both windows (lag to detect changes, lead to close
+    * intervals) share the (user_id) partitioning, and the change filter
+    * runs between them so the lead only scans change rows.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    e(spark, dir).table("events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(wOrd))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   /** Day-over-day purchase deltas: daily rollup + lag analytics. The
     * delta and pct_change are deliberately UNROUNDED — both operands are
     * already rounded daily sums, and identical FP op order keeps the

@@ -39,6 +39,29 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("CDC compaction keeps only rank-1 rows per key before the shuffle") {
+    val plan = planOf("q69_latest_snapshot")
+    assert(plan.contains("WindowGroupLimit"),
+      "latest-per-key must prune to one row per key map-side")
+  }
+
+  // AQE plan strings append an "== Initial Plan ==" copy — count
+  // exchanges in the final (executed) section only
+  private def finalPlanOf(name: String): String =
+    planOf(name).split("== Initial Plan ==").head
+
+  test("SCD2 computes both windows over a single user_id exchange") {
+    val plan = finalPlanOf("q70_scd2")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      "lag and lead windows must share one user_id partitioning")
+  }
+
+  test("inverted index shares one token exchange between window and aggregate") {
+    val plan = finalPlanOf("q66_inverted_index")
+    assert("hashpartitioning\\(tok#".r.findAllIn(plan).size == 1,
+      "posting-cap window and df aggregate must share the token shuffle")
+  }
+
   test("cube query pushes cut predicates into the parquet scan") {
     val df = new graft.cube.Engine(spark, sf).getData(graft.cube.CubeQuery(
       "trade", Seq("Nation"), Seq("Trade Value"),
