@@ -231,7 +231,10 @@ object SparkEntry {
     "q67_chars_histogram" -> ((s, d) => Relational.charsHistogram(s, d)),
     "q68_daily_deltas" -> ((s, d) => Relational.dailyDeltas(s, d)),
     "q69_latest_snapshot" -> Relational.latestSnapshot _,
-    "q70_scd2" -> Relational.scd2 _
+    "q70_scd2" -> Relational.scd2 _,
+    // chunk=32 so the 10-99-token fixture docs produce 1-4 chunks each
+    "q71_chunk_spans" -> ((s, d) =>
+      Corpus.chunkSpans(eng(s, d).table("documents"), chunkTokens = 32))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -869,6 +872,18 @@ object SparkEntry {
         |   AS valid_to,
         | lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |   AS is_current
-        |FROM f ORDER BY user_id, valid_from""".stripMargin
+        |FROM f ORDER BY user_id, valid_from""".stripMargin,
+    "q71_chunk_spans" ->
+      """WITH t AS (
+        | SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  (len(string_split(text, ' ')) + 31) // 32 AS n_chunks
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        | CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(chunk_idx * 32 AS BIGINT) AS token_start,
+        | CAST(least(chunk_idx * 32 + 32, n_tokens) AS BIGINT) AS token_end
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -195,4 +195,30 @@ object TextExpressions {
   /** SimHash +-1 sign vector of a string-array column. */
   def simhashSigns(elems: Column, bits: Int = 64): Column =
     Bridge.column(SimHashSigns(Bridge.expression(elems), bits))
+
+  /** Register the native text expressions for SQL callers:
+    * `word_shingles(text, n)`, `minhash_sig(arr, numPerms)`,
+    * `simhash_signs(arr, bits)`. The arity parameter must be a literal
+    * (it shapes the expression at plan time).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    def litInt(name: String, e: Expression): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name: second argument must be an integer literal, got $other")
+    }
+    Bridge.registerFunction(spark, "word_shingles", es => {
+      require(es.length == 2, s"word_shingles takes 2 arguments, got ${es.length}")
+      WordShingles(es(0), litInt("word_shingles", es(1)))
+    })
+    Bridge.registerFunction(spark, "minhash_sig", es => {
+      require(es.length == 2, s"minhash_sig takes 2 arguments, got ${es.length}")
+      MinHashSig(es(0), litInt("minhash_sig", es(1)))
+    })
+    Bridge.registerFunction(spark, "simhash_signs", es => {
+      require(es.length == 2, s"simhash_signs takes 2 arguments, got ${es.length}")
+      SimHashSigns(es(0), litInt("simhash_signs", es(1)))
+    })
+  }
 }

@@ -224,6 +224,29 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  /** Per-document chunk spans: split each document's token stream into
+    * fixed-size chunks (the tokenizer-side windowing that feeds a
+    * training loader), emitting one row per chunk with its token range.
+    * A pure per-row generate (sequence + explode): chunking 100 TB is a
+    * scan, no shuffle, and the output is ~rows/chunkTokens larger than
+    * the input — never materialized per-executor.
+    */
+  def chunkSpans(docs: DataFrame, chunkTokens: Int = 512): DataFrame = {
+    val n = graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+    docs
+      .select(col("doc_id"), n.as("n_tokens"))
+      .withColumn("n_chunks",
+        expr(s"(n_tokens + ${chunkTokens - 1}) div $chunkTokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        col("chunk_idx"),
+        (col("chunk_idx") * chunkTokens).as("token_start"),
+        least(col("chunk_idx") * chunkTokens + chunkTokens, col("n_tokens"))
+          .as("token_end"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Inverted-index build: token -> document frequency + the first
     * `maxPostings` posting doc_ids (comma-joined, ascending) — the search
     * index construction pass of a corpus pipeline.

@@ -92,6 +92,23 @@ class DedupTextSpec extends SparkFunSuite {
     assert(lsh == brute) // no false positives (verified) AND full recall
   }
 
+  test("native text expressions are SQL-callable after registration") {
+    graft.functions.TextExpressions.register(spark)
+    val one = spark.sql(
+      """SELECT word_shingles('a b c d', 2) AS sh,
+        |  minhash_sig(word_shingles('a b c d', 3), 4) AS mh,
+        |  simhash_signs(word_shingles('a b c d', 2), 8) AS sg""".stripMargin)
+      .collect().head
+    assert(one.getSeq[String](0).toSet == Set("a b", "b c", "c d"))
+    assert(one.getSeq[Long](1).length == 4)
+    assert(one.getSeq[Int](2).length == 8)
+    // non-literal arity is rejected at plan time, not silently wrong
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b', len('xx'))").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("oversized buckets emit a linear star, not a drop and not all pairs") {
     import graft.SparkTestBase.spark.implicits._
     val exploded = Seq(
