@@ -183,6 +183,67 @@ case class SimHashSigns(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** [[SimHashSigns]] packed to its canonical 64-bit fingerprint in one
+  * pass (bit i set iff the i-seeded vote sum is positive — exactly
+  * `Dedup.packSigns(simhash_signs(x, 64))`, equivalence-tested). Emitting
+  * the long directly keeps the whole dedup pipeline on 8-byte
+  * fingerprints: hamming distance becomes codegen'd `bit_count(a ^ b)`
+  * and banding becomes bit slicing, with no 64-element array per row.
+  */
+case class SimHashFp(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_fp needs array<string>, got ${t.sql}")
+    }
+
+  @transient private lazy val seeds: Array[Long] = {
+    val s = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      s(k) = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(k, 42L)
+      k += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var k = 0
+      while (k < 64) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, seeds(k))
+        sums(k) += (if (h > 0L) 1 else -1)
+        k += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      if (sums(k) > 0) fp |= 1L << k
+      k += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column entry point: distinct word n-gram shingles, native. */
   def wordShingles(text: Column, n: Int): Column =
@@ -195,6 +256,10 @@ object TextExpressions {
   /** SimHash +-1 sign vector of a string-array column. */
   def simhashSigns(elems: Column, bits: Int = 64): Column =
     Bridge.column(SimHashSigns(Bridge.expression(elems), bits))
+
+  /** Packed 64-bit SimHash fingerprint of a string-array column. */
+  def simhashFp(elems: Column): Column =
+    Bridge.column(SimHashFp(Bridge.expression(elems)))
 
   /** Register the native text expressions for SQL callers:
     * `word_shingles(text, n)`, `minhash_sig(arr, numPerms)`,

@@ -258,18 +258,29 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val sigd = simhashSigns(docs)
+    // One signature scan for the whole job: (doc_id, fp) is 16 bytes/doc,
+    // so it is checkpointed once and every later stage (banding + two
+    // verification joins) reads the longs instead of re-running the
+    // shingle+vote pipeline 3x. Chunk membership is a bit slice of the
+    // fingerprint (bijective with the sign sub-array — identical bucket
+    // collisions), and hamming is codegen'd bit_count(a ^ b).
+    val sigd = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.simhashFp(
+        TextAnalysis.tokens(col("text"))).as("fp"))
+      .localCheckpoint()
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val exploded = sigd.select(col("doc_id"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
-          xxhash64(lit(c), slice(col("signs"), c * width + 1, width)).as("sig"))
+          shiftrightunsigned(col("fp"), c * width).bitwiseAND(lit(mask)).as("sig"))
       }: _*)).as("c"))
       .select(col("doc_id"), col("c.chunk").as("chunk"), col("c.sig").as("sig"))
     val cand = bucketPairs(exploded, Seq("chunk", "sig"), "doc_id", maxBucketSize)
     cand
-      .join(sigd.select(col("doc_id").as("doc_a"), col("signs").as("signs_a")), "doc_a")
-      .join(sigd.select(col("doc_id").as("doc_b"), col("signs").as("signs_b")), "doc_b")
-      .withColumn("hamming", hamming(col("signs_a"), col("signs_b")))
+      .join(sigd.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(sigd.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))

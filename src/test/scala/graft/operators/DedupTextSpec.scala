@@ -92,6 +92,32 @@ class DedupTextSpec extends SparkFunSuite {
     assert(lsh == brute) // no false positives (verified) AND full recall
   }
 
+  test("packed simhash fingerprint equals packSigns of the sign vector") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val both = docs.select(
+      graft.functions.TextExpressions.simhashFp(toks).as("fp"),
+      Dedup.packSigns(graft.functions.TextExpressions.simhashSigns(toks, 64))
+        .as("packed"),
+      col("doc_id"))
+    assert(both.filter(col("fp") =!= col("packed")).isEmpty)
+    // and codegen'd bit_count hamming equals the sign-array hamming
+    val a = both.select(col("doc_id").as("ia"), col("fp").as("fa")).limit(50)
+    val b = both.select(col("doc_id").as("ib"), col("fp").as("fb")).limit(50)
+    val signs = docs.limit(50).select(col("doc_id"),
+      graft.functions.TextExpressions.simhashSigns(toks, 64).as("s"))
+    val viaBits = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val viaArrays = signs.select(col("doc_id").as("ia"), col("s").as("sa"))
+      .join(signs.select(col("doc_id").as("ib"), col("s").as("sb")),
+        col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), Dedup.hamming(col("sa"), col("sb")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(viaBits == viaArrays && viaBits.nonEmpty)
+  }
+
   test("native text expressions are SQL-callable after registration") {
     graft.functions.TextExpressions.register(spark)
     val one = spark.sql(
