@@ -73,10 +73,17 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucketSize: Int = 1000): DataFrame = {
     val r = numPerms / bands
+    // Shingling is the pipeline's hot map work and three stages need it
+    // (signature + both sides of the verification join) — materialize it
+    // once (MEMORY_AND_DISK via localCheckpoint) and derive everything
+    // from the cached (doc_id, sh) frame. ~1 KB/doc: the cache is orders
+    // of magnitude smaller than the corpus text it replaces re-scanning.
     val withSh = docs.select(col("doc_id"),
       TextAnalysis.shingles(col("text"), shingleN).as("sh"))
-    val sig = minhashSigs(docs, shingleN, numPerms)
-      .select(col("doc_id"), bandHashes(col("sig"), bands, r).as("bands"))
+      .localCheckpoint()
+    val sig = withSh.select(col("doc_id"),
+      bandHashes(graft.functions.TextExpressions.minhashSig(col("sh"), numPerms),
+        bands, r).as("bands"))
     val exploded = sig.select(col("doc_id"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
     val cand = bucketPairs(exploded, Seq("band", "sig"), "doc_id", maxBucketSize)
