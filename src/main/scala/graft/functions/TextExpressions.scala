@@ -261,29 +261,37 @@ object TextExpressions {
   def simhashFp(elems: Column): Column =
     Bridge.column(SimHashFp(Bridge.expression(elems)))
 
-  /** Register the native text expressions for SQL callers:
-    * `word_shingles(text, n)`, `minhash_sig(arr, numPerms)`,
-    * `simhash_signs(arr, bits)`. The arity parameter must be a literal
-    * (it shapes the expression at plan time).
+  /** SQL builder per function name. The arity parameter must be a
+    * literal (it shapes the expression at plan time). Shared between
+    * session-local registration ([[register]]) and config-time injection
+    * ([[graft.GraftExtensions]]).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
     def litInt(name: String, e: Expression): Int = e match {
       case Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
         s"$name: second argument must be an integer literal, got $other")
     }
-    Bridge.registerFunction(spark, "word_shingles", es => {
-      require(es.length == 2, s"word_shingles takes 2 arguments, got ${es.length}")
-      WordShingles(es(0), litInt("word_shingles", es(1)))
-    })
-    Bridge.registerFunction(spark, "minhash_sig", es => {
-      require(es.length == 2, s"minhash_sig takes 2 arguments, got ${es.length}")
-      MinHashSig(es(0), litInt("minhash_sig", es(1)))
-    })
-    Bridge.registerFunction(spark, "simhash_signs", es => {
-      require(es.length == 2, s"simhash_signs takes 2 arguments, got ${es.length}")
-      SimHashSigns(es(0), litInt("simhash_signs", es(1)))
-    })
+    Seq(
+      "word_shingles" -> { es =>
+        require(es.length == 2, s"word_shingles takes 2 arguments, got ${es.length}")
+        WordShingles(es(0), litInt("word_shingles", es(1)))
+      },
+      "minhash_sig" -> { es =>
+        require(es.length == 2, s"minhash_sig takes 2 arguments, got ${es.length}")
+        MinHashSig(es(0), litInt("minhash_sig", es(1)))
+      },
+      "simhash_signs" -> { es =>
+        require(es.length == 2, s"simhash_signs takes 2 arguments, got ${es.length}")
+        SimHashSigns(es(0), litInt("simhash_signs", es(1)))
+      })
   }
+
+  /** Register the native text expressions for SQL callers:
+    * `word_shingles(text, n)`, `minhash_sig(arr, numPerms)`,
+    * `simhash_signs(arr, bits)`.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }
 }

@@ -154,18 +154,24 @@ object VectorExpressions {
   def cosineNative(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register `cosine_similarity(a, b)` and `dot_product(a, b)` for SQL
-    * callers.
+  /** SQL builder per function name; shared between session-local
+    * registration ([[register]]) and config-time injection
+    * ([[graft.GraftExtensions]]).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = {
     def binary(name: String, f: (Expression, Expression) => Expression)
         (es: Seq[Expression]): Expression = {
       require(es.length == 2, s"$name takes exactly 2 arguments, got ${es.length}")
       f(es(0), es(1))
     }
-    Bridge.registerFunction(spark, "cosine_similarity",
-      binary("cosine_similarity", CosineSimilarity.apply))
-    Bridge.registerFunction(spark, "dot_product",
-      binary("dot_product", DotProduct.apply))
+    Seq(
+      "cosine_similarity" -> binary("cosine_similarity", CosineSimilarity.apply) _,
+      "dot_product" -> binary("dot_product", DotProduct.apply) _)
   }
+
+  /** Register `cosine_similarity(a, b)` and `dot_product(a, b)` for SQL
+    * callers.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }
 }
