@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.cube.{CubeQuery, Engine}
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, Corpus, Dedup, RangeJoin, Relational, RuntimeFilter, Similarity}
+import graft.operators.{AsOf, Corpus, Dedup, EventAnalytics, RangeJoin, Relational, RuntimeFilter, Similarity}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -234,7 +234,9 @@ object SparkEntry {
     "q70_scd2" -> Relational.scd2 _,
     // chunk=32 so the 10-99-token fixture docs produce 1-4 chunks each
     "q71_chunk_spans" -> ((s, d) =>
-      Corpus.chunkSpans(eng(s, d).table("documents"), chunkTokens = 32))
+      Corpus.chunkSpans(eng(s, d).table("documents"), chunkTokens = 32)),
+    "q72_funnel" -> EventAnalytics.funnel _,
+    "q73_retention" -> EventAnalytics.cohortRetention _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -884,6 +886,38 @@ object SparkEntry {
         | CAST(chunk_idx AS BIGINT) AS chunk_idx,
         | CAST(chunk_idx * 32 AS BIGINT) AS token_start,
         | CAST(least(chunk_idx * 32 + 32, n_tokens) AS BIGINT) AS token_end
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q72_funnel" ->
+      """WITH w1 AS (
+        | SELECT user_id, ts, event_type,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1
+        | FROM events),
+        |w2 AS (
+        | SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2
+        | FROM w1),
+        |w3 AS (
+        | SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3
+        | FROM w2),
+        |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        |      FROM w3 GROUP BY user_id)
+        |SELECT stage, users FROM (
+        | SELECT 'view' AS stage, CAST(count(t1) AS BIGINT) AS users FROM u
+        | UNION ALL
+        | SELECT 'view_click', CAST(count(t2) AS BIGINT) FROM u
+        | UNION ALL
+        | SELECT 'view_click_purchase', CAST(count(t3) AS BIGINT) FROM u)
+        |ORDER BY stage""".stripMargin,
+    "q73_retention" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        | FROM events),
+        |c AS (SELECT user_id, min(day) OVER (PARTITION BY user_id) AS cohort_day,
+        |      day FROM ud)
+        |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT)
+        |  AS day_offset, CAST(count(*) AS BIGINT) AS users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
