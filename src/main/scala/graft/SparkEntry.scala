@@ -236,7 +236,9 @@ object SparkEntry {
     "q71_chunk_spans" -> ((s, d) =>
       Corpus.chunkSpans(eng(s, d).table("documents"), chunkTokens = 32)),
     "q72_funnel" -> EventAnalytics.funnel _,
-    "q73_retention" -> EventAnalytics.cohortRetention _
+    "q73_retention" -> EventAnalytics.cohortRetention _,
+    "q74_moving_avg" -> Relational.movingAverage7d _,
+    "q75_revenue_quartiles" -> Relational.revenueQuartiles _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -918,6 +920,31 @@ object SparkEntry {
         |      day FROM ud)
         |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT)
         |  AS day_offset, CAST(count(*) AS BIGINT) AS users
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q74_moving_avg" ->
+      """WITH daily AS (
+        | SELECT event_type, date_trunc('day', ts) AS day,
+        |  round(sum(value), 2) AS day_value,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS day_num
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, day_value,
+        | round(sum(day_value) OVER w / count(*) OVER w, 4) AS avg_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "q75_revenue_quartiles" ->
+      """WITH rev AS (
+        | SELECT c_custkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |   AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_custkey)
+        |SELECT c_custkey, revenue,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | percent_rank() OVER w AS pct_rank
+        |FROM rev WINDOW w AS (ORDER BY revenue DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -281,4 +281,47 @@ object Relational {
         (col("day_value") - col("prev_value")) / col("prev_value") * 100.0)
       .orderBy(col("day"))
   }
+
+  /** Trailing 7-day moving average of daily value per event type — a
+    * RANGE-frame window over the day number, so calendar gaps shorten the
+    * frame (the semantic difference from a 7-ROW frame). The window runs
+    * over the pre-aggregated daily frame (~types × days rows), not the
+    * fact table; the sum inside the frame is of already-rounded daily
+    * values, keeping the average bit-identical across engines.
+    */
+  def movingAverage7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = e(spark, dir).table("events")
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
+      .agg(round(sum(col("value")), 2).as("day_value"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("avg_7d", round(sum(col("day_value")).over(w) /
+        count(lit(1)).over(w), 4))
+      .select(col("event_type"), col("day"), col("day_value"), col("avg_7d"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Revenue distribution analytics: quartile bucket (ntile) and exact
+    * percentile position (percent_rank) per customer. The window runs on
+    * the aggregated per-customer frame with a deterministic total order
+    * (revenue desc, key), so every rank is reproducible across engines.
+    */
+  def revenueQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val rev = en.table("lineitem")
+      .join(en.table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(en.table("customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+    val w = Window.orderBy(col("revenue").desc, col("c_custkey"))
+    rev
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .orderBy(col("c_custkey"))
+  }
 }
