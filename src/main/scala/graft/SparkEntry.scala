@@ -238,7 +238,10 @@ object SparkEntry {
     "q72_funnel" -> EventAnalytics.funnel _,
     "q73_retention" -> EventAnalytics.cohortRetention _,
     "q74_moving_avg" -> Relational.movingAverage7d _,
-    "q75_revenue_quartiles" -> Relational.revenueQuartiles _
+    "q75_revenue_quartiles" -> Relational.revenueQuartiles _,
+    // approximate (Datasketches HLL) — rows-only at the driver; the
+    // ±5%-of-exact tolerance gate is EventAnalyticsSpec
+    "q76_sketch_rollup" -> Relational.dailySketchRollup _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -120,6 +120,30 @@ object Relational {
       .orderBy(col("nation"))
   }
 
+  /** Mergeable-sketch pre-aggregation: per-(type, day) HLL user sketches
+    * built once, then UNIONED per type — re-aggregating the small sketch
+    * table instead of rescanning events. At 100 TB this is the pattern
+    * that makes "distinct users for any date range" a cheap query over a
+    * materialized daily-sketch cube; `hll_union_agg` merges sketches
+    * without touching the fact table. Returns approx and exact side by
+    * side (exact is affordable at fixture scale; the tolerance gate lives
+    * in EventAnalyticsSpec).
+    */
+  def dailySketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val events = e(spark, dir).table("events")
+    val dailySketches = events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sketch"))
+    val merged = dailySketches
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("approx_users"),
+        count(lit(1)).as("n_days"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type").orderBy(col("event_type"))
+  }
+
   /** Corpus term frequencies: tokenize -> explode -> count, the canonical
     * map-side-combinable word count; top 20 by document frequency with
     * deterministic tie-break.

@@ -74,4 +74,15 @@ class EventAnalyticsSpec extends SparkFunSuite {
     // offsets are non-negative and counts positive
     assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(2) > 0))
   }
+
+  test("daily HLL sketches union to within 5% of the exact distinct count") {
+    val rows = SparkEntry.queries("q76_sketch_rollup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
 }
