@@ -141,4 +141,38 @@ class SkewSinkSpec extends SparkFunSuite {
     val b = membership(s"$dir/b")
     assert(a == b)
   }
+
+  test("z-ordered sink bounds BOTH columns' per-file span; plain sort does not") {
+    import graft.SparkTestBase.spark.implicits._
+    // 256x256 uniform grid — every (x, y) occurs exactly once
+    val grid = spark.range(65536)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+
+    Sink.writeZOrdered(grid, s"$dir/z", "x", "y", files = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$dir/plain")
+
+    def meanSpan(path: String, c: String): Double = {
+      val spans = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min(col(c)), max(col(c))).head()
+          (r.getLong(1) - r.getLong(0)).toDouble
+        }
+      spans.sum / spans.length
+    }
+
+    // 16 z-files over a 256x256 grid ≈ 4x4 blocks: ideal span is 25% of
+    // range per column; sampled range-partition boundaries can straddle
+    // adjacent z-blocks, so gate at 50% — still a 2x skip factor on BOTH
+    // columns where a single-column sort gives one column nothing.
+    assert(meanSpan(s"$dir/z", "x") < 0.5 * 255)
+    assert(meanSpan(s"$dir/z", "y") < 0.5 * 255)
+    // the single-column sort leaves y unclustered (~full range per file)
+    assert(meanSpan(s"$dir/plain", "y") > 0.9 * 255)
+    // and the z-write is lossless
+    assert(spark.read.parquet(s"$dir/z").count() == 65536)
+  }
 }
