@@ -241,7 +241,8 @@ object SparkEntry {
     "q75_revenue_quartiles" -> Relational.revenueQuartiles _,
     // approximate (Datasketches HLL) — rows-only at the driver; the
     // ±5%-of-exact tolerance gate is EventAnalyticsSpec
-    "q76_sketch_rollup" -> Relational.dailySketchRollup _
+    "q76_sketch_rollup" -> Relational.dailySketchRollup _,
+    "q77_variant_props" -> Relational.variantPropDeciles _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -948,6 +949,11 @@ object SparkEntry {
         | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         | percent_rank() OVER w AS pct_rank
         |FROM rev WINDOW w AS (ORDER BY revenue DESC, c_custkey)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q77_variant_props" ->
+      """SELECT CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10)
+        |   AS INTEGER) AS k_decile,
+        | count(*) AS event_count, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -144,6 +144,22 @@ object Relational {
     merged.join(exact, "event_type").orderBy(col("event_type"))
   }
 
+  /** Semi-structured properties via the VARIANT type (Spark 4): parse
+    * once into a binary variant, extract typed fields with shredded
+    * `variant_get` access — the schema-flexible path for property bags
+    * whose keys drift over time, without a fixed `from_json` schema or
+    * per-row regex. Rolls the extracted int up into deciles.
+    */
+  def variantPropDeciles(spark: SparkSession, dir: String): DataFrame = {
+    e(spark, dir).table("events")
+      .select(parse_json(col("props")).as("v"), col("value"))
+      .select(variant_get(col("v"), "$.k", "int").as("k"), col("value"))
+      .groupBy(floor(col("k") / 10).cast("int").as("k_decile"))
+      .agg(count(lit(1)).as("event_count"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("k_decile"))
+  }
+
   /** Corpus term frequencies: tokenize -> explode -> count, the canonical
     * map-side-combinable word count; top 20 by document frequency with
     * deterministic tie-break.
