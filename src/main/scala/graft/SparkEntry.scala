@@ -242,7 +242,8 @@ object SparkEntry {
     // approximate (Datasketches HLL) — rows-only at the driver; the
     // ±5%-of-exact tolerance gate is EventAnalyticsSpec
     "q76_sketch_rollup" -> Relational.dailySketchRollup _,
-    "q77_variant_props" -> Relational.variantPropDeciles _
+    "q77_variant_props" -> Relational.variantPropDeciles _,
+    "q78_tws_spend" -> EventsStream.userSpendTws _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -954,6 +955,9 @@ object SparkEntry {
       """SELECT CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10)
         |   AS INTEGER) AS k_decile,
         | count(*) AS event_count, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q78_tws_spend" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the events table (absent in the reference —
@@ -253,5 +254,59 @@ object EventsStream {
       .select(col("user_id"), col("n_events"), col("last_type"),
         round(col("total_value"), 2).as("total_value"))
       .orderBy(col("user_id"))
+  }
+
+  // ---- state API v2 (transformWithState, Spark 4) ----
+
+  case class SpendState(n: Long, total: Double)
+  case class SpendOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** State API v2 processor: per-user running spend in a typed
+    * `ValueState`. Versus `mapGroupsWithState`, the handle API gives
+    * named composable state variables (value/list/map), per-variable TTL,
+    * and event/processing-time timers — and requires the RocksDB state
+    * store, whose changelog checkpointing is what bounds state-store
+    * recovery time for large keyspaces. TTLConfig.NONE here: the fixture
+    * is bounded; production sets a TTL to cap abandoned-key state.
+    */
+  class SpendProcessor extends StatefulProcessor[Long, Ev, SpendOut] {
+    @transient private var state: ValueState[SpendState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SpendState]("spend",
+        org.apache.spark.sql.Encoders.product[SpendState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[SpendOut] = {
+      val prev = if (state.exists()) state.get() else SpendState(0L, 0.0)
+      val next = rows.foldLeft(prev)((s, e) => SpendState(s.n + 1, s.total + e.value))
+      state.update(next)
+      Iterator.single(SpendOut(key, next.n, next.total))
+    }
+  }
+
+  /** Per-user running spend via `transformWithState` — the streaming twin
+    * of `SELECT user_id, count(*), sum(value) GROUP BY user_id`, which is
+    * its oracle when the fixture drives as one batch.
+    */
+  def userSpendTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = streamingEvents(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_type"), col("value"))
+      .as[Ev]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = evs.groupByKey(_.user_id)
+        .transformWithState(new SpendProcessor, TimeMode.None(), OutputMode.Update())
+      runToMemory(out.toDF(), "graft_stream_tws", OutputMode.Update())
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

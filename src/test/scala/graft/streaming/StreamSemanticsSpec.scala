@@ -165,4 +165,38 @@ class StreamSemanticsSpec extends SparkFunSuite {
     assert(after == Seq(1L, 1L, 2L, 3L, 9L))
     q.stop()
   }
+
+  test("transformWithState accumulates across triggers in RocksDB value state") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[graft.streaming.EventsStream.Ev](spark)
+      val out = input.toDS().groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.EventsStream.SpendProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream.format("memory").queryName("tws_test")
+        .outputMode(OutputMode.Update()).start()
+
+      input.addData(
+        graft.streaming.EventsStream.Ev(1L, 1000L, "view", 1.0),
+        graft.streaming.EventsStream.Ev(1L, 2000L, "click", 2.0),
+        graft.streaming.EventsStream.Ev(2L, 1500L, "view", 5.0))
+      q.processAllAvailable()
+      // batch 2: user 1's state must carry over (3 events, 6.0 total)
+      input.addData(graft.streaming.EventsStream.Ev(1L, 3000L, "purchase", 3.0))
+      q.processAllAvailable()
+      q.stop()
+
+      val rows = spark.table("tws_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 3.0)))  // user 1 after batch 1
+      assert(rows.contains((1L, 3L, 6.0)))  // user 1 after batch 2 — state survived
+      assert(rows.contains((2L, 1L, 5.0)))  // untouched key not re-emitted with drift
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
