@@ -243,7 +243,8 @@ object SparkEntry {
     // ±5%-of-exact tolerance gate is EventAnalyticsSpec
     "q76_sketch_rollup" -> Relational.dailySketchRollup _,
     "q77_variant_props" -> Relational.variantPropDeciles _,
-    "q78_tws_spend" -> EventsStream.userSpendTws _
+    "q78_tws_spend" -> EventsStream.userSpendTws _,
+    "q79_value_outliers" -> ((s, d) => Relational.valueOutliers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -958,6 +959,14 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q78_tws_spend" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q79_value_outliers" ->
+      """WITH m AS (
+        | SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        | FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value, round((value - mu) / sd, 4) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE abs(value - mu) > 3 * sd
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -160,6 +160,23 @@ object Relational {
       .orderBy(col("k_decile"))
   }
 
+  /** Per-group z-score outlier detection: events whose value sits more
+    * than `sigmas` standard deviations from their type's mean. The
+    * moments come from one grouped aggregate joined back by type (a
+    * broadcast of #groups rows) — not a window over the fact table, so
+    * the big side is scanned once and never shuffled or sorted.
+    */
+  def valueOutliers(spark: SparkSession, dir: String, sigmas: Double = 3.0): DataFrame = {
+    val events = e(spark, dir).table("events")
+    val moments = events.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    events.join(broadcast(moments), "event_type")
+      .filter(abs(col("value") - col("mu")) > lit(sigmas) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Corpus term frequencies: tokenize -> explode -> count, the canonical
     * map-side-combinable word count; top 20 by document frequency with
     * deterministic tie-break.
