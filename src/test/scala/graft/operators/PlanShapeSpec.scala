@@ -62,6 +62,14 @@ class PlanShapeSpec extends SparkFunSuite {
       "posting-cap window and df aggregate must share the token shuffle")
   }
 
+  test("outlier detection broadcasts the moments; the fact side never sort-merge-joins") {
+    val plan = finalPlanOf("q79_value_outliers")
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-group moments must broadcast to the fact scan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the fact table must not shuffle for the moments join")
+  }
+
   test("cube query pushes cut predicates into the parquet scan") {
     val df = new graft.cube.Engine(spark, sf).getData(graft.cube.CubeQuery(
       "trade", Seq("Nation"), Seq("Trade Value"),
