@@ -244,7 +244,23 @@ object SparkEntry {
     "q76_sketch_rollup" -> Relational.dailySketchRollup _,
     "q77_variant_props" -> Relational.variantPropDeciles _,
     "q78_tws_spend" -> EventsStream.userSpendTws _,
-    "q79_value_outliers" -> ((s, d) => Relational.valueOutliers(s, d))
+    "q79_value_outliers" -> ((s, d) => Relational.valueOutliers(s, d)),
+    // Corpus "data card": the curation pipeline's per-(source, lang)
+    // acceptance report — the dataset datasheet a 100 TB curation run
+    // publishes alongside its shards
+    "q80_datacard" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+      val kept = Corpus.curate(docs, Dedup.minhashPairs(docs))
+        .select(col("doc_id"), lit(1).as("kept"))
+      docs.join(kept, Seq("doc_id"), "left")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("kept"), lit(0))).as("n_kept"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"))
+        .withColumn("keep_rate",
+          round(col("n_kept").cast("double") / col("n_docs"), 4))
+        .orderBy(col("source"), col("lang"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -967,6 +983,55 @@ object SparkEntry {
         |SELECT event_id, e.event_type, value, round((value - mu) / sd, 4) AS z
         |FROM events e JOIN m USING (event_type)
         |WHERE abs(value - mu) > 3 * sd
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q80_datacard" ->
+      """WITH tc AS (
+        | SELECT doc_id, tok, count(*) AS cnt
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents)
+        | GROUP BY 1, 2),
+        |quality AS (
+        | SELECT doc_id FROM (
+        |  SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_tokens,
+        |   CAST(count(*) AS INTEGER) AS distinct_tokens,
+        |   CAST(max(cnt) AS INTEGER) AS top_count
+        |  FROM tc GROUP BY 1)
+        | WHERE n_tokens >= 20
+        |  AND 1.0 - CAST(distinct_tokens AS DOUBLE) / n_tokens < 0.6
+        |  AND CAST(top_count AS DOUBLE) / n_tokens < 0.15),
+        |s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | WITH RECURSIVE r(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        | SELECT * FROM r),
+        |comp AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        | FROM reach GROUP BY src),
+        |kept AS (
+        | SELECT doc_id FROM documents
+        | WHERE doc_id IN (SELECT doc_id FROM quality)
+        |  AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id))
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM kept)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+        | round(CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM kept)
+        |           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS keep_rate
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
