@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.cube.{CubeQuery, Engine}
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, Corpus, Dedup, EventAnalytics, RangeJoin, Relational, RuntimeFilter, Similarity}
+import graft.operators.{AsOf, Corpus, Dedup, EventAnalytics, Fuzzy, Graph, Merge, Quality, RangeJoin, Relational, RuntimeFilter, Similarity}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -260,7 +260,20 @@ object SparkEntry {
         .withColumn("keep_rate",
           round(col("n_kept").cast("double") / col("n_docs"), 4))
         .orderBy(col("source"), col("lang"))
-    })
+    }),
+    "q81_merge_upsert" -> ((s, d) => Merge.latestStateMerge(s, d)),
+    "q82_fuzzy_match" -> ((s, d) => Fuzzy.partNameResolution(s, d)),
+    // exact regime of the mergeable frequent-items sketch (capacity >
+    // cardinality); the approximate regime is tolerance-gated in tests
+    "q83_heavy_hitters" -> ((s, d) => Relational.approxTopEventTypes(s, d)),
+    "q84_quantize_int8" -> ((s, d) =>
+      Similarity.quantizationReport(eng(s, d).table("embeddings"))),
+    "q85_incremental_agg" -> ((s, d) => Relational.incrementalOrderStats(s, d)),
+    "q86_profile" -> Quality.ordersProfile _,
+    "q87_constraints" -> Quality.constraintAudit _,
+    "q88_gap_fill" -> EventAnalytics.gapFillDaily _,
+    "q89_ab_test" -> EventAnalytics.abTest _,
+    "q90_pagerank" -> Graph.docPageRank _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1032,6 +1045,63 @@ object SparkEntry {
         | round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
         | round(CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM kept)
         |           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS keep_rate
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q81_merge_upsert" ->
+      """WITH tgt AS (
+        | SELECT user_id, event_type AS last_type, value AS last_value
+        | FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts DESC, event_id DESC) AS r
+        |       FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+        | WHERE r = 1),
+        |chg AS (
+        | SELECT user_id, event_type AS last_type, value AS last_value
+        | FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts DESC, event_id DESC) AS r
+        |       FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+        | WHERE r = 1)
+        |SELECT coalesce(c.user_id, t.user_id) AS user_id,
+        | CASE WHEN c.user_id IS NOT NULL THEN c.last_type
+        |      ELSE t.last_type END AS last_type,
+        | CASE WHEN c.user_id IS NOT NULL THEN c.last_value
+        |      ELSE t.last_value END AS last_value
+        |FROM tgt t FULL OUTER JOIN chg c ON t.user_id = c.user_id
+        |ORDER BY user_id""".stripMargin,
+    "q82_fuzzy_match" ->
+      """WITH probes AS (
+        | SELECT p_partkey AS probe_key,
+        |  substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name
+        | FROM part WHERE p_partkey % 23 = 5)
+        |SELECT probe_key, probe_name, p_partkey AS match_key,
+        | p_name AS match_name,
+        | CAST(levenshtein(probe_name, p_name) AS INTEGER) AS dist
+        |FROM probes JOIN part ON levenshtein(probe_name, p_name) <= 2
+        |ORDER BY probe_key, match_key""".stripMargin,
+    "q83_heavy_hitters" ->
+      """SELECT event_type, count(*) AS est_count
+        |FROM events GROUP BY event_type
+        |ORDER BY est_count DESC, event_type""".stripMargin,
+    "q84_quantize_int8" ->
+      """WITH v AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        | FROM embeddings),
+        |s AS (
+        | SELECT vec_id, ve,
+        |  list_max(list_transform(ve, x -> abs(x))) / 127 AS scale
+        | FROM v),
+        |q AS (
+        | SELECT vec_id, ve, scale,
+        |  list_transform(ve, x -> CAST(round(x / scale) AS INTEGER)) AS qv
+        | FROM s)
+        |SELECT vec_id, scale,
+        | list_max(list_transform(generate_series(1, len(ve)),
+        |   i -> abs(CAST(qv[i] AS DOUBLE) * scale - ve[i]))) AS max_abs_err,
+        | CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INTEGER)
+        |   AS n_saturated
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q85_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_spend
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

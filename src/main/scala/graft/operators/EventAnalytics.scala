@@ -66,4 +66,67 @@ object EventAnalytics {
       .agg(count(lit(1)).as("users")) // (user, day) already distinct by construction
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** Time-series gap fill + forward fill: regularize each user's sparse
+    * daily purchase series onto the full calendar spine and carry the
+    * last observation forward across the gaps — the resample step every
+    * downstream time-series model needs.
+    *
+    * Scale shape: the spine is users × days built by broadcasting a
+    * sequence-generated calendar (a few KB regardless of fact size) —
+    * the fact table is aggregated once at (user, day) grain and the
+    * forward fill is one window over the spine partitioned by user, so
+    * the heavy side shuffles exactly once, at its natural key.
+    */
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    val daily = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        date_trunc("day", col("ts"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
+      .agg(round(sum(col("value")), 2).as("day_value"))
+    val bounds = events.agg(
+      date_trunc("day", min(col("ts")))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("d0"),
+      date_trunc("day", max(col("ts")))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("d1"))
+    val calendar = bounds
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val spine = daily.select(col("user_id")).distinct()
+      .crossJoin(broadcast(calendar))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_value", last(col("day_value"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("day_value").isNotNull)
+      .select(col("user_id"), col("day"), col("filled_value"),
+        col("is_observed"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** A/B experiment readout: deterministic hash arms, per-metric group
+    * means/variances and the Welch t statistic — single-pass moments per
+    * (metric, arm), no per-row data leaves the executors.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+    val stats = events.groupBy(col("event_type"))
+      .agg(
+        count(when(col("arm") === 0, 1)).as("n_a"),
+        count(when(col("arm") === 1, 1)).as("n_b"),
+        avg(when(col("arm") === 0, col("value"))).as("mean_a"),
+        avg(when(col("arm") === 1, col("value"))).as("mean_b"),
+        var_samp(when(col("arm") === 0, col("value"))).as("var_a"),
+        var_samp(when(col("arm") === 1, col("value"))).as("var_b"))
+    stats.select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("mean_a"), 4).as("mean_a"),
+        round(col("mean_b"), 4).as("mean_b"),
+        round((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 4)
+          .as("welch_t"))
+      .orderBy(col("event_type"))
+  }
 }

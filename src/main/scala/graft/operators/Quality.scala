@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+import graft.cube.Engine
+
+/** Data-quality operators an ETL engine runs before publishing a table:
+  * column profiling and declarative constraint audits. The reference
+  * trusts the remote server's data wholesale (`oec.py:63` materializes
+  * whatever comes back); an engine that OWNS the tables has to validate
+  * them.
+  *
+  * Scale shape: the profiler is ONE aggregation over the scan (every
+  * stat is an agg expression; multi-column distinct counts share the
+  * pass via Spark's expand), then a constant-size unpivot of the single
+  * result row. The constraint audit is a union of key-only anti-join /
+  * distinct counts — each check shuffles only the key it validates, and
+  * checks against small dimensions broadcast.
+  */
+object Quality {
+
+  /** Profile every numeric column of `df` in one pass: rows, nulls,
+    * distincts, min / max / mean. Returns one row per column. (countDistinct
+    * is exact — swap for approx_count_distinct at 100 TB, same plan shape.)
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val numCols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+    require(numCols.nonEmpty, "profile: no numeric columns")
+    val aggs: Seq[Column] = numCols.toIndexedSeq.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}__rows"),
+        count(lit(1)).minus(count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        round(avg(col(c)), 4).as(s"${c}__avg"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val packed = row.select(explode(array(numCols.toIndexedSeq.map { c =>
+      struct(lit(c).as("column_name"),
+        col(s"${c}__rows").as("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"),
+        col(s"${c}__avg").as("avg_value"))
+    }: _*)).as("p"))
+    packed.select(col("p.*")).orderBy(col("column_name"))
+  }
+
+  /** Fixture wiring (q86): profile the orders fact. */
+  def ordersProfile(spark: SparkSession, dir: String): DataFrame =
+    profile(new Engine(spark, dir).table("orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+
+  /** Declarative constraint audit (q87): referential integrity, key
+    * uniqueness, and domain checks across the star — one row per
+    * constraint with its violation count. The audit a pipeline gates a
+    * publish on.
+    */
+  def constraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    val en = new Engine(spark, dir)
+    val orders = en.table("orders")
+    val customer = en.table("customer")
+    val lineitem = en.table("lineitem")
+    val events = en.table("events")
+    def one(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("constraint_name"), col("n_violations"))
+    one("customer_pk_unique",
+        customer.groupBy(col("c_custkey")).count().filter(col("count") > 1))
+      .unionByName(one("events_value_nonnegative",
+        events.filter(col("value") < 0)))
+      .unionByName(one("lineitem_orderkey_fk",
+        lineitem.join(orders, col("l_orderkey") === col("o_orderkey"),
+          "left_anti")))
+      .unionByName(one("lineitem_quantity_positive",
+        lineitem.filter(col("l_quantity") <= 0)))
+      .unionByName(one("orders_custkey_fk",
+        orders.join(customer, col("o_custkey") === col("c_custkey"),
+          "left_anti")))
+      .orderBy(col("constraint_name"))
+  }
+}

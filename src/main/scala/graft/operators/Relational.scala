@@ -381,4 +381,48 @@ object Relational {
       .withColumn("pct_rank", percent_rank().over(w))
       .orderBy(col("c_custkey"))
   }
+
+  /** Heavy hitters via the mergeable Datasketches frequent-items sketch
+    * (Spark 4 `approx_top_k_accumulate` / `_combine` / `_estimate`):
+    * per-day sketches built in one pass over the fact, combined WITHOUT
+    * rescanning it — the companion to the q76 HLL rollup for "top items
+    * over any date range" on a 100 TB log. Capacity (`maxItemsTracked`)
+    * exceeds the column's cardinality here, so estimates are exact and
+    * the query is oracle-gated; the under-capacity approximate regime is
+    * tolerance-gated in EventAnalyticsSpec.
+    */
+  def approxTopEventTypes(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val daily = e(spark, dir).table("events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr("approx_top_k_accumulate(event_type, 16)").as("sk"))
+    daily
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, 16), $k)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("event_type"),
+        col("e.count").as("est_count"))
+      .orderBy(col("est_count").desc, col("event_type"))
+  }
+
+  /** Incremental aggregate maintenance: a materialized per-customer
+    * order rollup is maintained by aggregating only the NEW partition
+    * (orders on/after the cutoff) and merging partials with the existing
+    * base — count adds, sum adds — never rescanning history. The oracle
+    * recomputes from the full table, proving merged partials ≡ full
+    * recompute; at 100 TB this is the difference between touching one
+    * day and touching seven years.
+    */
+  def incrementalOrderStats(spark: SparkSession, dir: String,
+      cutoff: String = "1999-01-01"): DataFrame = {
+    val orders = e(spark, dir).table("orders")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+    val base = partial(orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp_ntz")))
+    val delta = partial(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp_ntz")))
+    base.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        round(sum(col("total")), 2).as("total_spend"))
+      .orderBy(col("o_custkey"))
+  }
 }

@@ -313,4 +313,38 @@ object Similarity {
         round(norm(transform(col("pairs"), p => p.getField("m"))), 6).as("centroid_norm"))
       .orderBy(col("label"))
   }
+
+  /** Symmetric int8 quantization of the embedding column: per-vector
+    * scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127, 127] — the
+    * standard memory-scale ANN layout (4x smaller vectors, SIMD int8
+    * dot products on the serving side). Returns the quantized vector
+    * plus the audit columns a quantization job must publish: the scale,
+    * the worst-case reconstruction error (order-independent max, safe
+    * for cross-engine parity), and the saturated-lane count.
+    *
+    * All math is element-wise in double (floats widened first — float
+    * arithmetic diverges across engines) and per-row: one narrow
+    * projection over the scan, no shuffle, fully parallel. On a 100 TB
+    * embedding store this runs as a single map stage feeding the shard
+    * writer.
+    */
+  def quantizeInt8(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    emb
+      .withColumn("__v", v)
+      .withColumn("scale", array_max(transform(col("__v"), x => abs(x))) / 127d)
+      .withColumn("q", transform(col("__v"),
+        x => round(x / col("scale")).cast("int")))
+      .withColumn("max_abs_err", array_max(zip_with(col("__v"), col("q"),
+        (x, qi) => abs(qi.cast("double") * col("scale") - x))))
+      .withColumn("n_saturated", size(filter(col("q"), qi => abs(qi) === 127)))
+      .drop("__v")
+  }
+
+  /** Fixture wiring (q84): quantization audit per vector. */
+  def quantizationReport(emb: DataFrame): DataFrame =
+    quantizeInt8(emb)
+      .select(col("vec_id"), col("scale"), col("max_abs_err"),
+        col("n_saturated"))
+      .orderBy(col("vec_id"))
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantics gates for the round-2 batch: MERGE upsert, edit-distance
+  * join, sketch heavy hitters, int8 quantization, incremental agg.
+  */
+class MergeFuzzySpec extends SparkFunSuite {
+  import graft.SparkTestBase.spark.implicits._
+
+  test("mergeUpsert: change rows win wholesale, including their NULLs") {
+    val target = Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0)))
+      .toDF("k", "s", "v")
+    val changes = Seq((2L, None: Option[String], Some(9.0)),
+      (3L, Some("c"), None: Option[Double])).toDF("k", "s", "v")
+    val out = Merge.mergeUpsert(target, changes, Seq("k"))
+      .orderBy(col("k")).collect()
+    // k=1 untouched; k=2 updated (s nulled BY the change — no value-level
+    // coalesce resurrection); k=3 inserted
+    assert(out.length == 3)
+    assert(out(0).getLong(0) == 1L && out(0).getString(1) == "a")
+    assert(out(1).getLong(0) == 2L && out(1).isNullAt(1)
+      && out(1).getDouble(2) == 9.0)
+    assert(out(2).getLong(0) == 3L && out(2).getString(1) == "c"
+      && out(2).isNullAt(2))
+  }
+
+  test("mergeUpsert rejects mismatched schemas") {
+    val t = Seq((1L, "a")).toDF("k", "s")
+    val c = Seq((1L, "a")).toDF("k", "other")
+    intercept[IllegalArgumentException] {
+      Merge.mergeUpsert(t, c, Seq("k"))
+    }
+  }
+
+  test("editDistanceJoin equals the naive cross filter (full recall)") {
+    val left = Seq((1L, "kitten"), (2L, "ring"), (3L, "abcdefgh"))
+      .toDF("lk", "ls")
+    val right = Seq((10L, "sitting"), (11L, "kitten"), (12L, "rings"),
+      (13L, "wrong"), (14L, "abcdefghij"), (15L, "abcdef"))
+      .toDF("rk", "rs")
+    val banded = Fuzzy.editDistanceJoin(left, right, "ls", "rs", 2)
+      .select(col("lk"), col("rk"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val naive = left.crossJoin(right)
+      .withColumn("dist", levenshtein(col("ls"), col("rs")))
+      .filter(col("dist") <= 2)
+      .select(col("lk"), col("rk"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == naive && naive.nonEmpty)
+    // the length-2 band must pair abcdefgh with abcdefghij (dist 2,
+    // len +2 -> adjacent band) and must NOT lose the dist-0 duplicate
+    assert(naive.contains((3L, 14L, 2)) && naive.contains((1L, 11L, 0)))
+  }
+
+  test("approx_top_k sketches merge across groups without rescan") {
+    // capacity 16 >= 15 distinct users -> the merged estimate is exact;
+    // under capacity Spark reports only GUARANTEED items (a stricter,
+    // possibly empty answer — asserted below), never a wrong count
+    val ev = new graft.cube.Engine(spark, sf).table("events")
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top5exact = exact.values.toSeq.sorted(Ordering[Long].reverse).take(5)
+    val est = ev.groupBy(pmod(col("user_id"), lit(4)))
+      .agg(expr("approx_top_k_accumulate(user_id, 16)").as("sk"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 16), 5)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // every reported count is the true count, and the reported counts
+    // are exactly the 5 largest (item ties at the boundary may vary)
+    est.foreach { case (item, c) => assert(exact(item) == c) }
+    assert(est.map(_._2).toSeq.sorted(Ordering[Long].reverse) == top5exact)
+    val guaranteedOnly = ev
+      .agg(expr("approx_top_k(user_id, 5, 8)").as("top"))
+      .select(size(col("top"))).collect()(0).getInt(0)
+    assert(guaranteedOnly == 0) // eviction regime: nothing guaranteed
+  }
+
+  test("quantizeInt8: bounded reconstruction error, saturated max lane") {
+    val rep = Similarity.quantizationReport(
+      new graft.cube.Engine(spark, sf).table("embeddings")).collect()
+    assert(rep.length == 500)
+    rep.foreach { r =>
+      val scale = r.getDouble(1)
+      val err = r.getDouble(2)
+      val sat = r.getInt(3)
+      // rounding moves each lane by at most half a quantization step
+      assert(err <= scale / 2 + 1e-12)
+      // the max-|x| lane quantizes to exactly +/-127
+      assert(sat >= 1)
+    }
+  }
+
+  test("incremental merge of partials equals full recompute") {
+    val inc = Relational.incrementalOrderStats(spark, sf).collect()
+    val full = new graft.cube.Engine(spark, sf).table("orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spend"))
+      .orderBy(col("o_custkey")).collect()
+    assert(inc.length == full.length)
+    inc.zip(full).foreach { case (a, b) => assert(a == b) }
+  }
+}
