@@ -1102,6 +1102,108 @@ object SparkEntry {
     "q85_incremental_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS total_spend
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q86_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_value,
+           | CAST(max($c) AS DOUBLE) AS max_value,
+           | round(avg($c), 4) AS avg_value
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_totalprice").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+    "q87_constraints" ->
+      """SELECT 'customer_pk_unique' AS constraint_name,
+        | CAST(count(*) AS BIGINT) AS n_violations
+        |FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'events_value_nonnegative', count(*) FROM events WHERE value < 0
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk', count(*)
+        |FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem_quantity_positive', count(*)
+        |FROM lineitem WHERE l_quantity <= 0
+        |UNION ALL
+        |SELECT 'orders_custkey_fk', count(*)
+        |FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+        |ORDER BY constraint_name""".stripMargin,
+    "q88_gap_fill" ->
+      """WITH daily AS (
+        | SELECT user_id, date_trunc('day', ts) AS day,
+        |  round(sum(value), 2) AS day_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |bounds AS (SELECT date_trunc('day', min(ts)) AS d0,
+        |  date_trunc('day', max(ts)) AS d1 FROM events),
+        |calendar AS (
+        | SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        | FROM bounds),
+        |spine AS (SELECT u.user_id, c.day
+        | FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN calendar c)
+        |SELECT s.user_id, s.day,
+        | last_value(d.day_value IGNORE NULLS) OVER (
+        |   PARTITION BY s.user_id ORDER BY s.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        | d.day_value IS NOT NULL AS is_observed
+        |FROM spine s LEFT JOIN daily d
+        | ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
+    "q89_ab_test" ->
+      """SELECT event_type,
+        | count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+        | count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
+        | round(avg(CASE WHEN user_id % 2 = 0 THEN value END), 4) AS mean_a,
+        | round(avg(CASE WHEN user_id % 2 = 1 THEN value END), 4) AS mean_b,
+        | round((avg(CASE WHEN user_id % 2 = 0 THEN value END)
+        |        - avg(CASE WHEN user_id % 2 = 1 THEN value END))
+        |   / sqrt(var_samp(CASE WHEN user_id % 2 = 0 THEN value END)
+        |            / count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+        |        + var_samp(CASE WHEN user_id % 2 = 1 THEN value END)
+        |            / count(CASE WHEN user_id % 2 = 1 THEN 1 END)), 4)
+        |   AS welch_t
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // PageRank mirrored iteration-by-iteration: Graph.pageRank fixes
+    // iters=5 / damping=0.85 and rounds to 6dp exactly so a chained-CTE
+    // oracle can reproduce it. Double literals are forced with CAST
+    // because Scala computes (1.0 - 0.85) in IEEE doubles
+    // (= 0.15000000000000002), not decimals.
+    "q90_pagerank" -> {
+      def iter(k: Int) =
+        s"""r$k AS (
+           | SELECT n.node,
+           |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |   + CAST(0.85 AS DOUBLE) * coalesce(sum(c.c), CAST(0 AS DOUBLE))
+           |   AS rank
+           | FROM nodes n CROSS JOIN nn
+           | LEFT JOIN (SELECT e.dst AS node, r.rank / d.out_deg AS c
+           |            FROM r${k - 1} r JOIN deg d ON r.node = d.src
+           |            JOIN edges e ON e.src = d.src) c
+           |  ON n.node = c.node
+           | GROUP BY n.node, nn.n)""".stripMargin
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS da, b.doc_id AS db
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |          UNION SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+        |       FROM nodes CROSS JOIN nn),
+        |""".stripMargin +
+        (1 to 5).map(iter).mkString(",\n") +
+        "\nSELECT node AS doc_id, round(rank, 6) AS rank FROM r5 ORDER BY doc_id"
+    }
   )
 }
