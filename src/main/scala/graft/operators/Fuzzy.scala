@@ -10,33 +10,115 @@ import graft.cube.Engine
   * naive Spark executes it as a broadcast nested-loop join: O(n·m)
   * distance computations — hopeless when both sides are large.
   *
-  * The banded form exploits `|len(a) - len(b)| <= d` (an edit changes the
-  * length by at most 1): quantize string length into buckets of width d,
-  * replicate the PROBE side to bucket ± 1 (same guarantee as
-  * `RangeJoin`: any pair within d shares exactly one replicated bucket),
-  * shuffle equi-join on the bucket, and apply the exact distance
-  * predicate only to co-bucketed candidates. Cost is bounded by the
-  * length histogram, not n·m, and recall is exact — length banding can
-  * only discard pairs the predicate would reject anyway.
+  * Blocking is pigeonhole segmenting (the PassJoin scheme): split each
+  * RIGHT string into d+1 contiguous segments — at most d edits can touch
+  * at most d segments, so any string within distance d contains at least
+  * one segment EXACTLY, at a position shifted by at most d. The LEFT side
+  * therefore extracts, for every candidate right-length L in [len±d] and
+  * every segment index, the substrings in that ±d position window, and the
+  * two sides equi-join on (segment_index, right_length, segment_text).
+  * Exact `levenshtein` runs on co-blocked candidates only.
+  *
+  * Note position windows are essential: segmenting BOTH sides and joining
+  * segment-for-segment (the simhash-chunk shape) is unsound for edit
+  * distance — one insertion shifts every later segment boundary, e.g.
+  * "abcdef"/"abcdeXf" at d=1 share no aligned segment.
+  *
+  * Scale shape: each right row emits d+1 keys, each left row at most
+  * (2d+1)²·(d+1) (75 at d=2, deduped) — candidate volume is bounded by
+  * exact 10-char-ish substring collisions, not by the length histogram
+  * (the previous length-band form degenerated to a near-cross-join within
+  * each band: ~4M distance evals at sf0.1 on part names). Recall is exact;
+  * candidates are verified with the true distance predicate.
   */
 object Fuzzy {
 
+  /** Even partition of a length-`strLen` string into `k` segments (first
+    * `strLen % k` segments one char longer): 0-based start and length of
+    * segment `i`, as Column arithmetic.
+    */
+  private def segBounds(strLen: Column, i: Int, k: Int): (Column, Column) = {
+    val base = floor(strLen / k).cast("int")
+    val rem = pmod(strLen, lit(k)).cast("int")
+    val li = when(lit(i) < rem, base + 1).otherwise(base).cast("int")
+    val pi = (lit(i) * base + least(lit(i), rem)).cast("int")
+    (pi, li)
+  }
+
+  /** Distinct candidate pairs (all left columns ++ all right columns)
+    * whose segment blocks collide — a superset of the true result by the
+    * pigeonhole argument above. Used by the selectivity gate in
+    * MergeFuzzySpec; the join itself dedups AFTER the cheap bounded
+    * distance filter (see [[editDistanceJoin]]).
+    */
+  private[operators] def candidatePairs(left: DataFrame, right: DataFrame,
+      leftCol: String, rightCol: String, maxDist: Int): DataFrame =
+    rawCandidates(left, right, leftCol, rightCol, maxDist).distinct()
+
+  /** Segment-block collision pairs WITH witness multiplicity (a pair
+    * appears once per colliding (segment, offset) witness, ~2x on the
+    * fixture) — deduping here would shuffle the full candidate volume;
+    * the caller filters first and dedups the survivors.
+    */
+  private def rawCandidates(left: DataFrame, right: DataFrame,
+      leftCol: String, rightCol: String, maxDist: Int): DataFrame = {
+    val k = maxDist + 1
+    val rLen = length(col(rightCol))
+    val segs = array((0 until k).map { i =>
+      val (pi, li) = segBounds(rLen, i, k)
+      struct(lit(i).as("i"), rLen.as("tlen"),
+        col(rightCol).substr(pi + 1, li).as("s"))
+    }: _*)
+    val r = right.withColumn("__seg", explode(segs))
+    val m = length(col(leftCol))
+    // multi-match-aware window: if the pair is within distance d and
+    // segment i is untouched, its image in the left string starts at
+    // pi + off where edits_before >= |off| and edits_after >= |off - D|
+    // (D = len(left) - len(right) = -dl), so |off| + |off + dl| <= d —
+    // offsets outside that diamond cannot witness a true match
+    val probes: Seq[Column] = for {
+      dl <- (-maxDist to maxDist).toSeq
+      i <- 0 until k
+      off <- -maxDist to maxDist
+      if math.abs(off) + math.abs(off + dl) <= maxDist
+    } yield {
+      val tlen = (m + dl).cast("int")
+      val (pi, li) = segBounds(tlen, i, k)
+      val start = pi + off
+      val valid = (tlen >= 0) && (start >= 0) && (start + li <= m)
+      when(valid, struct(lit(i).as("i"), tlen.as("tlen"),
+        col(leftCol).substr(start + 1, li).as("s"))).otherwise(lit(null))
+    }
+    val l = left.withColumn("__seg",
+      explode(array_distinct(filter(array(probes: _*), _.isNotNull))))
+    l.join(r, Seq("__seg")).drop("__seg")
+  }
+
   /** Edit-distance join: pairs from `left` × `right` with
     * `levenshtein(left(leftCol), right(rightCol)) <= maxDist`. Output
-    * keeps all left/right columns plus `dist`. Exact (full recall).
+    * keeps all left/right columns plus `dist`; pairs are emitted with set
+    * semantics (fully-identical duplicate input rows collapse). Exact
+    * (full recall): blocking only discards pairs the distance predicate
+    * would reject.
     */
   def editDistanceJoin(left: DataFrame, right: DataFrame,
       leftCol: String, rightCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val w = lit(maxDist)
-    val lb = floor(length(col(leftCol)) / w)
-    val rb = floor(length(col(rightCol)) / w)
-    val l = left.withColumn("__band", explode(array(lb - 1, lb, lb + 1)))
-    val r = right.withColumn("__band", rb)
-    l.join(r, Seq("__band"))
-      .withColumn("dist", levenshtein(col(leftCol), col(rightCol)))
-      .filter(col("dist") <= maxDist)
-      .drop("__band")
+    // threshold-bounded levenshtein: banded DP, O(d·n) per pair instead
+    // of O(n²), returns -1 past the bound. Eval-count discipline (the
+    // hot loop is distance evals over the multiplied candidates):
+    //   - the pre-dedup filter is a SINGLE `!= -1` comparison, which
+    //     Catalyst turns into the join condition — one eval per raw
+    //     candidate (a `0 <= dist <= d` spelling evaluates it twice,
+    //     and projecting `dist` pre-filter re-inlines it a third time);
+    //   - `dist` is projected only after the distinct, over true matches
+    //     (the Aggregate is an inlining barrier), so the total is
+    //     |raw candidates| + |matches| evals, not 3x|raw candidates|.
+    rawCandidates(left, right, leftCol, rightCol, maxDist)
+      .filter(levenshtein(col(leftCol), col(rightCol), maxDist) =!= -1)
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col(leftCol), col(rightCol), maxDist))
   }
 
   /** Fixture wiring (q82): resolve typo'd probe names back to the part

@@ -54,6 +54,52 @@ class MergeFuzzySpec extends SparkFunSuite {
     assert(naive.contains((3L, 14L, 2)) && naive.contains((1L, 11L, 0)))
   }
 
+  test("editDistanceJoin recall survives boundary shifts and short strings") {
+    // adversarial cases for segment blocking: inserts that shift every
+    // later segment boundary, edits clustered in one segment, strings
+    // shorter than maxDist+1 (zero-length segments), and empty strings
+    val left = Seq((1L, "abcdef"), (2L, "ab"), (3L, ""), (4L, "aXbYcdef"),
+      (5L, "zzzzzzzzzz")).toDF("lk", "ls")
+    val right = Seq((10L, "abcdeXf"), (11L, "Xabcdef"), (12L, "a"),
+      (13L, "b"), (14L, ""), (15L, "abcdef"), (16L, "abYcdef"),
+      (17L, "zzzzzzzzzzzz"), (18L, "totally-different")).toDF("rk", "rs")
+    for (d <- 1 to 3) {
+      val blocked = Fuzzy.editDistanceJoin(left, right, "ls", "rs", d)
+        .select(col("lk"), col("rk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = left.crossJoin(right)
+        .filter(levenshtein(col("ls"), col("rs")) <= d)
+        .select(col("lk"), col("rk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == naive, s"maxDist=$d")
+      assert(naive.nonEmpty)
+    }
+  }
+
+  test("editDistanceJoin candidate volume is far below the cross product") {
+    // the scale contract of segment blocking: candidates ~ true matches,
+    // not ~ |L|x|R| (the length-band form co-blocked most of the catalog)
+    val part = new graft.cube.Engine(spark, sf).table("part")
+    val probes = part.filter(pmod(col("p_partkey"), lit(23)) === 5)
+      .select(col("p_partkey").as("probe_key"),
+        concat(substring(col("p_name"), 1, 2),
+          substring(col("p_name"), 4, 10000)).as("probe_name"))
+    val catalog = part.select(col("p_partkey").as("match_key"),
+      col("p_name").as("match_name"))
+    val nCand = Fuzzy.candidatePairs(probes, catalog,
+      "probe_name", "match_name", 2).count()
+    val cross = probes.count() * catalog.count()
+    val nMatch = Fuzzy.editDistanceJoin(probes, catalog,
+      "probe_name", "match_name", 2).count()
+    assert(nMatch >= 1)
+    // 84 true matches / 208 candidates / 1800 cross at sf0.001 — the
+    // bounds below leave 2x headroom on each ratio
+    assert(nCand < cross / 4,
+      s"candidates $nCand vs cross $cross: blocking not selective")
+    assert(nCand < nMatch * 5,
+      s"candidates $nCand vs matches $nMatch: verification overhead")
+  }
+
   test("approx_top_k sketches merge across groups without rescan") {
     // capacity 16 >= 15 distinct users -> the merged estimate is exact;
     // under capacity Spark reports only GUARANTEED items (a stricter,
