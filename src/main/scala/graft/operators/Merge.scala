@@ -32,10 +32,12 @@ object Merge {
       s"schemas must match: ${target.columns.mkString(",")} vs " +
         changes.columns.mkString(","))
     val t = target.alias("t")
-    val c = changes.alias("c")
+    // presence marker: the join is null-safe (<=>), so a NULL key is a
+    // legitimate match — key nullability cannot stand in for "this row
+    // came from the change side"; a non-nullable marker column can
+    val c = changes.withColumn("__from_changes", lit(true)).alias("c")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"c.$k")).reduce(_ && _)
-    // presence flag: any key column non-null on the change side
-    val present = col(s"c.${keys.head}").isNotNull
+    val present = col("c.__from_changes").isNotNull
     val outCols = target.columns.map { name =>
       when(present, col(s"c.$name")).otherwise(col(s"t.$name")).as(name)
     }

@@ -26,6 +26,21 @@ class MergeFuzzySpec extends SparkFunSuite {
       && out(2).isNullAt(2))
   }
 
+  test("mergeUpsert: a NULL-key change row still wins over its match") {
+    // the null-safe join matches NULL keys, so the presence flag must
+    // come from a change-side marker, not from key nullability
+    val target = Seq((Some(1L), Some("a")), (None: Option[Long], Some("old")))
+      .toDF("k", "s")
+    val changes = Seq((None: Option[Long], Some("new")),
+      (Some(2L), Some("b"))).toDF("k", "s")
+    val out = Merge.mergeUpsert(target, changes, Seq("k"))
+      .orderBy(col("k")).collect()
+    assert(out.length == 3)
+    assert(out(0).isNullAt(0) && out(0).getString(1) == "new")
+    assert(out(1).getLong(0) == 1L && out(1).getString(1) == "a")
+    assert(out(2).getLong(0) == 2L && out(2).getString(1) == "b")
+  }
+
   test("mergeUpsert rejects mismatched schemas") {
     val t = Seq((1L, "a")).toDF("k", "s")
     val c = Seq((1L, "a")).toDF("k", "other")
