@@ -1,22 +1,22 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with a typed metadata struct; decode / feature-extract
-  * run as batch-shaped partition functions.
+  * run as native per-row expressions evaluated in the scan stage.
   *
   * The decode step itself is a DETERMINISTIC FAKE (this environment has no
   * image/audio codecs): payload bytes are synthesized from the document
   * text, and "features" are a byte-value histogram. Everything around it —
-  * schema, metadata struct, batch iteration shape, partitioning — is real:
-  * swapping the fake for a JNI/codec call changes one function body.
+  * schema, metadata struct, expression signature, partitioning — is real:
+  * swapping the fake for a JNI/codec call changes one eval body (see
+  * [[graft.functions.AssetResizeSample]]; a codec needing per-executor
+  * init amortizes it in a lazily-initialized transient handle there).
   *
-  * Scale notes: payloads never shuffle (all ops are per-row / per
-  * partition); feature extraction is mapPartitions (the Scala analog of
-  * mapInPandas batch shape) so a codec can amortize init per partition.
+  * Scale notes: payloads never shuffle (all ops are per-row, fused into
+  * the scan projection); only the compact feature columns move.
   */
 object Multimodal {
 
@@ -47,85 +47,42 @@ object Multimodal {
         max(col("meta.format")).as("max_format"))
       .orderBy(col("source"))
 
-  private val transformSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("format", StringType),
-    StructField("n_bytes", IntegerType),
-    StructField("resized_bytes", IntegerType),
-    StructField("n_frames", IntegerType),
-    StructField("sampled_frames", IntegerType),
-    StructField("checksum", LongType)))
-
-  /** "Resize" + "frame-sample" stand-ins, batch-per-partition over the
-    * binary payload (the shapes a codec-backed pipeline needs):
+  /** "Resize" + "frame-sample" stand-ins over the binary payload (the
+    * shapes a codec-backed pipeline needs):
     *   - resize: keep every stride-th byte down to <= `target` bytes;
     *   - frame-sample: treat the payload as fixed-size frames and keep
     *     every `sampleEvery`-th frame.
-    * Deterministic byte arithmetic; a real image/video codec swaps in at
-    * the marked lines without touching schema or partitioning.
+    * Runs as a native expression ([[graft.functions.AssetResizeSample]])
+    * inside the scan stage — no RDD drop-down, no encoder round-trip;
+    * a real codec swaps into the expression's marked eval body without
+    * touching this plan.
     */
   def resizeAndSample(
       docs: DataFrame,
       target: Int = 64,
       frameBytes: Int = 32,
-      sampleEvery: Int = 4): DataFrame = {
-    val assets = withAssets(docs)
-      .select(col("doc_id"), col("meta.format").as("format"), col("payload"))
-    val spark = assets.sparkSession
-    val rows = assets.rdd.mapPartitions { it =>
-      it.map { r =>
-        val docId = r.getLong(0)
-        val format = r.getString(1)
-        val payload = r.getAs[Array[Byte]](2)
-        // --- stub decode boundary: a codec would decode here ---
-        val stride = math.max(1, payload.length / target)
-        val resized = payload.indices.by(stride).map(payload).toArray
-        val nFrames = (payload.length + frameBytes - 1) / frameBytes
-        val sampled = (0 until nFrames by sampleEvery).size
-        var sum = 0L
-        var i = 0
-        while (i < resized.length) { sum = sum * 31 + (resized(i) & 0xff); i += 1 }
-        // --- end stub boundary ---
-        Row(docId, format, payload.length, resized.length, nFrames, sampled, sum)
-      }
-    }
-    spark.createDataFrame(rows, transformSchema).orderBy(col("doc_id"))
-  }
-
-  private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("format", StringType),
-    StructField("n_bytes", IntegerType),
-    StructField("feat_norm", DoubleType),
-    StructField("top_bin", IntegerType)))
+      sampleEvery: Int = 4): DataFrame =
+    withAssets(docs)
+      .select(col("doc_id"), col("meta.format").as("format"),
+        graft.functions.MultimodalExpressions
+          .assetResizeSample(col("payload"), target, frameBytes, sampleEvery)
+          .as("t"))
+      .select(col("doc_id"), col("format"), col("t.n_bytes"),
+        col("t.resized_bytes"), col("t.n_frames"), col("t.sampled_frames"),
+        col("t.checksum"))
+      .orderBy(col("doc_id"))
 
   /** "Decode" each asset and extract a 16-bin byte-value histogram
-    * feature, batch-per-partition. The histogram stands in for pixel/
-    * sample statistics; its L2 norm and argmax bin are emitted as compact
-    * features. Deterministic: depends only on payload bytes.
+    * feature; the L2 norm and argmax bin are emitted as compact features.
+    * Runs as a native expression ([[graft.functions.AssetHistogramFeature]])
+    * in the scan stage; deterministic — depends only on payload bytes.
     */
-  def decodeFeatures(docs: DataFrame): DataFrame = {
-    val assets = withAssets(docs)
-      .select(col("doc_id"), col("meta.format").as("format"), col("payload"))
-    val spark = assets.sparkSession
-    val rows = assets.rdd.mapPartitions { it =>
-      // per-partition init happens here (codec handles, buffers, ...)
-      it.map { r =>
-        val docId = r.getLong(0)
-        val format = r.getString(1)
-        val payload = r.getAs[Array[Byte]](2)
-        val hist = new Array[Double](16)
-        var i = 0
-        while (i < payload.length) { hist((payload(i) & 0xff) / 16) += 1; i += 1 }
-        var norm = 0.0; var top = 0; var j = 0
-        while (j < 16) {
-          norm += hist(j) * hist(j)
-          if (hist(j) > hist(top)) top = j
-          j += 1
-        }
-        Row(docId, format, payload.length, math.sqrt(norm), top)
-      }
-    }
-    spark.createDataFrame(rows, featureSchema).orderBy(col("doc_id"))
-  }
+  def decodeFeatures(docs: DataFrame): DataFrame =
+    withAssets(docs)
+      .select(col("doc_id"), col("meta.format").as("format"),
+        graft.functions.MultimodalExpressions
+          .assetHistogramFeature(col("payload")).as("f"))
+      .select(col("doc_id"), col("format"), col("f.n_bytes"),
+        col("f.feat_norm"), col("f.top_bin"))
+      .orderBy(col("doc_id"))
 }
