@@ -107,7 +107,7 @@ object SparkEntry {
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         array_min(transform(TextAnalysis.shingles(col("text"), 3),
-          sh => xxhash64(sh))).as("min_shingle_hash"))
+          sh => TextAnalysis.portableHash60(sh))).as("min_shingle_hash"))
       .orderBy(col("doc_id"))),
     // --- [EXT] similarity search over embeddings ---
     "q28_embed_knn" -> ((s, d) =>
@@ -451,6 +451,27 @@ object SparkEntry {
         |      WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
         |      ELSE 'de' END AS predicted
         |FROM scored ORDER BY doc_id""".stripMargin,
+    // token/shingle hash is md5-low-60 read textually (chars 18-32 of the
+    // hex form) — defined byte-identically in every engine, which is the
+    // whole reason the fingerprint chain is checkable here
+    "q25_fingerprint" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(trim(text), ' ') AS toks,
+        |  list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents)
+        |SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(toks,
+        |     tk -> CAST(concat('0x', substr(md5(tk), 18, 15)) AS BIGINT)
+        |           % 2147483647)),
+        |   (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint,
+        | list_min(list_transform(sh,
+        |   s2 -> CAST(concat('0x', substr(md5(s2), 18, 15)) AS BIGINT)))
+        |   AS min_shingle_hash
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q26_minhash_pairs" ->
       """WITH s AS (
         | SELECT doc_id, list_distinct(list_transform(
@@ -499,6 +520,31 @@ object SparkEntry {
         | max(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
         |     WHEN 1 THEN 'jpeg' ELSE 'wav' END) AS max_format
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // a byte's 16-bin histogram bin is exactly its first hex nibble, so
+    // hex(encode(text)) IS the histogram input; bin counts are exact
+    // integers, so sqrt of their square-sum is bit-identical cross-engine
+    "q35_multimodal_decode" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+        |    WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  hex(encode(text)) AS hx
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, substr(hx, CAST(2*i + 1 AS INTEGER), 1) AS dig
+        | FROM (SELECT doc_id, hx, unnest(range(0, n_bytes)) AS i FROM d)),
+        |h AS (SELECT doc_id, dig, count(*) AS c FROM b GROUP BY 1, 2),
+        |top AS (SELECT doc_id AS t_doc,
+        |  sqrt(CAST(sum(c*c) AS DOUBLE)) AS feat_norm,
+        |  CAST(strpos('0123456789ABCDEF',
+        |    first(dig ORDER BY c DESC, dig ASC)) - 1 AS INTEGER) AS top_bin
+        | FROM h GROUP BY 1)
+        |SELECT d.doc_id, d.format, d.n_bytes,
+        | coalesce(t.feat_norm, 0.0) AS feat_norm,
+        | coalesce(t.top_bin, 0) AS top_bin
+        |FROM d LEFT JOIN top t ON d.doc_id = t.t_doc
+        |ORDER BY d.doc_id""".stripMargin,
     "q36_range_cut" ->
       """SELECT r_name AS region, round(sum(l_extendedprice), 2) AS trade_value,
         | count(*) AS line_count

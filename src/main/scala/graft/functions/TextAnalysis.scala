@@ -89,14 +89,25 @@ object TextAnalysis {
     lit(0.4) * lengthScore + lit(0.3) * diversity + lit(0.3) * alpha
   }
 
+  /** Low 60 bits of md5, read textually (hex chars 18-32): a 64-bit-safe
+    * engine-portable string hash — md5 is defined byte-for-byte
+    * everywhere, unlike xxhash64's Spark-specific seeding, so hash
+    * chains built on it are reproducible in any SQL engine
+    * (DuckDB: `CAST('0x' || substr(md5(t), 18, 15) AS BIGINT)`).
+    */
+  def portableHash60(t: Column): Column =
+    conv(substring(md5(t), 18, 15), 16, 10).cast("long")
+
   /** Rolling polynomial hash over the token stream (order-sensitive
     * document fingerprint), mod the Mersenne prime 2^31-1 so the
     * accumulator never overflows a long (ANSI mode rejects wrap-around).
+    * Token hash is [[portableHash60]] — engine-portable by construction,
+    * which is what makes q25 cross-engine checkable.
     */
   def fingerprint(text: Column): Column = {
     val m = lit(2147483647L)
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), m), m))
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(portableHash60(t), m), m))
   }
 
   /** Redaction pattern over PII shapes (URLs, emails) plus caller-supplied
