@@ -81,7 +81,7 @@ object SparkEntry {
     // --- [EXT] dedup family (SURVEY §2.11) ---
     "q21_dedup_exact" -> ((s, d) => Dedup.exact(eng(s, d).table("documents"))),
     "q26_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashPairs(eng(s, d).table("documents"))),
+      Dedup.minhashPairsShared(eng(s, d).table("documents"), d)),
     "q27_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(eng(s, d).table("documents"))),
     // --- [EXT] text analysis ---
@@ -136,11 +136,11 @@ object SparkEntry {
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
-      Dedup.clusters(Dedup.minhashPairs(docs))
+      Dedup.clusters(Dedup.minhashPairsShared(docs, d))
     }),
     "q42_dedup_keep" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
-      Dedup.keepList(docs, Dedup.minhashPairs(docs))
+      Dedup.keepList(docs, Dedup.minhashPairsShared(docs, d))
     }),
     "q43_sliding_window" -> EventsStream.slidingTraffic _,
     "q44_running_totals" -> EventsStream.runningDailyTotals _,
@@ -171,7 +171,7 @@ object SparkEntry {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
     "q56_curation" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
-      Corpus.curate(docs, Dedup.minhashPairs(docs))
+      Corpus.curate(docs, Dedup.minhashPairsShared(docs, d))
     }),
     // Gopher-style duplicate n-gram fractions: shingles() is distinct, so
     // dup ratio = 1 - distinct/(n_tokens - n + 1); single-pass per row
@@ -250,7 +250,7 @@ object SparkEntry {
     // publishes alongside its shards
     "q80_datacard" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
-      val kept = Corpus.curate(docs, Dedup.minhashPairs(docs))
+      val kept = Corpus.curate(docs, Dedup.minhashPairsShared(docs, d))
         .select(col("doc_id"), lit(1).as("kept"))
       docs.join(kept, Seq("doc_id"), "left")
         .groupBy(col("source"), col("lang"))

@@ -90,6 +90,29 @@ object Dedup {
     verifyJaccard(cand, withSh, threshold)
   }
 
+  /** Near-dup pairs computed ONCE per (session, dataset) and reused.
+    *
+    * Six queries consume the SAME pair frame (q26 pairs, q41 clusters,
+    * q42 keep-list, q56 curation, q80 data card, q90 pagerank) — without
+    * sharing, each re-runs the whole shingle→minhash→band→verify pipeline,
+    * which at 100 TB means re-scanning the corpus text six times. The
+    * pair frame itself is tiny (one row per verified near-dup pair —
+    * orders of magnitude smaller than the corpus), so it is materialized
+    * with localCheckpoint (MEMORY_AND_DISK) and every later consumer
+    * reads the checkpointed blocks instead of recomputing lineage.
+    *
+    * Keyed by (session, dataset path): a new session or dataset computes
+    * fresh; re-registration replaces (never grows unboundedly — one entry
+    * per dataset the session touches). Only the DEFAULT-parameter pipeline
+    * is memoized; callers with custom banding use [[minhashPairs]].
+    */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  def minhashPairsShared(docs: DataFrame, datasetKey: String): DataFrame =
+    pairsMemo.getOrElseUpdate((docs.sparkSession, datasetKey),
+      minhashPairs(docs).localCheckpoint())
+
   /** Distinct (idA < idB) pairs of ids sharing a bucket: ONE aggregation
     * per bucket with in-bucket pair expansion via higher-order functions.
     * Strictly better than the textbook exploded self-join: the signature

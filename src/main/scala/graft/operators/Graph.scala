@@ -52,11 +52,14 @@ object Graph {
 
   /** Fixture wiring (q90): rank the near-dup graph of the documents
     * table. Edges are the verified minhash pairs (identical pair set to
-    * the exact-Jaccard oracle — q26's parity), symmetrized.
+    * the exact-Jaccard oracle — q26's parity), symmetrized. The pair
+    * frame is the session-shared one ([[Dedup.minhashPairsShared]]) —
+    * q26/q41/q42/q56/q80 consume the same frame, so the LSH pipeline
+    * runs once per dataset, not once per query.
     */
   def docPageRank(spark: SparkSession, dir: String): DataFrame = {
     val docs = new graft.cube.Engine(spark, dir).table("documents")
-    val pairs = Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b"))
+    val pairs = Dedup.minhashPairsShared(docs, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     pageRank(edges)
