@@ -92,6 +92,50 @@ class DedupTextSpec extends SparkFunSuite {
     assert(lsh == brute) // no false positives (verified) AND full recall
   }
 
+  test("fixture invariant: banded recall is 1.0 at the driver gate's scale (sf0.01)") {
+    // The driver's q26 gate is EXACT hash parity against the brute-force
+    // Jaccard oracle, at sf0.01. Banded minhash (16x4) misses a true pair
+    // at similarity j with p = (1-j^4)^16 — up to 2.2e-4 near the j=0.80
+    // threshold — but the hash functions are seeded and DETERMINISTIC, so
+    // for a FIXED fixture recall either is 1.0 on every run or fails on
+    // every run; there is no per-run randomness. The sound, executable
+    // form of the gate's precondition is therefore: banded recall == 1.0
+    // on the deployed fixture, verified AT THE GATE'S OWN SCALE. (The
+    // sibling sf0.001 recall test covers the unit-test fixture; this one
+    // covers the fixture the driver actually hashes. The sf0.001 corpus
+    // contains a true pair in the fragile band [0.8, 0.9) that the
+    // deployed hashes DO catch — evidence the band is exercised, not
+    // avoided.) If a regenerated fixture ever lands a boundary pair on a
+    // miss, this fails HERE with the cause, instead of failing the driver
+    // gate as an apparent engine bug; re-gate q26 with a recall tolerance
+    // (the q29/q30 shape) in that case. Invariant recorded in SURVEY §5.
+    val gateSf = "/root/testdata/sf0.01"
+    val real = spark.read.parquet(s"$gateSf/documents.parquet")
+    val sh = real.select(col("doc_id"),
+      TextAnalysis.shingles(col("text"), 3).as("sh"))
+    val brute = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("j",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(real)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "gate fixture must contain planted near-dups")
+    val missed = brute -- lsh
+    assert(missed.isEmpty,
+      s"banded minhash missed true pair(s) $missed on the sf0.01 fixture: " +
+        "the driver's exact-parity gate for q26 will fail. These pairs sit " +
+        "where 16x4 banding's miss probability is non-negligible " +
+        "(p=(1-j^4)^16, 2.2e-4 at j=0.8) — re-gate q26 with a recall " +
+        "tolerance (see Dedup.minhashPairs scaladoc) or re-plant the " +
+        "fixture's near-dups at j>=0.9.")
+    assert(lsh == brute) // verified output: no false positives either
+  }
+
   test("packed simhash fingerprint equals packSigns of the sign vector") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
     val toks = graft.functions.TextAnalysis.tokens(col("text"))
