@@ -18,12 +18,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * returns (`oec.py:22`, `oec.py:43`, `oec.py:63`; FIXTURES.md §B).
   *
   *   spark.read.format("oecjson").load("/path/to/responses")
+  *   spark.read.format("oecjson")
+  *     .option("endpoint", "file:/path/to/responses").load()
   *
   * Reproduces the client-side semantics at the source boundary:
   *   - column names are normalized `replace(' ','_').lower()` (the
   *     reference applies this to every response, `oec.py:24`/`oec.py:64`)
   *   - schema is inferred from record values (long / double / string),
   *     widened across sampled records — the dynamic-schema model of §1.2
+  *
+  * '''Transport seam (`endpoint=`).''' The reference's actual I/O is a
+  * live HTTP GET against a base URL (`requests.get(base_url, params)`,
+  * `oec.py:62`; members fetch `oec.py:21`) — the one reference capability
+  * this build intentionally does not exercise, because the build/test
+  * environment has no network egress. The seam is still first-class in
+  * the API so a migrating user sees where live transport plugs in:
+  *   - `endpoint=file:/dir` (or a bare directory/file path) — supported:
+  *     reads captured wire responses, identical semantics to `path=`.
+  *     Capture is exactly `curl "$BASE_URL?cube=...&drilldowns=..." >
+  *     resp.json` — the `{"data":[...]}` body is what this source parses.
+  *   - `endpoint=http(s)://host` — rejected at plan time with a message
+  *     naming this seam. A deployment with egress implements it by
+  *     swapping the per-partition iterator in [[OecJsonSource.records]]
+  *     (file stream → HTTP response stream); partition planning, schema
+  *     inference, pruning, and filter pushdown are transport-agnostic:
+  *     one response = one partition either way.
   *
   * Scale design: one input partition per response file (responses are
   * independent API results; parallelism = file count), column pruning via
@@ -55,9 +74,35 @@ class OecJsonSource extends TableProvider
 object OecJsonSource {
   private val mapper = new ObjectMapper()
 
+  /** Resolve the transport option to a local path. `endpoint=` is the
+    * documented seam for the reference's live HTTP transport
+    * (`oec.py:62`); this build supports its file-backed form and rejects
+    * live URLs with a message naming the seam (no network egress here).
+    */
+  def resolvePath(options: CaseInsensitiveStringMap): String = {
+    val endpoint = Option(options.get("endpoint"))
+    val path = Option(options.get("path"))
+    (endpoint, path) match {
+      case (Some(e), _) if e.startsWith("http://") || e.startsWith("https://") =>
+        throw new UnsupportedOperationException(
+          s"oecjson: live HTTP transport to '$e' is not available in this " +
+            "build (no network egress). Point endpoint= at a file: URL or " +
+            "directory of captured wire responses ({\"data\":[...]}, the " +
+            "body of GET base_url?params — oec.py:62); a deployment with " +
+            "egress plugs HTTP in at OecJsonSource.records (one response " +
+            "= one partition).")
+      case (Some(e), _) if e.startsWith("file:") =>
+        java.nio.file.Paths.get(java.net.URI.create(e)).toString
+      case (Some(e), _) => e
+      case (None, Some(p)) => p
+      case (None, None) =>
+        throw new IllegalArgumentException(
+          "oecjson requires a path (load(dir)) or an endpoint= option")
+    }
+  }
+
   def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("oecjson requires a path"))
+    val path = resolvePath(options)
     val f = new java.io.File(path)
     val all =
       if (f.isDirectory) f.listFiles().toSeq.map(_.getPath)

@@ -90,6 +90,32 @@ class OecJsonSourceSpec extends SparkFunSuite {
     assert(range == Seq("odd"))
   }
 
+  test("endpoint= option: file-backed form reads identically to path") {
+    val dir = writeResponses()
+    val viaPath = spark.read.format("oecjson").load(dir)
+    val viaEndpoint = spark.read.format("oecjson")
+      .option("endpoint", s"file:$dir").load()
+    assert(viaEndpoint.columns.toSeq == viaPath.columns.toSeq)
+    assert(viaEndpoint.exceptAll(viaPath).isEmpty &&
+      viaPath.exceptAll(viaEndpoint).isEmpty)
+    // bare-directory endpoint works too
+    val bare = spark.read.format("oecjson").option("endpoint", dir).load()
+    assert(bare.count() == 3)
+  }
+
+  test("endpoint= option: live URLs are rejected naming the transport seam") {
+    val e = intercept[Exception] {
+      spark.read.format("oecjson")
+        .option("endpoint", "https://example.invalid/olap").load().collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .filter(_ != null)).mkString(" | ")
+    val msg = rootMsg(e)
+    assert(msg.contains("network egress") && msg.contains("captured wire responses"),
+      s"expected the transport-seam message, got: $msg")
+  }
+
   test("missing data key fails with the wire-contract message") {
     val dir = java.nio.file.Files.createTempDirectory("oecjson_bad").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad.json"),
