@@ -78,7 +78,9 @@ object Dedup {
     // once (MEMORY_AND_DISK via localCheckpoint) and derive everything
     // from the cached (doc_id, sh) frame. ~1 KB/doc: the cache is orders
     // of magnitude smaller than the corpus text it replaces re-scanning.
-    val withSh = docs.select(col("doc_id"),
+    // Par.ensure: shingling + 64 minhash passes are the pipeline's hot
+    // map work — a single-file local scan would run them on one task.
+    val withSh = Par.ensure(docs).select(col("doc_id"),
       TextAnalysis.shingles(col("text"), shingleN).as("sh"))
       .localCheckpoint()
     val sig = withSh.select(col("doc_id"),
@@ -294,7 +296,7 @@ object Dedup {
     // shingle+vote pipeline 3x. Chunk membership is a bit slice of the
     // fingerprint (bijective with the sign sub-array — identical bucket
     // collisions), and hamming is codegen'd bit_count(a ^ b).
-    val sigd = docs.select(col("doc_id"),
+    val sigd = Par.ensure(docs).select(col("doc_id"),
       graft.functions.TextExpressions.simhashFp(
         TextAnalysis.tokens(col("text"))).as("fp"))
       .localCheckpoint()

@@ -89,7 +89,11 @@ object Fuzzy {
       when(valid, struct(lit(i).as("i"), tlen.as("tlen"),
         col(leftCol).substr(start + 1, li).as("s"))).otherwise(lit(null))
     }
-    val l = left.withColumn("__seg",
+    // The left side carries the expansion (up to 75 probe keys/row) and,
+    // post-join, every candidate's distance eval — without the guard a
+    // single-file left input runs all of it on one task (right is tiny
+    // and broadcast, so the join inherits LEFT's partitioning).
+    val l = Par.ensure(left).withColumn("__seg",
       explode(array_distinct(filter(array(probes: _*), _.isNotNull))))
     l.join(r, Seq("__seg")).drop("__seg")
   }
