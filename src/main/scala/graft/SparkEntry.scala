@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.cube.{CubeQuery, Engine}
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, Corpus, Dedup, EventAnalytics, Fuzzy, Graph, Merge, Quality, RangeJoin, Relational, RuntimeFilter, Similarity}
+import graft.operators.{AsOf, Corpus, Dedup, EventAnalytics, Fuzzy, Graph, Merge, Quality, RangeJoin, Relational, RuntimeFilter, Similarity, Skew}
+import graft.sources.Sink
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -273,7 +274,62 @@ object SparkEntry {
     "q87_constraints" -> Quality.constraintAudit _,
     "q88_gap_fill" -> EventAnalytics.gapFillDaily _,
     "q89_ab_test" -> EventAnalytics.abTest _,
-    "q90_pagerank" -> Graph.docPageRank _
+    "q90_pagerank" -> Graph.docPageRank _,
+    // Training-shard sink roundtrip: write the corpus through
+    // Sink.writeTrainingShards, READ THE SHARDS BACK, and report the
+    // per-shard manifest — membership is the deterministic multiplicative
+    // hash, so the oracle recomputes it straight from `documents`; parity
+    // proves the sharded write/read path preserves every row on the data
+    // path (previously only plan/test-gated).
+    "q91_shard_manifest" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
+        new java.io.File(d).getName
+      Sink.writeTrainingShards(docs, path, "doc_id", shards = 8)
+      s.read.parquet(path)
+        .withColumn("shard",
+          pmod(col("doc_id") * lit(2654435761L), lit(8)).cast("int"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    }),
+    // Salted join on the oracle surface: result must equal the PLAIN
+    // equi-join (salting is pure physical spreading) — the oracle is the
+    // unsalted SQL join, so parity proves the skew path's semantics.
+    "q92_salted_join" -> ((s, d) => {
+      val li = eng(s, d).table("lineitem").select(
+        col("l_suppkey").as("s_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val supp = eng(s, d).table("supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(li, supp, "s_suppkey", saltFactor = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(round(sum(col("rev")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("s_nationkey"))
+    }),
+    // Z-order sink roundtrip: write orders clustered by the Morton
+    // interleave of (custkey, totalprice), read back through the layout,
+    // and answer a two-dimensional rectangle query — parity with direct
+    // SQL proves the clustered write/read preserves the data while the
+    // layout's file-skipping benefit stays plan-asserted in SkewSinkSpec.
+    "q93_zorder_roundtrip" -> ((s, d) => {
+      val orders = eng(s, d).table("orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+        new java.io.File(d).getName
+      Sink.writeZOrdered(orders, path, "o_custkey", "o_totalprice", files = 8)
+      s.read.parquet(path)
+        .filter(col("o_custkey") < 1000 && col("o_totalprice") > 150000.0)
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"))
+    }),
+    "q94_unigram_surprisal" -> ((s, d) =>
+      Corpus.unigramSurprisal(eng(s, d).table("documents")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1250,6 +1306,38 @@ object SparkEntry {
         |""".stripMargin +
         (1 to 5).map(iter).mkString(",\n") +
         "\nSELECT node AS doc_id, round(rank, 6) AS rank FROM r5 ORDER BY doc_id"
-    }
+    },
+    "q91_shard_manifest" ->
+      """SELECT CAST((doc_id * 2654435761) % 8 AS INTEGER) AS shard,
+        | count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q92_salted_join" ->
+      """SELECT s_nationkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q93_zorder_roundtrip" ->
+      """SELECT count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price,
+        | min(o_orderkey) AS min_key
+        |FROM orders
+        |WHERE o_custkey < 1000 AND o_totalprice > 150000.0""".stripMargin,
+    "q94_unigram_surprisal" ->
+      """WITH tc AS (
+        | SELECT doc_id, tok, count(*) AS cnt
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents)
+        | GROUP BY 1, 2),
+        |g AS (SELECT tok, sum(cnt) AS tf FROM tc GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS corpus_tokens FROM tc)
+        |SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_tokens,
+        | round(-sum(CAST(cnt AS DOUBLE) *
+        |            log2(CAST(tf AS DOUBLE) / corpus_tokens))
+        |       / CAST(sum(cnt) AS DOUBLE), 4) AS avg_surprisal
+        |FROM tc JOIN g USING (tok) CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -273,6 +273,37 @@ object Corpus {
       .orderBy(col("token"))
   }
 
+  /** Per-document unigram surprisal — the CCNet-style language-model
+    * quality signal: avg_surprisal = -Σ cnt·log2(p(tok)) / n_tokens with
+    * p(tok) the corpus unigram frequency. Boilerplate/repetitive docs
+    * score low (their tokens are corpus-frequent), lexically odd docs
+    * score high; both tails are what a pretraining quality filter trims.
+    * The heuristic scores ([[qualityFilter]]) look only inside one doc;
+    * this one scores each doc AGAINST the corpus distribution — the
+    * cheap stand-in for the perplexity filter a real pipeline runs with
+    * a trained LM.
+    *
+    * Scale shape: the unigram table is keyed by token and can be
+    * vocabulary-sized, so it is NOT broadcast — the probe is a shuffle
+    * join on tok (fine-grained, map-side-combined on both inputs); only
+    * the 1-row corpus total is broadcast. Two aggregations + one join,
+    * all over the exploded (doc_id, tok) relation.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tc = tokenCounts(docs)
+    val unigram = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
+    val total = tc.agg(sum(col("cnt")).cast("double").as("corpus_tokens"))
+    tc.join(unigram, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("int").as("n_tokens"),
+        round(
+          -sum(col("cnt").cast("double") *
+            log2(col("tf").cast("double") / col("corpus_tokens"))) /
+            sum(col("cnt")).cast("double"), 4).as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF top-k terms per document: tf = cnt/doc_total,
     * idf = ln(N/df). N is a 1-row aggregate broadcast-cross-joined in
     * (declarative — no driver-side count action); df comes from a

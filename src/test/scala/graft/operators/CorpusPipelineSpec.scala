@@ -95,6 +95,29 @@ class CorpusPipelineSpec extends SparkFunSuite {
     }
   }
 
+  test("unigramSurprisal: corpus-frequent docs score below lexically rare docs") {
+    // 4 docs; "the cat" tokens dominate the corpus, "zyx wvu" are unique.
+    val df = Seq(
+      (1L, "the cat the cat the cat"),
+      (2L, "the cat the cat the cat"),
+      (3L, "the cat the cat the cat"),
+      (4L, "zyx wvu qpo nml kji hgf")
+    ).toDF("doc_id", "text")
+    val out = Corpus.unigramSurprisal(df).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._1 == 6 && out(4L)._1 == 6)
+    // identical docs score identically; the all-rare doc scores strictly higher
+    assert(out(1L)._2 == out(2L)._2 && out(2L)._2 == out(3L)._2)
+    assert(out(4L)._2 > out(1L)._2)
+    // exact value: common tokens have p=9/24 -> surprisal log2(24/9);
+    // rare tokens p=1/24 -> log2(24)
+    val common = math.log(24.0 / 9.0) / math.log(2.0)
+    assert(math.abs(out(1L)._2 - math.rint(common * 1e4) / 1e4) < 1e-9)
+    val rare = math.log(24.0) / math.log(2.0)
+    assert(math.abs(out(4L)._2 - math.rint(rare * 1e4) / 1e4) < 1e-9)
+  }
+
   test("scrub masks URLs, emails, and word-bounded blocklist terms") {
     val bl = Seq("secret")
     val df = Seq(

@@ -15,6 +15,17 @@ class PlanShapeSpec extends SparkFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("Par.ensure is identity for already-parallel inputs, widens serial ones") {
+    import graft.SparkTestBase.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val target = spark.sparkContext.defaultParallelism
+    val wide = (1 to 100).toDF("x").repartition(target, col("x"))
+    // identity — no extra exchange inserted at cluster scale
+    assert(graft.operators.Par.ensure(wide) eq wide)
+    val narrow = (1 to 100).toDF("x").coalesce(1)
+    assert(graft.operators.Par.ensure(narrow).rdd.getNumPartitions == target)
+  }
+
   test("banded range join never falls back to a nested-loop join") {
     val plan = planOf("q53_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"))
