@@ -329,7 +329,33 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"))
     }),
     "q94_unigram_surprisal" -> ((s, d) =>
-      Corpus.unigramSurprisal(eng(s, d).table("documents")))
+      Corpus.unigramSurprisal(eng(s, d).table("documents"))),
+    // Wire-source roundtrip: serialize a dimension into the reference's
+    // {"data":[...]} wire format (raw keys with spaces, exactly what a
+    // migrating user captures with curl — oec.py:22/62), read it back
+    // through the DSv2 `oecjson` source via the endpoint= seam, and
+    // aggregate — parity with direct SQL on the source table proves the
+    // source's record decode, name normalization, and type inference on
+    // the data path (previously only ScalaTest-gated).
+    "q95_wire_roundtrip" -> ((s, d) => {
+      val nation = eng(s, d).table("nation")
+      val recs = nation.select(
+        col("n_nationkey").as("Nation ID"), col("n_name").as("Nation"),
+        col("n_regionkey").as("Region ID"))
+        .toJSON.collect() // 25-row dimension: this is fixture capture, not a data path
+      val dir2 = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_wire_" + new java.io.File(d).getName)
+      java.nio.file.Files.createDirectories(dir2)
+      // two response files — exercises one-partition-per-response planning
+      recs.grouped(math.max(1, (recs.length + 1) / 2)).zipWithIndex.foreach {
+        case (chunk, i) => java.nio.file.Files.writeString(
+          dir2.resolve(s"r$i.json"), chunk.mkString("{\"data\": [", ",", "]}"))
+      }
+      s.read.format("oecjson").option("endpoint", s"file:$dir2").load()
+        .groupBy(col("region_id"))
+        .agg(count(lit(1)).as("n_nations"), min(col("nation")).as("first_nation"))
+        .orderBy(col("region_id"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1338,6 +1364,11 @@ object SparkEntry {
         |            log2(CAST(tf AS DOUBLE) / corpus_tokens))
         |       / CAST(sum(cnt) AS DOUBLE), 4) AS avg_surprisal
         |FROM tc JOIN g USING (tok) CROSS JOIN t
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q95_wire_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS region_id,
+        | count(*) AS n_nations,
+        | min(n_name) AS first_nation
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
