@@ -34,6 +34,15 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq
     val samples = (1 to Passes).flatMap { _ =>
+      // Session-lifetime memos (the shared near-dup pair frame, ANN
+      // index layouts) are cleared at the START of every pass: otherwise
+      // only the first sample of the first consumer pays the pipeline,
+      // and the median silently reports checkpoint-read time as the
+      // query's cost. With a per-pass clear, the first consumer in EVERY
+      // pass computes the real pipeline (its median is honest) while the
+      // later consumers still measure the intended shared-frame shape.
+      graft.operators.Dedup.invalidateSharedPairs(spark)
+      graft.operators.Similarity.invalidateIndexes(spark)
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -52,7 +61,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Full artifact beside the stdout line: the driver's log tail keeps
+    // only the last ~64 per-query entries, so cross-round comparison
+    // needs the complete medians (plus raw per-pass samples) on disk.
+    val perPass = names.map { name =>
+      val xs = samples.collect { case (`name`, t) => t }
+      s"\"" + name + "\":" + xs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      s"""{"result":$line,"passes":$Passes,"samples":$perPass}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

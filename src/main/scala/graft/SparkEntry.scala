@@ -22,6 +22,16 @@ object SparkEntry {
 
   private def eng(s: SparkSession, dir: String) = new Engine(s, dir)
 
+  /** Temp dir for the sink-roundtrip queries (q91/q93/q95), keyed by the
+    * Spark application id: two concurrent drivers (bench + correctness
+    * harness) on one machine must not Overwrite-delete files the other
+    * JVM is mid-read. Within one application the path is stable, so
+    * repeated invocations (bench passes) overwrite deterministically.
+    */
+  private def tmpPath(s: SparkSession, prefix: String, dataset: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      s"${s.sparkContext.applicationId}_" + new java.io.File(dataset).getName
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Spark-native transposition of the reference docstring query
     * (`oec.py:30-37`): drilldowns [Year, Nation], measure [Trade Value],
@@ -114,7 +124,8 @@ object SparkEntry {
     "q28_embed_knn" -> ((s, d) =>
       Similarity.bruteForceTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10)),
     "q29_embed_lsh_topk" -> ((s, d) =>
-      Similarity.lshTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10)),
+      Similarity.lshTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10,
+        datasetKey = d)),
     "q30_embed_neardup" -> ((s, d) =>
       Similarity.lshNearDupPairs(eng(s, d).table("embeddings"), threshold = 0.3)),
     "q31_label_centroids" -> ((s, d) =>
@@ -152,7 +163,8 @@ object SparkEntry {
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("lang"))),
     "q46_embed_ivf" -> ((s, d) =>
-      Similarity.ivfTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10)),
+      Similarity.ivfTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10,
+        datasetKey = d)),
     "q47_multimodal_resize" -> ((s, d) =>
       // checksum needs a byte-fold the SQL oracle can't express; it stays in
       // the API (determinism gated by IvfSpec) but off the parity surface
@@ -284,12 +296,10 @@ object SparkEntry {
     "q91_shard_manifest" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
-        new java.io.File(d).getName
+      val path = tmpPath(s, "graft_shards", d)
       Sink.writeTrainingShards(docs, path, "doc_id", shards = 8)
       s.read.parquet(path)
-        .withColumn("shard",
-          pmod(col("doc_id") * lit(2654435761L), lit(8)).cast("int"))
+        .withColumn("shard", Sink.shardOf(col("doc_id"), 8).cast("int"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"),
@@ -319,8 +329,7 @@ object SparkEntry {
     "q93_zorder_roundtrip" -> ((s, d) => {
       val orders = eng(s, d).table("orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
-        new java.io.File(d).getName
+      val path = tmpPath(s, "graft_zorder", d)
       Sink.writeZOrdered(orders, path, "o_custkey", "o_totalprice", files = 8)
       s.read.parquet(path)
         .filter(col("o_custkey") < 1000 && col("o_totalprice") > 150000.0)
@@ -343,8 +352,7 @@ object SparkEntry {
         col("n_nationkey").as("Nation ID"), col("n_name").as("Nation"),
         col("n_regionkey").as("Region ID"))
         .toJSON.collect() // 25-row dimension: this is fixture capture, not a data path
-      val dir2 = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_wire_" + new java.io.File(d).getName)
+      val dir2 = java.nio.file.Paths.get(tmpPath(s, "graft_wire", d))
       java.nio.file.Files.createDirectories(dir2)
       // two response files — exercises one-partition-per-response planning
       recs.grouped(math.max(1, (recs.length + 1) / 2)).zipWithIndex.foreach {
@@ -1334,7 +1342,7 @@ object SparkEntry {
         "\nSELECT node AS doc_id, round(rank, 6) AS rank FROM r5 ORDER BY doc_id"
     },
     "q91_shard_manifest" ->
-      """SELECT CAST((doc_id * 2654435761) % 8 AS INTEGER) AS shard,
+      """SELECT CAST(((doc_id & 2147483647) * 2654435761) % 8 AS INTEGER) AS shard,
         | count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | min(doc_id) AS min_doc, max(doc_id) AS max_doc

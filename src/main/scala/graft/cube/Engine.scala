@@ -26,13 +26,12 @@ import org.apache.spark.sql.types._
   */
 class Engine(spark: SparkSession, dir: String) {
 
-  // The events fixture stores ts as TIMESTAMP(NANOS), which Spark's
-  // vectorized parquet reader rejects outright; read nanos as long and
-  // convert to a (microsecond) timestamp ourselves.
-  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-  // Write timestamps as TIMESTAMP_MICROS (not legacy INT96) so results
-  // round-trip with identical physical type to the DuckDB oracle's.
-  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  // Session config (nanosAsLong for the TIMESTAMP(NANOS) events fixture,
+  // TIMESTAMP_MICROS parquet output) is set ONCE at session build in
+  // [[graft.GraftSession]] — an Engine constructor must not mutate
+  // session-global conf: two concurrent Engines over different dirs in
+  // one session would race, and idempotent-looking writes become traps
+  // the moment a deployment wants per-session overrides.
 
   /** Scan a physical table. One parquet path per table (`TESTDATA.md`).
     *

@@ -104,8 +104,11 @@ object Dedup {
     * reads the checkpointed blocks instead of recomputing lineage.
     *
     * Keyed by (session, dataset path): a new session or dataset computes
-    * fresh; re-registration replaces (never grows unboundedly — one entry
-    * per dataset the session touches). Only the DEFAULT-parameter pipeline
+    * fresh; the map never grows unboundedly — one entry per dataset the
+    * session touches. The key is the CALLER-SUPPLIED path and is trusted:
+    * an entry lives until [[invalidateSharedPairs]] — if the data under
+    * `datasetKey` is rewritten mid-session, the caller must invalidate or
+    * every consumer reads stale pairs. Only the DEFAULT-parameter pipeline
     * is memoized; callers with custom banding use [[minhashPairs]].
     */
   private val pairsMemo =
@@ -114,6 +117,22 @@ object Dedup {
   def minhashPairsShared(docs: DataFrame, datasetKey: String): DataFrame =
     pairsMemo.getOrElseUpdate((docs.sparkSession, datasetKey),
       minhashPairs(docs).localCheckpoint())
+
+  /** Drop every memoized pair frame of `spark`, explicitly unpersisting
+    * the localCheckpoint blocks each one holds (ContextCleaner would
+    * eventually reclaim them by GC, but a caller rewriting a dataset —
+    * or a benchmark wanting each pass to pay the real pipeline cost —
+    * needs the release deterministic). Next [[minhashPairsShared]] call
+    * recomputes from the data.
+    */
+  def invalidateSharedPairs(spark: org.apache.spark.sql.SparkSession): Unit =
+    pairsMemo.keys.filter(_._1 eq spark).foreach { k =>
+      pairsMemo.remove(k).foreach { df =>
+        df.queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
+      }
+    }
 
   /** Distinct (idA < idB) pairs of ids sharing a bucket: ONE aggregation
     * per bucket with in-bucket pair expansion via higher-order functions.

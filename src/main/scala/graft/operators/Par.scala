@@ -23,6 +23,12 @@ import org.apache.spark.sql.DataFrame
 private[graft] object Par {
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Probe partitioning via the planned internal RDD (lazy — builds the
+    // DAG, runs no job). `df.rdd` would additionally stack a
+    // row-deserialization RDD conversion on top just to ask the same
+    // question.
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 }

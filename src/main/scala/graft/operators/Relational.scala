@@ -362,10 +362,20 @@ object Relational {
       .orderBy(col("event_type"), col("day"))
   }
 
-  /** Revenue distribution analytics: quartile bucket (ntile) and exact
-    * percentile position (percent_rank) per customer. The window runs on
-    * the aggregated per-customer frame with a deterministic total order
-    * (revenue desc, key), so every rank is reproducible across engines.
+  /** Revenue distribution analytics: quartile bucket (ntile semantics)
+    * and exact percentile position (percent_rank) per customer — computed
+    * with the DISTRIBUTED global-rank pattern, not a global window. A
+    * `Window.orderBy` with no partitioning plans as a single-partition
+    * sort of EVERY customer (fine on fixture rows, a straggler-then-OOM
+    * at 100 TB); instead: range-partition on the total order
+    * (revenue desc, custkey), row_number locally per partition, add
+    * broadcast per-partition row-count offsets (the pattern
+    * [[Corpus.packSequences]] proves), then derive ntile/percent_rank
+    * arithmetically from the global rank. The only un-partitioned window
+    * left runs over ONE ROW PER PARTITION — bounded by cluster size, not
+    * data size. Identical results to the window functions under the
+    * deterministic total order (oracle-gated, q75; plan-asserted in
+    * PlanShapeSpec).
     */
   def revenueQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val en = e(spark, dir)
@@ -375,10 +385,39 @@ object Relational {
       .groupBy(col("c_custkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("revenue"))
-    val w = Window.orderBy(col("revenue").desc, col("c_custkey"))
-    rev
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", percent_rank().over(w))
+    // localCheckpoint: range boundaries are sampled per materialization;
+    // the row frame and the offset frame must observe the SAME cut.
+    val ranged = rev
+      .repartitionByRange(col("revenue").desc, col("c_custkey"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+    val wPrev = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pn"))
+      .withColumn("__poff", coalesce(sum(col("__pn")).over(wPrev), lit(0L)))
+      .withColumn("__n", sum(col("__pn")).over(wAll))
+      .select(col("__pid"), col("__poff"), col("__n"))
+    ranged
+      .withColumn("__local", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__rank", col("__local") + col("__poff"))
+      // ntile(4) semantics: the first (n % 4) buckets hold ceil(n/4) rows
+      .withColumn("quartile", expr(
+        """CASE WHEN __rank <= (__n % 4) * (__n div 4 + 1)
+          |     THEN (__rank - 1) div (__n div 4 + 1) + 1
+          |     ELSE (__n % 4) + (__rank - (__n % 4) * (__n div 4 + 1) - 1)
+          |            div (__n div 4) + 1 END""".stripMargin).cast("int"))
+      // percent_rank = (rank - 1) / (n - 1); 0 for a single-row frame
+      .withColumn("pct_rank",
+        when(col("__n") === 1L, lit(0.0d))
+          .otherwise((col("__rank") - lit(1L)).cast("double") /
+            (col("__n") - lit(1L)).cast("double")))
+      .select(col("c_custkey"), col("revenue"), col("quartile"), col("pct_rank"))
       .orderBy(col("c_custkey"))
   }
 

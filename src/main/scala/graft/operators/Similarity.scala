@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   *     planes; kNN/near-dup work is then confined to bucket-local joins
   *     (shuffle keyed by bucket, never a cross join);
   *   - multi-probe: querying with all Hamming-1 neighbors of the query's
-  *     bucket key trades b extra lookups for recall.
+  *     bucket key trades b extra lookups for recall;
+  *   - probe queries go through STORAGE-PARTITIONED index layouts
+  *     ([[lshIndex]]/[[ivfIndex]]): the corpus is written Hive-partitioned
+  *     by bucket/cell id, so a probe's IN-filter prunes partitions and
+  *     reads only the probed directories — at 100 TB the other
+  *     nlist - nprobe cells are never listed, let alone scanned.
   */
 object Similarity {
 
@@ -141,28 +146,82 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** IVF-style partitioned kNN: assign rows to the LSH bucket of their
-    * key, then answer a query by probing only its own bucket plus all
-    * Hamming-1 neighbor buckets (multi-probe). Approximate; recall grows
-    * with probes. Returns top-k for one query id.
+  // ------------- storage-partitioned ANN index layouts -------------
+  //
+  // The POINT of an inverted-file / bucketed ANN index at 100 TB is that
+  // a probe does NOT read the other nlist-1 cells. A filter over an
+  // in-memory bucket column still scans the whole corpus; writing the
+  // keyed corpus Hive-partitioned by cell/bucket id turns the probe's
+  // id filter into PartitionFilters — Spark lists and reads ONLY the
+  // nprobe matching directories (plan-asserted in IvfSpec).
+
+  /** One IVF index layout: the corpus written cid-partitioned, plus its
+    * trained coarse quantizer (model state: nlist x dim doubles).
+    */
+  final case class IvfIndex(path: String, centroids: Array[(Int, Array[Double])])
+
+  // Index layouts are session-lifetime, one per (session, dataset) like
+  // Dedup.pairsMemo: build once (a full-corpus write — the expensive,
+  // amortized step), probe many. The caller-supplied key is trusted;
+  // invalidateIndexes drops them (e.g. after a dataset rewrite, or per
+  // bench pass so timings include the build).
+  private val ivfMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), IvfIndex]
+  private val lshMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  def invalidateIndexes(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ivfMemo.keys.filter(_._1 eq spark).foreach(ivfMemo.remove)
+    lshMemo.keys.filter(_._1 eq spark).foreach(lshMemo.remove)
+  }
+
+  private def indexPath(spark: org.apache.spark.sql.SparkSession,
+      kind: String, datasetKey: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_idx_" +
+      s"${spark.sparkContext.applicationId}_" +
+      new java.io.File(datasetKey).getName
+
+  /** Build (once per session+dataset) the bucket-partitioned LSH index:
+    * corpus keyed by its `planes`-bit hyperplane signature, written
+    * Hive-partitioned by bucket. One map stage + one partitioned write.
+    */
+  def lshIndex(emb: DataFrame, datasetKey: String,
+      planes: Int = 8, dim: Int = 64): String =
+    lshMemo.getOrElseUpdate((emb.sparkSession, datasetKey), {
+      val path = indexPath(emb.sparkSession, "lsh", datasetKey)
+      graft.sources.Sink.writePartitioned(
+        emb.select(col("vec_id"), col("label"), col("embedding"),
+          lshKey(col("embedding"), planes, dim).as("bucket")),
+        path, Seq("bucket"))
+      path
+    })
+
+  /** Bucketed ANN top-k through the LSH index: the query's bucket plus
+    * all Hamming-1 neighbors (multi-probe) become a partition-pruning
+    * IN-filter on the index layout — the scan reads `planes + 1` bucket
+    * directories, not the corpus. Approximate; recall grows with probes.
     */
   def lshTopK(
       emb: DataFrame,
       queryId: Long,
       k: Int,
       planes: Int = 8,
-      dim: Int = 64): DataFrame = {
-    val keyed = emb.select(col("vec_id"), col("label"), col("embedding"),
-      lshKey(col("embedding"), planes, dim).as("bucket"))
-    val q = broadcast(keyed.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket")))
-    // multi-probe: own bucket + flip each of the `planes` bits
-    val probes = array((0 until planes).map(p =>
-      col("q_bucket").bitwiseXOR(lit(1L << p))) :+ col("q_bucket"): _*)
-    keyed.filter(col("vec_id") =!= queryId)
-      .join(q, array_contains(probes, col("bucket")))
+      dim: Int = 64,
+      datasetKey: String): DataFrame = {
+    val path = lshIndex(emb, datasetKey, planes, dim)
+    // 1-row driver fetch: the query vector and its bucket (computed by
+    // the SAME column expression the index used)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding"), lshKey(col("embedding"), planes, dim).as("bucket"))
+      .collect()
+    require(q.nonEmpty, s"lshTopK: query vec_id=$queryId not found")
+    val qBucket = q.head.getLong(1)
+    val probes = qBucket +: (0 until planes).map(p => qBucket ^ (1L << p))
+    val qLit = array(q.head.getSeq[Float](0).map(f => lit(f.toDouble)).toIndexedSeq: _*)
+    emb.sparkSession.read.parquet(path)
+      .filter(col("bucket").isInCollection(probes) && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+        round(cosine(col("embedding"), qLit), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -252,11 +311,29 @@ object Similarity {
     emb.withColumn("cid", array_min(array(scored.toIndexedSeq: _*)).getField("cid"))
   }
 
-  /** IVF (inverted-file) approximate top-k: vectors are partitioned into
-    * k-means cells; a query scans only its `nprobe` nearest cells. At
-    * scale the assignment is a pure map over the corpus (k dot products
-    * per row) and the probed fraction bounds the search cost to
-    * ~nprobe/nlist of a full scan.
+  /** Build (once per session+dataset) the IVF index: train the coarse
+    * quantizer on a bounded sample ([[kmeans]]), assign every vector to
+    * its nearest cell (pure map — k dot products per row), and write the
+    * corpus Hive-partitioned by cell id. The one full-corpus pass, paid
+    * at build time, never at probe time.
+    */
+  def ivfIndex(emb: DataFrame, datasetKey: String,
+      nlist: Int = 16, iters: Int = 5): IvfIndex =
+    ivfMemo.getOrElseUpdate((emb.sparkSession, datasetKey), {
+      val centroids = kmeans(emb, nlist, iters).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      val path = indexPath(emb.sparkSession, "ivf", datasetKey)
+      graft.sources.Sink.writePartitioned(
+        assignToCentroids(emb, centroids), path, Seq("cid"))
+      IvfIndex(path, centroids)
+    })
+
+  /** IVF (inverted-file) approximate top-k through the cid-partitioned
+    * index: the query's `nprobe` nearest cells (chosen driver-side
+    * against the nlist x dim centroid model) become a partition-pruning
+    * IN-filter — the scan lists and reads ONLY those cell directories,
+    * bounding probe I/O to ~nprobe/nlist of the corpus instead of
+    * filtering a full scan.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -264,20 +341,19 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      iters: Int = 5): DataFrame = {
-    val centroids = kmeans(emb, nlist, iters).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-    val assigned = assignToCentroids(emb, centroids)
+      iters: Int = 5,
+      datasetKey: String): DataFrame = {
+    val idx = ivfIndex(emb, datasetKey, nlist, iters)
     val qRows = emb.filter(col("vec_id") === queryId).collect()
     require(qRows.nonEmpty, s"ivfTopK: query vec_id=$queryId not found")
     val q = qRows.head
     val qv = q.getSeq[Float](q.fieldIndex("embedding")).map(_.toDouble).toArray
-    val probes = centroids.map { case (cid, c) =>
+    val probes = idx.centroids.map { case (cid, c) =>
       val d2 = c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
       cid -> d2
     }.sortBy(_._2).take(nprobe).map(_._1).toSet
     val qLit = array(qv.map(lit).toIndexedSeq: _*)
-    assigned
+    emb.sparkSession.read.parquet(idx.path)
       .filter(col("cid").isInCollection(probes) && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), qLit), 4).as("cos_sim"))

@@ -48,7 +48,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * independent API results; parallelism = file count), column pruning via
   * SupportsPushDownRequiredColumns so projected queries deserialize only
   * requested fields. Each reader streams its own file; no driver-side
-  * parsing except schema inference over one sample file.
+  * parsing except schema inference over a bounded sample of each file.
   */
 class OecJsonSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -60,7 +60,7 @@ class OecJsonSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = OecJsonSource.listFiles(options)
     require(files.nonEmpty, "oecjson: no .json files under 'path'")
-    OecJsonSource.inferFromFile(files.head)
+    OecJsonSource.inferFromFiles(files)
   }
 
   override def getTable(
@@ -118,25 +118,36 @@ object OecJsonSource {
     data.elements().asScala
   }
 
-  /** Widening inference: long < double < string. */
-  def inferFromFile(file: String): StructType = {
+  /** Widening inference: long < double < string, widened across a bounded
+    * sample of EVERY response file — responses are independent API results,
+    * so one all-integral response must not pin a column another response
+    * stores fractionally (`{"v":1}` then `{"v":1.5}` infers double, not
+    * long). Cost is bounded at `perFileSample` records per file, parsed on
+    * the driver once at plan time.
+    */
+  def inferFromFiles(files: Seq[String], perFileSample: Int = 1000): StructType = {
     val norm = graft.cube.Normalize.norm _
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
-    records(file).take(1000).foreach { rec =>
-      rec.fields().asScala.foreach { e =>
-        val dt: DataType =
-          if (e.getValue.isIntegralNumber) LongType
-          else if (e.getValue.isNumber) DoubleType
-          else StringType
-        val name = norm(e.getKey)
-        fields.get(name) match {
-          case None => fields(name) = dt
-          case Some(prev) => fields(name) = widen(prev, dt)
+    files.foreach { file =>
+      records(file).take(perFileSample).foreach { rec =>
+        rec.fields().asScala.foreach { e =>
+          val dt: DataType =
+            if (e.getValue.isIntegralNumber) LongType
+            else if (e.getValue.isNumber) DoubleType
+            else StringType
+          val name = norm(e.getKey)
+          fields.get(name) match {
+            case None => fields(name) = dt
+            case Some(prev) => fields(name) = widen(prev, dt)
+          }
         }
       }
     }
     StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) }.toSeq)
   }
+
+  /** Single-file form of [[inferFromFiles]]. */
+  def inferFromFile(file: String): StructType = inferFromFiles(Seq(file))
 
   private def widen(a: DataType, b: DataType): DataType = (a, b) match {
     case (x, y) if x == y => x
@@ -148,7 +159,13 @@ object OecJsonSource {
 class OecJsonTable(schema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
 
-  override def name(): String = s"oecjson(${options.get("path")})"
+  // raw path-or-endpoint (not resolvePath: name() must never throw, and
+  // the user-facing plan should echo what the user typed)
+  override def name(): String = {
+    val src = Option(options.get("path"))
+      .orElse(Option(options.get("endpoint"))).getOrElse("?")
+    s"oecjson($src)"
+  }
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)

@@ -69,6 +69,13 @@ object Sink {
     * shard, and `maxRecordsPerFile` bounding any one file so a single
     * loader task never gets an unbounded read. This is the terminal
     * stage of the curation pipeline: `Corpus.curate` → shards.
+    *
+    * The hash is [[shardOf]] — the id is masked to its low 31 bits
+    * BEFORE the Knuth multiply, so the product is bounded by
+    * 2^31 * 2654435761 < 2^63: no silent long wrap in Spark (non-ANSI
+    * wraps; ANSI engines trap), and the membership formula stays
+    * byte-identical on any engine for the FULL long domain, negative
+    * ids included.
     */
   def writeTrainingShards(
       df: DataFrame,
@@ -76,11 +83,18 @@ object Sink {
       idCol: String,
       shards: Int,
       maxRecordsPerFile: Long = 0L): Unit =
-    df.repartition(shards, pmod(col(idCol) * lit(2654435761L), lit(shards)))
+    df.repartition(shards, shardOf(col(idCol), shards))
       .sortWithinPartitions(col(idCol))
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+
+  /** Shard membership of an id: `((id & 0x7FFFFFFF) * 2654435761) % shards`
+    * — overflow-free (see [[writeTrainingShards]]), so readers/oracles can
+    * recompute it portably.
+    */
+  def shardOf(id: Column, shards: Int): Column =
+    pmod(id.bitwiseAND(lit(0x7FFFFFFFL)) * lit(2654435761L), lit(shards))
 
   /** Spread the low 16 bits of `c` to even bit positions (Morton
     * "Part1By1"): pure built-in bit ops, so the whole z-value computation

@@ -19,10 +19,10 @@ import org.apache.spark.sql.types._
 object EventsStream {
 
   /** Events schema as stored (ts is TIMESTAMP(NANOS) -> long under
-    * nanosAsLong; converted to NTZ micros, mirroring Engine.table).
+    * nanosAsLong, set once at session build in [[graft.GraftSession]];
+    * converted to NTZ micros, mirroring Engine.table).
     */
   private def streamingEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),

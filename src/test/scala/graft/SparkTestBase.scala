@@ -8,12 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SparkTestBase {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // Built through GraftSession so tests get the same one-time session
+    // conf (UTC, nanosAsLong, TIMESTAMP_MICROS output) production gets —
+    // operators no longer set conf themselves.
+    val s = GraftSession.builder("local[4]", 4)
       .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -39,7 +39,8 @@ class IvfSpec extends SparkFunSuite {
   test("ivf top-k on clustered data matches brute force") {
     val bf = Similarity.bruteForceTopK(clustered, 0L, 5)
       .collect().map(_.getLong(0)).toSeq
-    val ivf = Similarity.ivfTopK(clustered, 0L, 5, nlist = 4, nprobe = 1)
+    val ivf = Similarity.ivfTopK(clustered, 0L, 5, nlist = 4, nprobe = 1,
+      datasetKey = "ivfspec-clustered")
       .collect().map(_.getLong(0)).toSeq
     // query 0 lives in cluster 0; its true neighbors are in the same cell,
     // so probing a single cell recovers the exact top-k
@@ -49,9 +50,55 @@ class IvfSpec extends SparkFunSuite {
   test("ivf with all cells probed equals brute force on the fixture") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSeq
-    val ivf = Similarity.ivfTopK(emb, 0L, 10, nlist = 8, nprobe = 8)
+    val ivf = Similarity.ivfTopK(emb, 0L, 10, nlist = 8, nprobe = 8,
+      datasetKey = "ivfspec-sf-exhaustive")
       .collect().map(_.getLong(0)).toSeq
     assert(ivf == bf) // nprobe = nlist => exhaustive => exact
+  }
+
+  test("ivf probe prunes storage partitions: only nprobe cell dirs are read") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = Similarity.ivfTopK(emb, 0L, 10, nlist = 8, nprobe = 2,
+      datasetKey = "ivfspec-sf-pruned")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe's cell filter must hit the scan as a PARTITION filter
+    // (directory pruning), never a post-scan data filter over all cells
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("PartitionFilters"))
+    assert(scanLine.isDefined, s"no partition-filtered scan in:\n$plan")
+    assert(scanLine.get.contains("cid"),
+      s"cell filter missing from PartitionFilters: ${scanLine.get}")
+    // and the layout on disk is one directory per cell
+    val idx = Similarity.ivfIndex(emb, "ivfspec-sf-pruned", nlist = 8)
+    val cellDirs = new java.io.File(idx.path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(cellDirs.length > 2, "index must be laid out cid-partitioned")
+  }
+
+  test("lsh probe prunes storage partitions and keeps recall on planted clusters") {
+    val bf = Similarity.bruteForceTopK(clustered, 0L, 5)
+      .collect().map(_.getLong(0)).toSet
+    val df = Similarity.lshTopK(clustered, 0L, 5, planes = 4, dim = 16,
+      datasetKey = "lshspec-clustered")
+    val got = df.collect().map(_.getLong(0)).toSet
+    // multi-probe over Hamming-1 buckets recovers most true neighbors on
+    // well-separated clusters
+    assert((bf intersect got).size >= 3, s"recall too low: $got vs $bf")
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("PartitionFilters"))
+    assert(scanLine.isDefined && scanLine.get.contains("bucket"),
+      s"bucket probe must prune partitions:\n$plan")
+  }
+
+  test("session index memos invalidate cleanly") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = Similarity.ivfIndex(emb, "ivfspec-invalidate", nlist = 4)
+    assert(Similarity.ivfIndex(emb, "ivfspec-invalidate", nlist = 4) eq a)
+    Similarity.invalidateIndexes(spark)
+    val b = Similarity.ivfIndex(emb, "ivfspec-invalidate", nlist = 4)
+    assert(!(b eq a), "invalidateIndexes must force a rebuild")
   }
 
   test("decodeFeatures computes the byte-histogram features exactly") {

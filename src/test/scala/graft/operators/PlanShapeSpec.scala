@@ -81,6 +81,26 @@ class PlanShapeSpec extends SparkFunSuite {
       "the fact table must not shuffle for the moments join")
   }
 
+  test("q75 global ranks never sort the customer frame into one partition") {
+    val plan = finalPlanOf("q75_revenue_quartiles")
+    // ntile/percent_rank are derived arithmetically from the distributed
+    // rank — the window functions (which force a global one-partition
+    // sort) must be gone from the plan entirely
+    assert(!plan.contains("ntile("), "ntile window fn reappeared in q75")
+    assert(!plan.contains("percent_rank("), "percent_rank window fn reappeared in q75")
+    // the per-partition rank runs partitioned by __pid
+    val rnLine = plan.linesIterator.find(_.contains("row_number()"))
+    assert(rnLine.exists(_.contains("__pid")),
+      s"row_number must be partitioned by __pid, got: $rnLine")
+    // the only single-partition exchange allowed is the offsets frame —
+    // one row per partition, bounded by cluster size not data size
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1, s"expected at most one bounded SinglePartition exchange, got $singles")
+    if (singles == 1)
+      assert(plan.contains("HashAggregate(keys=[__pid"),
+        "the SinglePartition subtree must be the per-partition count frame")
+  }
+
   test("cube query pushes cut predicates into the parquet scan") {
     val df = new graft.cube.Engine(spark, sf).getData(graft.cube.CubeQuery(
       "trade", Seq("Nation"), Seq("Trade Value"),

@@ -116,6 +116,28 @@ class OecJsonSourceSpec extends SparkFunSuite {
       s"expected the transport-seam message, got: $msg")
   }
 
+  test("schema widening spans files: later fractional values widen an all-long first file") {
+    val dir = java.nio.file.Files.createTempDirectory("oecjson_widen").toString
+    // file 1 is all-integral; file 2 forces double — inference must widen
+    // across files, not pin types from the first response
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/r1.json"),
+      """{"data": [{"Measure": 1, "Tag": "a"}]}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/r2.json"),
+      """{"data": [{"Measure": 1.5, "Tag": "b"}]}""")
+    val df = spark.read.format("oecjson").load(dir)
+    assert(df.schema("measure").dataType.typeName == "double")
+    val got = df.orderBy(col("tag")).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 1.5))
+  }
+
+  test("table name reflects the endpoint= load path, not null") {
+    val dir = writeResponses()
+    val df = spark.read.format("oecjson").option("endpoint", s"file:$dir").load()
+    val plan = df.queryExecution.analyzed.toString
+    assert(!plan.contains("oecjson(null)"), s"plan still shows null source:\n$plan")
+    assert(plan.contains(dir), s"plan does not echo the endpoint:\n$plan")
+  }
+
   test("missing data key fails with the wire-contract message") {
     val dir = java.nio.file.Files.createTempDirectory("oecjson_bad").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bad.json"),
