@@ -143,7 +143,16 @@ object SparkEntry {
       "trade", Seq("Region"), Seq("Trade Value", "Line Count"),
       rangeCuts = Map("Year" -> ("1996", "1998"))))),
     "q37_cube_grouping" -> Relational.segmentPriorityCube _,
-    "q38_approx_distinct" -> Relational.approxCustomerCounts _,
+    // The HLL++ sketch stays on the data path (approx_ok derives from its
+    // estimate), but the registered columns are the exact count plus a
+    // 5%-tolerance assertion — deterministically TRUE, so an ANSI oracle
+    // can hash-check the whole row. The raw estimate itself remains
+    // tolerance-gated in SkewSinkSpec.
+    "q38_approx_distinct" -> ((s, d) =>
+      Relational.approxCustomerCounts(s, d)
+        .select(col("nation"), col("exact_customers"),
+          (abs(col("approx_customers") - col("exact_customers")).cast("double") /
+            col("exact_customers") <= 0.05).as("approx_ok"))),
     "q39_user_sessions" -> EventsStream.userSessions _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
@@ -212,7 +221,10 @@ object SparkEntry {
         FROM embeddings_v, q WHERE vec_id <> 0
         ORDER BY cos_sim DESC, vec_id LIMIT 10""")
     }),
-    "q59_approx_percentiles" -> Relational.approxPricePercentiles _,
+    // exact percentiles + sketch-contract booleans (see
+    // Relational.pricePercentilesAudit) — oracle-gated; the raw KLL
+    // estimates stay tolerance-gated in RangeJoinSpec
+    "q59_approx_percentiles" -> Relational.pricePercentilesAudit _,
     "q60_price_stats" -> Relational.priceQuantityStats _,
     // Benchmark decontamination: docs sharing any word 4-gram with the
     // (deterministic) eval subset doc_id % 97 == 0. API default is n=8;
@@ -252,9 +264,15 @@ object SparkEntry {
     "q73_retention" -> EventAnalytics.cohortRetention _,
     "q74_moving_avg" -> Relational.movingAverage7d _,
     "q75_revenue_quartiles" -> Relational.revenueQuartiles _,
-    // approximate (Datasketches HLL) — rows-only at the driver; the
-    // ±5%-of-exact tolerance gate is EventAnalyticsSpec
-    "q76_sketch_rollup" -> Relational.dailySketchRollup _,
+    // Datasketches HLL union rollup on the data path; registered columns
+    // are exact distincts + a 5%-tolerance assertion on the merged
+    // estimate (deterministically TRUE), so the row hash-checks against
+    // an ANSI oracle. Raw estimate tolerance gate: EventAnalyticsSpec.
+    "q76_sketch_rollup" -> ((s, d) =>
+      Relational.dailySketchRollup(s, d)
+        .select(col("event_type"), col("n_days"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("approx_ok"))),
     "q77_variant_props" -> Relational.variantPropDeciles _,
     "q78_tws_spend" -> EventsStream.userSpendTws _,
     "q79_value_outliers" -> ((s, d) => Relational.valueOutliers(s, d)),
@@ -339,6 +357,25 @@ object SparkEntry {
     }),
     "q94_unigram_surprisal" -> ((s, d) =>
       Corpus.unigramSurprisal(eng(s, d).table("documents"))),
+    // Two-phase (salted) aggregation parity: result must equal the plain
+    // groupBy — the oracle IS the unsalted SQL aggregate, proving the
+    // hot-key path's semantics on the data path. Aggregates chosen
+    // order-independent (integer-valued sum, count, max) so partial
+    // merge order cannot perturb the hash.
+    "q96_two_phase_agg" -> ((s, d) => {
+      val li = eng(s, d).table("lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      Skew.twoPhaseAgg(li, Seq("l_returnflag"), saltFactor = 8,
+        partials = Map(
+          "qty" -> sum(col("l_quantity")),
+          "n" -> count(lit(1)),
+          "maxp" -> max(col("l_extendedprice"))),
+        finals = Map(
+          "total_qty" -> sum(col("qty")),
+          "n_lines" -> sum(col("n")),
+          "max_price" -> max(col("maxp"))))
+        .orderBy(col("l_returnflag"))
+    }),
     // Wire-source roundtrip: serialize a dimension into the reference's
     // {"data":[...]} wire format (raw keys with spaces, exactly what a
     // migrating user captures with curl — oec.py:22/62), read it back
@@ -651,6 +688,14 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
         |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // the boolean is the registered 5%-tolerance assertion on the HLL
+    // estimate — TRUE by the sketch's error contract, so it hashes
+    "q38_approx_distinct" ->
+      """SELECT n_name AS nation, count(DISTINCT o_custkey) AS exact_customers,
+        | TRUE AS approx_ok
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q39_user_sessions" ->
       """WITH flagged AS (
         | SELECT user_id, ts, value,
@@ -929,6 +974,12 @@ object SparkEntry {
         |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q59_approx_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        | TRUE AS approx_p50_ok, TRUE AS approx_p95_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q60_price_stats" ->
       """SELECT l_returnflag,
         | round(corr(l_quantity, l_extendedprice), 4) AS price_corr,
@@ -1117,6 +1168,11 @@ object SparkEntry {
         | percent_rank() OVER w AS pct_rank
         |FROM rev WINDOW w AS (ORDER BY revenue DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q76_sketch_rollup" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        | count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q77_variant_props" ->
       """SELECT CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10)
         |   AS INTEGER) AS k_decile,
@@ -1377,6 +1433,10 @@ object SparkEntry {
       """SELECT CAST(n_regionkey AS BIGINT) AS region_id,
         | count(*) AS n_nations,
         | min(n_name) AS first_nation
-        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q96_two_phase_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS total_qty,
+        | count(*) AS n_lines, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -225,6 +225,32 @@ object Relational {
         col("approx_p").getItem(1).as("p95"))
       .orderBy(col("l_returnflag"))
 
+  /** Percentile audit — the oracle-gated split of [[approxPricePercentiles]]:
+    * exact p50/p95 (interpolating percentile — portable), plus data-path
+    * assertions that each sketch estimate lands within its guaranteed
+    * rank window. approx_percentile(accuracy=1000) bounds rank error at
+    * ~0.1%; the audit brackets each estimate between the exact values at
+    * rank ±0.5% (a 5x margin), so the booleans are deterministically TRUE
+    * unless the sketch breaks its contract — which makes them (and the
+    * exact columns) hash-checkable by an ANSI oracle while the sketch
+    * still runs on the data path.
+    */
+  def pricePercentilesAudit(spark: SparkSession, dir: String): DataFrame =
+    e(spark, dir).table("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+        .as("ap"),
+        expr("percentile(l_extendedprice, array(0.5, 0.95, 0.495, 0.505, 0.945, 0.955))")
+          .as("ep"))
+      .select(col("l_returnflag"),
+        round(col("ep").getItem(0), 4).as("p50"),
+        round(col("ep").getItem(1), 4).as("p95"),
+        col("ap").getItem(0).between(col("ep").getItem(2), col("ep").getItem(3))
+          .as("approx_p50_ok"),
+        col("ap").getItem(1).between(col("ep").getItem(4), col("ep").getItem(5))
+          .as("approx_p95_ok"))
+      .orderBy(col("l_returnflag"))
+
   /** Bivariate stats over the star: Pearson correlation and sample
     * covariance of quantity vs line price per return flag — single-pass
     * moment aggregates (no per-group materialization).
