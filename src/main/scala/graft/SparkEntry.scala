@@ -376,6 +376,26 @@ object SparkEntry {
           "max_price" -> max(col("maxp"))))
         .orderBy(col("l_returnflag"))
     }),
+    // Batch exact kNN join: top-k corpus neighbors for EVERY query row
+    // (the single-query form is q28)
+    "q97_knn_join" -> ((s, d) => {
+      val emb = eng(s, d).table("embeddings")
+      Similarity.knnJoin(emb, emb.filter(col("vec_id") < 5), k = 3)
+    }),
+    "q98_event_transitions" -> EventAnalytics.eventTransitions _,
+    "q99_bigram_surprisal" -> ((s, d) =>
+      Corpus.bigramSurprisal(eng(s, d).table("documents"))),
+    "q100_weighted_sample" -> ((s, d) =>
+      Corpus.weightedSample(eng(s, d).table("documents"))),
+    // Indexed batch ANN join, exhaustive regime: nprobe = nlist makes the
+    // cell-probed join provably equal to the exact kNN join, so the whole
+    // probe/join machinery is oracle-gated on the data path; the
+    // approximate (nprobe < nlist) regime is recall-gated in IvfSpec.
+    "q101_ivf_knn_join" -> ((s, d) => {
+      val emb = eng(s, d).table("embeddings")
+      Similarity.ivfKnnJoin(emb, emb.filter(col("vec_id") < 5), k = 3,
+        nlist = 8, nprobe = 8, datasetKey = d)
+    }),
     // Wire-source roundtrip: serialize a dimension into the reference's
     // {"data":[...]} wire format (raw keys with spaces, exactly what a
     // migrating user captures with curl — oec.py:22/62), read it back
@@ -1437,6 +1457,66 @@ object SparkEntry {
     "q96_two_phase_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS total_qty,
         | count(*) AS n_lines, max(l_extendedprice) AS max_price
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q97_knn_join" -> knnJoinOracle,
+    "q98_event_transitions" ->
+      """WITH t AS (
+        | SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('microsecond', ts), event_id) AS prev_type
+        | FROM events)
+        |SELECT prev_type, event_type, count(*) AS n_transitions,
+        | count(DISTINCT user_id) AS n_users
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q99_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |bc0 AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   generate_series(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1])) AS bg
+        | FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bc0 GROUP BY 1, 2),
+        |g AS (SELECT bg, sum(cnt) AS bf FROM bc GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS corpus_bigrams FROM bc)
+        |SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_bigrams,
+        | round(-sum(CAST(cnt AS DOUBLE) *
+        |            log2(CAST(bf AS DOUBLE) / corpus_bigrams))
+        |       / CAST(sum(cnt) AS DOUBLE), 4) AS avg_surprisal
+        |FROM bc JOIN g USING (bg) CROSS JOIN tt
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q100_weighted_sample" ->
+      """WITH m AS (SELECT CAST(max(n_chars) AS DOUBLE) AS max_chars
+        |           FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN (doc_id * 2654435761) % 1000000
+        |   < floor(CAST(n_chars AS DOUBLE) / max_chars * 0.5 * 1000000.0)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN (doc_id * 2654435761) % 1000000
+        |   < floor(CAST(n_chars AS DOUBLE) / max_chars * 0.5 * 1000000.0)
+        |   THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM documents, m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exhaustive-regime indexed ANN join ≡ exact kNN join: same oracle
+    "q101_ivf_knn_join" -> knnJoinOracle
   )
+
+  /** Shared exact-kNN-join oracle (q97 exact path; q101 indexed path in
+    * its exhaustive regime — both must produce THIS relation).
+    */
+  private val knnJoinOracle: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      | SELECT q.q_id, e.vec_id,
+      |  round(list_inner_product(e.embedding, q.q_emb)
+      |    / (sqrt(list_inner_product(e.embedding, e.embedding))
+      |       * sqrt(list_inner_product(q.q_emb, q.q_emb))), 4) AS cos_sim
+      | FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      |r AS (SELECT q_id, vec_id, cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rk
+      | FROM scored)
+      |SELECT q_id, rk, vec_id, cos_sim FROM r WHERE rk <= 3
+      |ORDER BY q_id, rk""".stripMargin
 }

@@ -304,6 +304,75 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Exploded per-document bigram counts WITH multiplicity (unlike
+    * `TextAnalysis.shingles`, which dedups for Jaccard): (doc_id, bg,
+    * cnt). Guarded for sub-2-token docs — Spark's `sequence(1, 0)`
+    * counts DOWN, it is not empty.
+    */
+  def bigramCounts(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val idx = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bgs = transform(idx, i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    docs.select(col("doc_id"), explode(bgs).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-document bigram surprisal — the second-order companion to
+    * [[unigramSurprisal]]: avg = -Σ cnt·log2(p(bigram)) / n_bigrams with
+    * p from the corpus bigram distribution. Catches locally-fluent but
+    * corpus-atypical word SEQUENCES that the unigram signal scores as
+    * ordinary (and scores templated boilerplate even lower than the
+    * unigram does, since its word pairs repeat corpus-wide).
+    *
+    * Scale shape identical to the unigram path: the bigram LM table is
+    * keyed by bigram (observed-vocabulary², still fine-grained and
+    * skew-free) and NOT broadcast; one shuffle join + two aggregations
+    * over the exploded relation; only the 1-row total is broadcast.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val bc = bigramCounts(docs)
+    val lm = bc.groupBy(col("bg")).agg(sum(col("cnt")).as("bf"))
+    val total = bc.agg(sum(col("cnt")).cast("double").as("corpus_bigrams"))
+    bc.join(lm, "bg")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("int").as("n_bigrams"),
+        round(
+          -sum(col("cnt").cast("double") *
+            log2(col("bf").cast("double") / col("corpus_bigrams"))) /
+            sum(col("cnt")).cast("double"), 4).as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Length-weighted deterministic sampler: each doc kept with
+    * probability proportional to its size share (n_chars / max n_chars,
+    * scaled by `rate`), decided by the same multiplicative-hash
+    * membership every sampler here uses — reproducible across runs and
+    * cluster sizes, no RNG state. The per-GROUP rate counterpart is
+    * [[temperatureResample]]; this is the per-ROW weight form (token-
+    * budget-aware calibration sets, importance-weighted eval slices).
+    * One 1-row broadcast (the global max) + a pure map; reports the
+    * per-lang acceptance so the result is a bounded aggregate.
+    */
+  def weightedSample(docs: DataFrame, rate: Double = 0.5): DataFrame = {
+    val mx = docs.agg(max(col("n_chars")).cast("double").as("max_chars"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .crossJoin(broadcast(mx))
+      .withColumn("keep",
+        pmod(col("doc_id") * lit(2654435761L), lit(1000000L)) <
+          floor(col("n_chars").cast("double") / col("max_chars") *
+            lit(rate) * lit(1000000.0)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).cast("long")
+          .as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** TF-IDF top-k terms per document: tf = cnt/doc_total,
     * idf = ln(N/df). N is a 1-row aggregate broadcast-cross-joined in
     * (declarative — no driver-side count action); df comes from a

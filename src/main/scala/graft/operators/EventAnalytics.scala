@@ -129,4 +129,28 @@ object EventAnalytics {
           .as("welch_t"))
       .orderBy(col("event_type"))
   }
+
+  /** First-order event-type transition matrix: per-user consecutive
+    * (prev_type → type) pairs under the deterministic (ts, event_id)
+    * order, rolled up to transition counts and distinct-user reach — the
+    * Markov-chain view of user behavior that powers next-action models
+    * and anomalous-flow detection.
+    *
+    * Scale shape: ONE user_id exchange feeds the lag window (same
+    * single-partitioning discipline as [[funnel]]/SCD2), then the rollup
+    * shuffles only (prev, type) pairs — a stage-count², bounded-
+    * cardinality key. The fact table is never shuffled twice.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
 }

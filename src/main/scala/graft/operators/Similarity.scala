@@ -361,6 +361,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN join through the IVF index — the scale path of [[knnJoin]]:
+    * every query row probes only its `nprobe` nearest cells. The probe
+    * cells are a pure row expression against the centroid model (nlist
+    * distance scores → sort → slice), exploded to (q_id, cid) pairs and
+    * equi-joined with the cid-partitioned index — a bucket join keyed on
+    * cid, never a cross join against the whole corpus. At nprobe = nlist
+    * the result is exactly the exhaustive [[knnJoin]] (the oracle-gated
+    * regime, q101); nprobe < nlist recall is gated in IvfSpec.
+    */
+  def ivfKnnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      datasetKey: String): DataFrame = {
+    val idx = ivfIndex(corpus, datasetKey, nlist, iters)
+    // squared-L2 to each centroid, cheapest form: ||c||² - 2·q·c (the
+    // ||q||² term is constant per row and cannot change the argsort)
+    val cellScores = idx.centroids.map { case (cid, c) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(col("q_emb"), cLit)).as("score"),
+        lit(cid).as("cid"))
+    }
+    val probeCids = transform(
+      slice(sort_array(array(cellScores.toIndexedSeq: _*)), 1, nprobe),
+      p => p.getField("cid"))
+    val qProbes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("cid", explode(probeCids))
+    val indexed = corpus.sparkSession.read.parquet(idx.path)
+    val scored = indexed.join(broadcast(qProbes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Per-label centroids (mean embedding) + intra-cluster cohesion (mean
     * cosine of members to a unit-normalized sum — computed with array
     * aggregates, no UDAF: sum-vector via element-wise aggregation over

@@ -136,4 +136,35 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(out(2)._2 == "the <MASK> plan is secretly not <MASK>" && out(2)._3 == 2)
     assert(out(3)._2 == "nothing sensitive here" && out(3)._3 == 0)
   }
+
+  test("bigramCounts keeps multiplicity and guards sub-2-token docs") {
+    val docs = Seq(
+      (1L, "a b a b c"),  // bigrams: "a b" x2, "b a", "b c"
+      (2L, "solo")        // no bigrams — must emit zero rows, not [1,0] garbage
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramCounts(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "a b", 2L), (1L, "b a", 1L), (1L, "b c", 1L)))
+  }
+
+  test("bigram surprisal: uniform bigram distribution gives log2(vocab) everywhere") {
+    // every bigram occurs exactly once corpus-wide -> p = 1/4 for all,
+    // avg surprisal = 2 bits for every doc
+    val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val out = Corpus.bigramSurprisal(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 2, 2.0), (2L, 2, 2.0)))
+  }
+
+  test("weighted sample always keeps the max-length doc at rate 1") {
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "en", 500L), (3L, "fr", 500L), (4L, "fr", 20L)
+    ).toDF("doc_id", "lang", "n_chars")
+    // max-length docs (n_chars = 500): keep threshold = 10^6 > any hash
+    val byLang = Corpus.weightedSample(docs, rate = 1.0).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byLang("en")._1 >= 1 && byLang("fr")._1 >= 1)
+    // kept_chars counts only kept docs' chars
+    assert(byLang("en")._2 >= 500L && byLang("fr")._2 >= 500L)
+  }
 }

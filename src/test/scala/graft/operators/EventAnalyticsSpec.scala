@@ -76,7 +76,8 @@ class EventAnalyticsSpec extends SparkFunSuite {
   }
 
   test("daily HLL sketches union to within 5% of the exact distinct count") {
-    val rows = SparkEntry.queries("q76_sketch_rollup")(spark, sf).collect()
+    // the raw-estimate gate (the registered q76 surfaces the boolean form)
+    val rows = Relational.dailySketchRollup(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
@@ -84,5 +85,19 @@ class EventAnalyticsSpec extends SparkFunSuite {
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"${r.getString(0)}: approx $approx vs exact $exact")
     }
+  }
+
+  test("event transitions: per-user pair counts add up to events minus users") {
+    val rows = SparkEntry.queries("q98_event_transitions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalTransitions = rows.map(_.getAs[Long]("n_transitions")).sum
+    val ev = new graft.cube.Engine(spark, sf).table("events")
+    val nEvents = ev.count()
+    val nUsers = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    // each user contributes (their event count - 1) consecutive pairs
+    assert(totalTransitions == nEvents - nUsers)
+    // reach never exceeds volume
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_transitions")))
   }
 }

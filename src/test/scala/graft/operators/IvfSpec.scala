@@ -92,6 +92,34 @@ class IvfSpec extends SparkFunSuite {
       s"bucket probe must prune partitions:\n$plan")
   }
 
+  test("ivf knn join: exhaustive regime equals the exact knn join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.knnJoin(emb, queries, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val indexed = Similarity.ivfKnnJoin(emb, queries, 3,
+      nlist = 8, nprobe = 8, datasetKey = "ivfspec-knnjoin").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(indexed == exact)
+  }
+
+  test("ivf knn join: probed regime keeps recall on planted clusters") {
+    val queries = clustered.filter(col("vec_id").isin(0L, 25L, 50L, 75L))
+    val exact = Similarity.knnJoin(clustered, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val probed = Similarity.ivfKnnJoin(clustered, queries, 5,
+      nlist = 4, nprobe = 1, datasetKey = "ivfspec-knnjoin-clustered")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    // each query's true neighbors live in its own planted cell, so a
+    // single-cell probe recovers the exact top-5 per query
+    assert(probed.keySet == exact.keySet)
+    exact.foreach { case (q, rows) =>
+      val got = probed(q).map(_._2).toSet
+      val want = rows.map(_._2).toSet
+      assert((want intersect got).size >= 4, s"recall too low for q=$q")
+    }
+  }
+
   test("session index memos invalidate cleanly") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = Similarity.ivfIndex(emb, "ivfspec-invalidate", nlist = 4)
