@@ -396,6 +396,14 @@ object SparkEntry {
       Similarity.ivfKnnJoin(emb, emb.filter(col("vec_id") < 5), k = 3,
         nlist = 8, nprobe = 8, datasetKey = d)
     }),
+    // Degree-ordered triangle census of the near-dup graph (7th consumer
+    // of the shared pair frame); oracle enumerates id-ordered triples
+    "q102_triangles" -> Graph.docTriangles _,
+    // Incremental JOIN-view maintenance: the per-nation revenue rollup is
+    // maintained from the delta partition only (delta ⋈ dims, merged with
+    // base partials) — the oracle recomputes from the full fact table,
+    // proving merged ≡ full while the engine never rescans history.
+    "q103_incremental_join" -> ((s, d) => Relational.incrementalNationRevenue(s, d)),
     // Wire-source roundtrip: serialize a dimension into the reference's
     // {"data":[...]} wire format (raw keys with spaces, exactly what a
     // migrating user captures with curl — oec.py:22/62), read it back
@@ -1498,7 +1506,35 @@ object SparkEntry {
         |   THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM documents, m GROUP BY 1 ORDER BY 1""".stripMargin,
     // exhaustive-regime indexed ANN join ≡ exact kNN join: same oracle
-    "q101_ivf_knn_join" -> knnJoinOracle
+    "q101_ivf_knn_join" -> knnJoinOracle,
+    // id-ordered triple enumeration: each triangle {a<b<c} appears once
+    // as pairs (a,b), (b,c), (a,c); the engine's degree-ordered census
+    // must produce identical per-node counts
+    "q102_triangles" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |tri AS (
+        | SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+        | FROM pairs p1
+        | JOIN pairs p2 ON p2.doc_a = p1.doc_b
+        | JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+        |n AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+        |SELECT doc_id, count(*) AS n_triangles
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q103_incremental_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared exact-kNN-join oracle (q97 exact path; q101 indexed path in

@@ -66,4 +66,63 @@ object Graph {
       .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-node triangle counts over an undirected edge set (`a < b` pairs)
+    * via the DEGREE-ORDERED node-iterator algorithm: every undirected
+    * edge is directed from its lower-(degree, id) endpoint to the higher
+    * one, so each triangle is enumerated exactly once — as the wedge at
+    * its smallest vertex — and the wedge fan-out per node is bounded by
+    * its ORDERED out-degree (O(sqrt(m)) on any graph), not its raw
+    * degree. That bound is the whole scale story: the naive
+    * edges⋈edges⋈edges join explodes on hub nodes (a degree-d hub makes
+    * d² wedges; degree-ordering caps it), which is why this is the
+    * standard distributed triangle algorithm. Two shuffle joins over the
+    * directed edge list; per-node counts sum each triangle for all three
+    * corners.
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    // degree over the undirected pair set
+    val deg = pairs.select(col("doc_a").as("node"))
+      .union(pairs.select(col("doc_b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient each edge low -> high in the (deg, id) total order
+    val withDeg = pairs
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("db")), "doc_b")
+    val directed = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("doc_a") < col("doc_b")),
+        struct(col("doc_a").as("lo"), col("doc_b").as("hi")))
+        .otherwise(struct(col("doc_b").as("lo"), col("doc_a").as("hi")))
+        .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+      .cache()
+    // wedges at the smallest vertex: (lo -> u), (lo -> w), u < w in the
+    // SAME order; triangle iff (u -> w) is also a directed edge
+    val wedges = directed.as("e1")
+      .join(directed.as("e2"), col("e1.lo") === col("e2.lo") &&
+        col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+    val triangles = wedges.join(directed,
+        // the closing edge may be oriented either way in (deg, id) order
+        (col("b") === col("lo") && col("c") === col("hi")) ||
+          (col("c") === col("lo") && col("b") === col("hi")))
+      .select(col("a"), col("b"), col("c"))
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture wiring (q102): triangle census of the near-dup graph —
+    * dense triangle neighborhoods are template families (a curation
+    * signal distinct from PageRank's centrality), and the count doubles
+    * as the clustering-coefficient numerator. Shares the session pair
+    * frame with the other six consumers.
+    */
+  def docTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = new graft.cube.Engine(spark, dir).table("documents")
+    triangleCounts(Dedup.minhashPairsShared(docs, dir)
+      .select(col("doc_a"), col("doc_b")))
+  }
 }

