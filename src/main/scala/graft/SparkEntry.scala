@@ -404,6 +404,16 @@ object SparkEntry {
     // base partials) — the oracle recomputes from the full fact table,
     // proving merged ≡ full while the engine never rescans history.
     "q103_incremental_join" -> ((s, d) => Relational.incrementalNationRevenue(s, d)),
+    // Cross-corpus near-dup join (paraphrase-level decontamination):
+    // even-id probes against odd-id corpus — a split the fixture's
+    // planted near-dup pairs straddle; oracle is the brute-force
+    // Jaccard theta join
+    "q104_neardup_join" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+      Dedup.minhashJoin(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     // Wire-source roundtrip: serialize a dimension into the reference's
     // {"data":[...]} wire format (raw keys with spaces, exactly what a
     // migrating user captures with curl — oec.py:22/62), read it back
@@ -1534,7 +1544,21 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS total_revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q104_neardup_join" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents)
+        |SELECT a.doc_id AS probe_id, b.doc_id AS match_id,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        |ORDER BY probe_id, match_id""".stripMargin
   )
 
   /** Shared exact-kNN-join oracle (q97 exact path; q101 indexed path in

@@ -187,6 +187,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Cross-corpus near-dup JOIN: for every left ("probe") doc, the right
+    * ("corpus") docs with exact Jaccard >= threshold. The banding
+    * machinery of [[minhashPairs]], but candidates come from band-hash
+    * collisions ACROSS the two sides — an equi-join keyed (band, sig)
+    * carrying only ids and hashes (text never shuffles, never a cross
+    * join), then exact-Jaccard verification over the candidates. Same
+    * precision/recall contract as [[minhashPairs]] (false-positive-free;
+    * banding S-curve recall). A viral key hot on both sides is split by
+    * AQE's skew join; the within-side degenerate-bucket star fallback
+    * does not apply here because the join is bipartite.
+    *
+    * This is near-dup DECONTAMINATION: [[Corpus.decontaminate]] catches
+    * verbatim n-gram overlap with an eval set; this catches
+    * paraphrase-level duplicates of it.
+    */
+  def minhashJoin(
+      left: DataFrame,
+      right: DataFrame,
+      shingleN: Int = 3,
+      numPerms: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val r = numPerms / bands
+    def keyed(df: DataFrame, idAs: String, shAs: String): (DataFrame, DataFrame) = {
+      val withSh = Par.ensure(df).select(col("doc_id").as(idAs),
+        TextAnalysis.shingles(col("text"), shingleN).as(shAs))
+        .localCheckpoint()
+      val ex = withSh.select(col(idAs),
+        explode(bandHashes(
+          graft.functions.TextExpressions.minhashSig(col(shAs), numPerms),
+          bands, r)).as("b"))
+        .select(col(idAs), col("b.band").as("band"), col("b.sig").as("sig"))
+      (withSh, ex)
+    }
+    val (shL, exL) = keyed(left, "probe_id", "sh_a")
+    val (shR, exR) = keyed(right, "match_id", "sh_b")
+    val cand = exL.join(exR, Seq("band", "sig"))
+      .select(col("probe_id"), col("match_id")).distinct()
+    cand
+      .join(shL, "probe_id")
+      .join(shR, "match_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("probe_id"), col("match_id"), col("jaccard"))
+      .orderBy(col("probe_id"), col("match_id"))
+  }
+
   /** SimHash signatures as arrays of 64 sign values (+1/-1): native
     * per-row expression over the token array (bit i of a token = sign of
     * its i-seeded hash) — a pure map, no shuffle; same rationale as

@@ -57,6 +57,20 @@ class DedupTextSpec extends SparkFunSuite {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("minhashJoin finds cross-corpus near-dups, never same-side pairs") {
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((0 until 39).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val other = (100 until 140).map(i => s"tok$i").mkString(" ")
+    // probes: base + unrelated; corpus: near-dup + an exact copy of "other"
+    val out = Dedup.minhashJoin(
+      docs((1L, base), (3L, other)),
+      docs((2L, nearDup), (4L, other)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1↔2 near-dup across sides; 3↔4 exact duplicate across sides;
+    // 1↔4 / 3↔2 unrelated must not appear
+    assert(out == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val base = (0 until 40).map(i => s"tok$i").mkString(" ")
     val nearDup = ((0 until 38).map(i => s"tok$i") ++ Seq("x", "y")).mkString(" ")
