@@ -97,16 +97,19 @@ object Graph {
         .as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
       .cache()
-    // wedges at the smallest vertex: (lo -> u), (lo -> w), u < w in the
-    // SAME order; triangle iff (u -> w) is also a directed edge
+    // wedges at the smallest vertex: (lo -> u), (lo -> w), u < w by id;
+    // triangle iff the {u, w} edge exists. The closing probe must be an
+    // EQUI-join (an OR over orientations would plan a cartesian product),
+    // so the directed set is symmetrized for the lookup side — each
+    // undirected edge appears once per direction, so the id-ordered wedge
+    // matches exactly one row.
     val wedges = directed.as("e1")
       .join(directed.as("e2"), col("e1.lo") === col("e2.lo") &&
         col("e1.hi") < col("e2.hi"))
       .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
-    val triangles = wedges.join(directed,
-        // the closing edge may be oriented either way in (deg, id) order
-        (col("b") === col("lo") && col("c") === col("hi")) ||
-          (col("c") === col("lo") && col("b") === col("hi")))
+    val closing = directed.select(col("lo").as("b"), col("hi").as("c"))
+      .union(directed.select(col("hi").as("b"), col("lo").as("c")))
+    val triangles = wedges.join(closing, Seq("b", "c"))
       .select(col("a"), col("b"), col("c"))
     triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))

@@ -189,9 +189,14 @@ object Similarity {
       planes: Int = 8, dim: Int = 64): String =
     lshMemo.getOrElseUpdate((emb.sparkSession, datasetKey), {
       val path = indexPath(emb.sparkSession, "lsh", datasetKey)
+      // repartition by bucket before the partitioned write: without it
+      // every task writes one file per bucket it happens to hold
+      // (tasks × buckets tiny files); with it each bucket directory gets
+      // its writers' worth of files and AQE coalesces the small shuffle
       graft.sources.Sink.writePartitioned(
         emb.select(col("vec_id"), col("label"), col("embedding"),
-          lshKey(col("embedding"), planes, dim).as("bucket")),
+          lshKey(col("embedding"), planes, dim).as("bucket"))
+          .repartition(col("bucket")),
         path, Seq("bucket"))
       path
     })
@@ -323,8 +328,11 @@ object Similarity {
       val centroids = kmeans(emb, nlist, iters).collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       val path = indexPath(emb.sparkSession, "ivf", datasetKey)
+      // repartition by cell: one writer set per cell directory (see
+      // lshIndex) instead of tasks × cells tiny files
       graft.sources.Sink.writePartitioned(
-        assignToCentroids(emb, centroids), path, Seq("cid"))
+        assignToCentroids(emb, centroids).repartition(col("cid")),
+        path, Seq("cid"))
       IvfIndex(path, centroids)
     })
 

@@ -101,6 +101,21 @@ class PlanShapeSpec extends SparkFunSuite {
         "the SinglePartition subtree must be the per-partition count frame")
   }
 
+  test("event transitions shuffle the fact once at user grain") {
+    val plan = finalPlanOf("q98_event_transitions")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      "lag window must be the only user_id exchange")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("near-dup cross join and triangle census never degrade to cartesian plans") {
+    Seq("q104_neardup_join", "q102_triangles", "q101_ivf_knn_join").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
+    }
+  }
+
   test("cube query pushes cut predicates into the parquet scan") {
     val df = new graft.cube.Engine(spark, sf).getData(graft.cube.CubeQuery(
       "trade", Seq("Nation"), Seq("Trade Value"),
