@@ -414,6 +414,9 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    // Stream-static enrichment join (events stream ⋈ broadcast customer
+    // dim → per-nation rollup); oracle is the batch join
+    "q105_stream_enrich" -> EventsStream.nationSpend _,
     // Wire-source roundtrip: serialize a dimension into the reference's
     // {"data":[...]} wire format (raw keys with spaces, exactly what a
     // migrating user captures with curl — oec.py:22/62), read it back
@@ -1558,7 +1561,12 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
-        |ORDER BY probe_id, match_id""".stripMargin
+        |ORDER BY probe_id, match_id""".stripMargin,
+    "q105_stream_enrich" ->
+      """SELECT c_nationkey, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared exact-kNN-join oracle (q97 exact path; q101 indexed path in

@@ -115,6 +115,26 @@ object EventsStream {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Stream-static enrichment join: the event stream joined to a STATIC
+    * dimension (user → customer nation) inside the streaming query and
+    * rolled up per nation. The static side is re-planned per micro-batch
+    * and explicitly broadcast, so the unbounded stream side never
+    * shuffles for the join — the canonical pattern for enriching a
+    * 100 TB/day stream with reference data. Aggregation state is one row
+    * per nation (bounded); oracle is the equivalent batch join.
+    */
+  def nationSpend(spark: SparkSession, dir: String): DataFrame = {
+    val cust = new graft.cube.Engine(spark, dir).table("customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val agg = streamingEvents(spark, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+    runToMemory(agg, "graft_stream_nation", OutputMode.Complete())
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Per-type daily running totals — the analytic-window time-series
     * surface (cumulative sums over event time).
     */
