@@ -160,15 +160,19 @@ object Similarity {
     */
   final case class IvfIndex(path: String, centroids: Array[(Int, Array[Double])])
 
-  // Index layouts are session-lifetime, one per (session, dataset) like
-  // Dedup.pairsMemo: build once (a full-corpus write — the expensive,
-  // amortized step), probe many. The caller-supplied key is trusted;
-  // invalidateIndexes drops them (e.g. after a dataset rewrite, or per
-  // bench pass so timings include the build).
+  // Index layouts are session-lifetime, one per (session, dataset,
+  // index parameters) like Dedup.pairsMemo: build once (a full-corpus
+  // write — the expensive, amortized step), probe many. The parameters
+  // MUST be part of the key: two queries over the same dataset with
+  // different nlist/planes are different physical layouts, and silently
+  // sharing one turns an exhaustive probe into a partial one. The
+  // caller-supplied dataset key is trusted; invalidateIndexes drops all
+  // entries (e.g. after a dataset rewrite, or per bench pass so timings
+  // include the build).
   private val ivfMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), IvfIndex]
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), IvfIndex]
   private val lshMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), String]
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), String]
 
   def invalidateIndexes(spark: org.apache.spark.sql.SparkSession): Unit = {
     ivfMemo.keys.filter(_._1 eq spark).foreach(ivfMemo.remove)
@@ -187,8 +191,8 @@ object Similarity {
     */
   def lshIndex(emb: DataFrame, datasetKey: String,
       planes: Int = 8, dim: Int = 64): String =
-    lshMemo.getOrElseUpdate((emb.sparkSession, datasetKey), {
-      val path = indexPath(emb.sparkSession, "lsh", datasetKey)
+    lshMemo.getOrElseUpdate((emb.sparkSession, datasetKey, planes, dim), {
+      val path = indexPath(emb.sparkSession, s"lsh${planes}x$dim", datasetKey)
       // repartition by bucket before the partitioned write: without it
       // every task writes one file per bucket it happens to hold
       // (tasks × buckets tiny files); with it each bucket directory gets
@@ -324,10 +328,10 @@ object Similarity {
     */
   def ivfIndex(emb: DataFrame, datasetKey: String,
       nlist: Int = 16, iters: Int = 5): IvfIndex =
-    ivfMemo.getOrElseUpdate((emb.sparkSession, datasetKey), {
+    ivfMemo.getOrElseUpdate((emb.sparkSession, datasetKey, nlist, iters), {
       val centroids = kmeans(emb, nlist, iters).collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      val path = indexPath(emb.sparkSession, "ivf", datasetKey)
+      val path = indexPath(emb.sparkSession, s"ivf${nlist}i$iters", datasetKey)
       // repartition by cell: one writer set per cell directory (see
       // lshIndex) instead of tasks × cells tiny files
       graft.sources.Sink.writePartitioned(

@@ -120,6 +120,17 @@ class IvfSpec extends SparkFunSuite {
     }
   }
 
+  test("different index parameters never share a layout") {
+    // regression: q46 (nlist=16) ran before q101 (nlist=8) and the memo,
+    // keyed only on dataset, silently served the 16-cell layout — an
+    // "exhaustive" 8-probe then read half the cells
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = Similarity.ivfIndex(emb, "ivfspec-params", nlist = 16)
+    val b = Similarity.ivfIndex(emb, "ivfspec-params", nlist = 8)
+    assert(a.path != b.path, "distinct nlist must get distinct layouts")
+    assert(a.centroids.length == 16 && b.centroids.length == 8)
+  }
+
   test("session index memos invalidate cleanly") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = Similarity.ivfIndex(emb, "ivfspec-invalidate", nlist = 4)
