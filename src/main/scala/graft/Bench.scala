@@ -32,7 +32,17 @@ object Bench {
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    val names = SparkEntry.queries.keys.toSeq
+    // ANN index builds (q106-q108) run FIRST in each pass, right after
+    // the memo invalidation: they are timed as their own entries (the
+    // amortized build cost), and by populating the memos they make the
+    // probe queries (q29/q46/q101) measure PROBE latency against a warm
+    // index — the figure that matters at scale — instead of conflating
+    // build + probe as one number.
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq
+      val (builds, rest) = all.partition(_.contains("index_build"))
+      builds.sorted ++ rest
+    }
     val samples = (1 to Passes).flatMap { _ =>
       // Session-lifetime memos (the shared near-dup pair frame, ANN
       // index layouts) are cleared at the START of every pass: otherwise

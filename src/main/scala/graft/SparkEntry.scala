@@ -417,6 +417,46 @@ object SparkEntry {
     // Stream-static enrichment join (events stream ⋈ broadcast customer
     // dim → per-nation rollup); oracle is the batch join
     "q105_stream_enrich" -> EventsStream.nationSpend _,
+    // --- ANN index builds as their own timed entries. Bench runs these
+    // FIRST in each pass (right after the per-pass memo invalidation), so
+    // they price the full-corpus partitioned write while q29/q46/q101
+    // price PROBE latency against a warm index — the figure a 100x-scale
+    // consumer cares about, since the build is amortized by design.
+    // Each is also a roundtrip oracle: the layout read back must contain
+    // exactly the corpus (nothing lost or duplicated by the write).
+    "q106_lsh_index_build" -> ((s, d) => {
+      val emb = eng(s, d).table("embeddings")
+      val path = Similarity.lshIndex(emb, datasetKey = d) // q29's layout
+      val idx = s.read.parquet(path)
+      val one = idx.filter(col("tbl") === 0) // one full corpus copy
+      one.agg(count(lit(1)).as("n_vecs"),
+          sum(col("vec_id")).as("sum_ids"))
+        .crossJoin(idx.agg(count(lit(1)).as("__total")))
+        .select(col("n_vecs"), col("sum_ids"),
+          (col("__total") === col("n_vecs") * 4).as("all_tables_complete"))
+    }),
+    "q107_ivf_index_build" -> ((s, d) => {
+      val emb = eng(s, d).table("embeddings")
+      val idx = Similarity.ivfIndex(emb, datasetKey = d) // q46's layout
+      s.read.parquet(idx.path)
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"),
+          countDistinct(col("cid")).as("__cells"))
+        .select(col("n_vecs"), col("sum_ids"),
+          (col("__cells") >= 1 && col("__cells") <= 16).as("cells_ok"))
+    }),
+    // Stream-stream LEFT OUTER interval join (q54's hard variant: null
+    // emission gated on watermark close-out; see
+    // EventsStream.purchaseAttributionOuter for the drain-determinism cut)
+    "q109_stream_outer_join" -> EventsStream.purchaseAttributionOuter _,
+    "q108_ivf8_index_build" -> ((s, d) => {
+      val emb = eng(s, d).table("embeddings")
+      val idx = Similarity.ivfIndex(emb, datasetKey = d, nlist = 8) // q101's
+      s.read.parquet(idx.path)
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"),
+          countDistinct(col("cid")).as("__cells"))
+        .select(col("n_vecs"), col("sum_ids"),
+          (col("__cells") >= 1 && col("__cells") <= 8).as("cells_ok"))
+    }),
     // Wire-source roundtrip: serialize a dimension into the reference's
     // {"data":[...]} wire format (raw keys with spaces, exactly what a
     // migrating user captures with curl — oec.py:22/62), read it back
@@ -654,6 +694,44 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // SimHash pairs: the per-token votes are md5 bits (SimHashVotes), so
+    // the oracle recomputes the FULL path — fingerprints (per-bit
+    // majority votes), pigeonhole banding (4 x 16-bit slices), candidate
+    // equi-join, and bit_count(xor) hamming verification — from the raw
+    // documents table. Previously no_oracle (engine-seeded xxhash).
+    "q27_simhash_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk
+        | FROM documents),
+        |fpbits AS (
+        | SELECT doc_id, k,
+        |  CASE WHEN sum(CASE WHEN
+        |    (CAST(concat('0x', substr(md5(tk), 1, 16)) AS UBIGINT) >> k) & 1 = 1
+        |   THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        | FROM toks, range(0, 64) t(k)
+        | GROUP BY 1, 2),
+        |fps AS (
+        | SELECT doc_id,
+        |  sum(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << k)) AS fp_u
+        | FROM fpbits GROUP BY 1),
+        |fpsigned AS (
+        | SELECT doc_id, fp_u,
+        |  CAST(fp_u - CASE WHEN fp_u >= CAST('9223372036854775808' AS HUGEINT)
+        |   THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END AS BIGINT) AS fp
+        | FROM fps),
+        |chunks AS (
+        | SELECT doc_id, fp, c,
+        |  CAST((fp_u // (CAST(1 AS HUGEINT) << (c * 16))) % 65536 AS BIGINT) AS sig
+        | FROM fpsigned, range(0, 4) t(c)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, a.fp AS fp_a,
+        |  b.doc_id AS doc_b, b.fp AS fp_b
+        | FROM chunks a JOIN chunks b
+        |  ON a.c = b.c AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(fp_a, fp_b)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
     "q28_embed_knn" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
@@ -872,8 +950,8 @@ object SparkEntry {
         |FROM agg ORDER BY doc_id""".stripMargin,
     "q49_train_split" ->
       """SELECT lang,
-        | CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |      WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        | CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+        |      WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split,
         | count(*) AS n_docs,
         | round(avg(n_chars), 4) AS avg_chars
@@ -942,7 +1020,7 @@ object SparkEntry {
       """WITH ranked AS (
         | SELECT doc_id, lang,
         |  row_number() OVER (PARTITION BY lang
-        |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+        |    ORDER BY ((doc_id & 2147483647) * 2654435761) % 1000000007, doc_id) AS rn
         | FROM documents)
         |SELECT doc_id, lang FROM ranked WHERE rn <= 50
         |ORDER BY doc_id""".stripMargin,
@@ -985,8 +1063,8 @@ object SparkEntry {
         | SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         | FROM reach GROUP BY src)
         |SELECT doc_id, lang,
-        | CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |      WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        | CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+        |      WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents
         |WHERE doc_id IN (SELECT doc_id FROM quality)
@@ -1044,7 +1122,7 @@ object SparkEntry {
     "q62_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
-        |  (doc_id * 2654435761) % 1000000007 AS key FROM documents),
+        |  ((doc_id & 2147483647) * 2654435761) % 1000000007 AS key FROM documents),
         |o AS (SELECT doc_id, n_tokens,
         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY key, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -1070,7 +1148,7 @@ object SparkEntry {
         |    sqrt(CAST(min_n AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS rate
         | FROM c, m)
         |SELECT d.lang, r.n_docs, round(r.rate, 4) AS keep_rate,
-        | CAST(sum(CASE WHEN (d.doc_id * 2654435761) % 1000000
+        | CAST(sum(CASE WHEN ((d.doc_id & 2147483647) * 2654435761) % 1000000
         |       < floor(r.rate * 1000000.0) THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_kept
         |FROM documents d JOIN r USING (lang)
@@ -1511,10 +1589,10 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(max(n_chars) AS DOUBLE) AS max_chars
         |           FROM documents)
         |SELECT lang, count(*) AS n_docs,
-        | CAST(sum(CASE WHEN (doc_id * 2654435761) % 1000000
+        | CAST(sum(CASE WHEN ((doc_id & 2147483647) * 2654435761) % 1000000
         |   < floor(CAST(n_chars AS DOUBLE) / max_chars * 0.5 * 1000000.0)
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        | CAST(sum(CASE WHEN (doc_id * 2654435761) % 1000000
+        | CAST(sum(CASE WHEN ((doc_id & 2147483647) * 2654435761) % 1000000
         |   < floor(CAST(n_chars AS DOUBLE) / max_chars * 0.5 * 1000000.0)
         |   THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM documents, m GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1566,7 +1644,42 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_events,
         | round(sum(value), 2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // index-build roundtrips: the layout read back contains exactly the
+    // corpus; completeness/cell-contract booleans are deterministically
+    // TRUE (the q38/q59/q76 contract pattern)
+    "q106_lsh_index_build" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+        | TRUE AS all_tables_complete
+        |FROM embeddings""".stripMargin,
+    "q107_ivf_index_build" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+        | TRUE AS cells_ok
+        |FROM embeddings""".stripMargin,
+    "q108_ivf8_index_build" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+        | TRUE AS cells_ok
+        |FROM embeddings""".stripMargin,
+    // batch left join over the same 2-hour-cut click domain the streaming
+    // query closes itself to (see purchaseAttributionOuter)
+    "q109_stream_outer_join" ->
+      """WITH ev AS (
+        | SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts,
+        |        event_type, value
+        | FROM events),
+        |mx AS (SELECT max(ts) - INTERVAL 2 HOUR AS cutoff FROM ev),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |      FROM ev, mx WHERE event_type = 'click' AND ts <= cutoff),
+        |p AS (SELECT user_id AS pu, ts AS purchase_ts, value AS purchase_value
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT click_id, c.user_id AS user_id, click_ts,
+        | purchase_ts, purchase_value
+        |FROM c LEFT JOIN p ON pu = c.user_id
+        | AND purchase_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts
+        |ORDER BY 1, 4""".stripMargin
   )
 
   /** Shared exact-kNN-join oracle (q97 exact path; q101 indexed path in

@@ -125,12 +125,50 @@ case class MinHashSig(child: Expression, numPerms: Int)
     copy(child = newChild)
 }
 
+/** Per-token ±1 vote source shared by [[SimHashSigns]] and [[SimHashFp]]:
+  * vote k is bit k of the token's md5 digest, read as two BIG-ENDIAN
+  * 64-bit words (digest bytes 0-7 and 8-15 — i.e. hex chars 1-16 and
+  * 17-32). md5 is defined byte-for-byte in every engine (the
+  * [[TextAnalysis.portableHash60]] discipline), so any ANSI engine
+  * recomputes identical sign vectors and fingerprints; DuckDB:
+  * `(CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) >> k) & 1`.
+  * This is what puts q27's whole candidate-generation + verification
+  * path on the cross-engine oracle surface — an engine-private seeding
+  * (xxhash64) would leave the fingerprints uncheckable.
+  */
+private[functions] object SimHashVotes {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** (word0, word1): big-endian longs over digest bytes 0-7 / 8-15. */
+  def words(s: UTF8String): (Long, Long) = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    var w0 = 0L
+    var w1 = 0L
+    var i = 0
+    while (i < 8) {
+      w0 = (w0 << 8) | (dig(i) & 0xFFL)
+      w1 = (w1 << 8) | (dig(i + 8) & 0xFFL)
+      i += 1
+    }
+    (w0, w1)
+  }
+
+  /** +1 if digest bit k is set, else -1 (k < 128). */
+  @inline def vote(w0: Long, w1: Long, k: Int): Int =
+    if ((((if (k < 64) w0 >>> k else w1 >>> (k - 64))) & 1L) == 1L) 1 else -1
+}
+
 /** Native SimHash sign vector over a string-array column: bit i is the
-  * sign of the sum over elements of +-1 by the sign of the i-seeded
-  * hash. Per-row, shuffle-free; same hash chain as `xxhash64(lit(i), t)`.
+  * sign of the sum over elements of +-1 by bit i of the element's md5
+  * ([[SimHashVotes]] — engine-portable). Per-row, shuffle-free.
   */
 case class SimHashSigns(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
+
+  require(bits >= 1 && bits <= 128, "simhash_signs supports 1..128 bits")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -144,28 +182,16 @@ case class SimHashSigns(child: Expression, bits: Int)
           s"simhash_signs needs array<string>, got ${t.sql}")
     }
 
-  @transient private lazy val seeds: Array[Long] = {
-    val s = new Array[Long](bits)
-    var k = 0
-    while (k < bits) {
-      s(k) = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(k, 42L)
-      k += 1
-    }
-    s
-  }
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
     val sums = new Array[Int](bits)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
+      val (w0, w1) = SimHashVotes.words(arr.getUTF8String(i))
       var k = 0
       while (k < bits) {
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes, seeds(k))
-        sums(k) += (if (h > 0L) 1 else -1)
+        sums(k) += SimHashVotes.vote(w0, w1, k)
         k += 1
       }
       i += 1
@@ -184,8 +210,9 @@ case class SimHashSigns(child: Expression, bits: Int)
 }
 
 /** [[SimHashSigns]] packed to its canonical 64-bit fingerprint in one
-  * pass (bit i set iff the i-seeded vote sum is positive — exactly
-  * `Dedup.packSigns(simhash_signs(x, 64))`, equivalence-tested). Emitting
+  * pass (bit i set iff the md5-bit-i vote sum ([[SimHashVotes]]) is
+  * positive — exactly `Dedup.packSigns(simhash_signs(x, 64))`,
+  * equivalence-tested). Emitting
   * the long directly keeps the whole dedup pipeline on 8-byte
   * fingerprints: hamming distance becomes codegen'd `bit_count(a ^ b)`
   * and banding becomes bit slicing, with no 64-element array per row.
@@ -205,28 +232,16 @@ case class SimHashFp(child: Expression)
           s"simhash_fp needs array<string>, got ${t.sql}")
     }
 
-  @transient private lazy val seeds: Array[Long] = {
-    val s = new Array[Long](64)
-    var k = 0
-    while (k < 64) {
-      s(k) = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(k, 42L)
-      k += 1
-    }
-    s
-  }
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
     val sums = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
+      val (w0, w1) = SimHashVotes.words(arr.getUTF8String(i))
       var k = 0
       while (k < 64) {
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes, seeds(k))
-        sums(k) += (if (h > 0L) 1 else -1)
+        sums(k) += SimHashVotes.vote(w0, w1, k)
         k += 1
       }
       i += 1

@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  import org.apache.spark.sql.Column
+
+  /** Knuth multiplicative hash of a doc id, wrap-safe: the id is masked
+    * to its low 31 bits BEFORE the multiply, so the product is bounded by
+    * (2^31-1)·2654435761 < 2^63 and never overflows a signed 64-bit int.
+    * Without the mask, ids ≥ ~2^32 wrap silently in non-ANSI Spark while
+    * an ANSI oracle traps — the membership contract would change meaning
+    * past the overflow point. Same form as [[graft.sources.Sink.shardOf]];
+    * every oracle recomputes it with the identical masked expression.
+    */
+  def docHash(id: Column): Column =
+    id.bitwiseAND(lit(0x7FFFFFFFL)) * lit(2654435761L)
+
   /** Exploded per-document token counts: (doc_id, tok, cnt). Documents
     * are single-space tokenized (matches the fixture corpus and the
     * ANSI-SQL `string_split(text, ' ')` oracle form exactly).
@@ -69,7 +82,7 @@ object Corpus {
     */
   def splitAssign(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
     docs
-      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(100)))
+      .withColumn("bucket", pmod(docHash(col("doc_id")), lit(100)))
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + valPct, "val")
@@ -95,7 +108,7 @@ object Corpus {
     */
   def balancedSample(docs: DataFrame, groupCol: String, cap: Int): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)),
+      .orderBy(pmod(docHash(col("doc_id")), lit(1000000007L)),
         col("doc_id"))
     docs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
@@ -167,7 +180,7 @@ object Corpus {
     val sized = docs.select(
       col("doc_id"),
       graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-      pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("__key"))
+      pmod(docHash(col("doc_id")), lit(1000000007L)).as("__key"))
     val ranged = sized
       .repartitionByRange(col("__key"), col("doc_id"))
       .withColumn("__pid", spark_partition_id())
@@ -215,7 +228,7 @@ object Corpus {
     docs.select(col("doc_id"), col("lang"))
       .join(broadcast(rated), "lang")
       .withColumn("keep",
-        pmod(col("doc_id") * lit(2654435761L), lit(1000000L)) <
+        pmod(docHash(col("doc_id")), lit(1000000L)) <
           floor(col("rate") * lit(1000000.0)))
       .groupBy(col("lang"))
       .agg(first(col("n_docs")).as("n_docs"),
@@ -290,7 +303,14 @@ object Corpus {
     * all over the exploded (doc_id, tok) relation.
     */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
-    val tc = tokenCounts(docs)
+    // Three consumers read the exploded counts frame (the LM aggregation,
+    // the corpus total, and the probe side of the join) — without a
+    // materialization each re-runs tokenize/explode over the whole corpus,
+    // i.e. 3 corpus scans where 1 suffices. Same discipline as the
+    // minhash shingle frame (Dedup.minhashPairs): localCheckpoint the
+    // post-aggregation (doc_id, tok, cnt) frame — orders of magnitude
+    // smaller than the text it replaces re-scanning.
+    val tc = tokenCounts(Par.ensure(docs)).localCheckpoint()
     val unigram = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
     val total = tc.agg(sum(col("cnt")).cast("double").as("corpus_tokens"))
     tc.join(unigram, "tok")
@@ -333,7 +353,10 @@ object Corpus {
     * over the exploded relation; only the 1-row total is broadcast.
     */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
-    val bc = bigramCounts(docs)
+    // Same 3-consumer shape as unigramSurprisal: materialize the exploded
+    // (doc_id, bg, cnt) frame once instead of re-running the bigram
+    // generate+explode three times over the corpus.
+    val bc = bigramCounts(Par.ensure(docs)).localCheckpoint()
     val lm = bc.groupBy(col("bg")).agg(sum(col("cnt")).as("bf"))
     val total = bc.agg(sum(col("cnt")).cast("double").as("corpus_bigrams"))
     bc.join(lm, "bg")
@@ -362,7 +385,7 @@ object Corpus {
     docs.select(col("doc_id"), col("lang"), col("n_chars"))
       .crossJoin(broadcast(mx))
       .withColumn("keep",
-        pmod(col("doc_id") * lit(2654435761L), lit(1000000L)) <
+        pmod(docHash(col("doc_id")), lit(1000000L)) <
           floor(col("n_chars").cast("double") / col("max_chars") *
             lit(rate) * lit(1000000.0)))
       .groupBy(col("lang"))
@@ -381,7 +404,9 @@ object Corpus {
     * broken by term; the surfaced score is rounded.
     */
   def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
-    val tc = tokenCounts(docs)
+    // Two consumers (the scored frame and its df side) — materialize the
+    // exploded counts once, as in the surprisal family.
+    val tc = tokenCounts(Par.ensure(docs)).localCheckpoint()
     val dfCounts = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val score = (col("cnt").cast("double") / col("total")) *

@@ -180,11 +180,14 @@ object Dedup {
     cand
       .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(
+      // Threshold the UNROUNDED ratio (a pair with true jaccard in
+      // [threshold - 5e-5, threshold) must not sneak in via round-up);
+      // round only for the result surface. Oracles filter the same way.
+      .withColumn("__j",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("__j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("__j"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Cross-corpus near-dup JOIN: for every left ("probe") doc, the right
@@ -195,8 +198,16 @@ object Dedup {
     * join), then exact-Jaccard verification over the candidates. Same
     * precision/recall contract as [[minhashPairs]] (false-positive-free;
     * banding S-curve recall). A viral key hot on both sides is split by
-    * AQE's skew join; the within-side degenerate-bucket star fallback
-    * does not apply here because the join is bipartite.
+    * AQE's skew join (DedupTextSpec exercises the bipartite hot-band
+    * path); the within-side degenerate-bucket star fallback does not
+    * apply here because the join is bipartite.
+    *
+    * Oracle caveat (q104): the brute-force Jaccard oracle is EXACT while
+    * banding recall is probabilistic (~0.9998 at j=0.8 with 16x4 bands) —
+    * hash-parity holds on the fixture because its planted pairs sit at
+    * j≈0.98 where the S-curve miss probability is ~1e-18; on a corpus
+    * with mass at the threshold boundary, gate with a recall tolerance
+    * instead of exact equality.
     *
     * This is near-dup DECONTAMINATION: [[Corpus.decontaminate]] catches
     * verbatim n-gram overlap with an eval set; this catches
@@ -228,11 +239,12 @@ object Dedup {
     cand
       .join(shL, "probe_id")
       .join(shR, "match_id")
-      .withColumn("jaccard", round(
+      // Unrounded threshold, rounded display — same as [[verifyJaccard]].
+      .withColumn("__j",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("probe_id"), col("match_id"), col("jaccard"))
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("__j") >= threshold)
+      .select(col("probe_id"), col("match_id"), round(col("__j"), 4).as("jaccard"))
       .orderBy(col("probe_id"), col("match_id"))
   }
 

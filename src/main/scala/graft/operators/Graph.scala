@@ -47,7 +47,14 @@ object Graph {
           lit(damping) * coalesce(sum(col("c")), lit(0.0))).as("rank"))
       if (i % 2 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    // Materialize the final ranks (localCheckpoint is eager), then release
+    // the per-call caches — repeated invocations in one session must not
+    // accumulate orphaned cached RDDs (same deterministic-release
+    // discipline as [[Dedup.invalidateSharedPairs]]).
+    val out = ranks.localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    out
   }
 
   /** Fixture wiring (q90): rank the near-dup graph of the documents
@@ -111,10 +118,14 @@ object Graph {
       .union(directed.select(col("hi").as("b"), col("lo").as("c")))
     val triangles = wedges.join(closing, Seq("b", "c"))
       .select(col("a"), col("b"), col("c"))
-    triangles
+    // Materialize the census (small: one row per node), then release the
+    // directed-edge cache so repeated calls hold no orphaned RDDs.
+    val counts = triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    directed.unpersist()
+    counts.orderBy(col("doc_id"))
   }
 
   /** Fixture wiring (q102): triangle census of the near-dup graph —

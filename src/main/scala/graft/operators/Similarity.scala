@@ -172,7 +172,7 @@ object Similarity {
   private val ivfMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), IvfIndex]
   private val lshMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), String]
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int, Int), String]
 
   def invalidateIndexes(spark: org.apache.spark.sql.SparkSession): Unit = {
     ivfMemo.keys.filter(_._1 eq spark).foreach(ivfMemo.remove)
@@ -185,30 +185,44 @@ object Similarity {
       s"${spark.sparkContext.applicationId}_" +
       new java.io.File(datasetKey).getName
 
-  /** Build (once per session+dataset) the bucket-partitioned LSH index:
-    * corpus keyed by its `planes`-bit hyperplane signature, written
-    * Hive-partitioned by bucket. One map stage + one partitioned write.
+  /** Build (once per session+dataset+params) the MULTI-TABLE bucket-
+    * partitioned LSH index: `tables` independent plane families (the same
+    * per-table offsets [[lshNearDupPairs]] uses), the corpus written once
+    * per table, Hive-partitioned by (tbl, bucket). A single-table probe's
+    * recall is capped by one family's S-curve; independent tables multiply
+    * the miss probabilities, so a probe reading tables×(planes+1)
+    * directories — still O(1) of the corpus — recovers what one table at
+    * the same read bound cannot. The layout is `tables`× the corpus: the
+    * standard LSH trade, paid once at build, amortized over probes.
     */
   def lshIndex(emb: DataFrame, datasetKey: String,
-      planes: Int = 8, dim: Int = 64): String =
-    lshMemo.getOrElseUpdate((emb.sparkSession, datasetKey, planes, dim), {
-      val path = indexPath(emb.sparkSession, s"lsh${planes}x$dim", datasetKey)
-      // repartition by bucket before the partitioned write: without it
-      // every task writes one file per bucket it happens to hold
-      // (tasks × buckets tiny files); with it each bucket directory gets
-      // its writers' worth of files and AQE coalesces the small shuffle
+      planes: Int = 8, dim: Int = 64, tables: Int = 4): String =
+    lshMemo.getOrElseUpdate((emb.sparkSession, datasetKey, tables, planes, dim), {
+      val path = indexPath(emb.sparkSession, s"lsh${tables}t${planes}x$dim", datasetKey)
+      val keys = array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshKeyOffset(col("embedding"), t * planes, planes, dim).as("bucket"))
+      }: _*)
+      // repartition by (tbl, bucket) before the partitioned write: without
+      // it every task writes one file per directory it happens to hold
+      // (tasks × tables × buckets tiny files); with it each directory gets
+      // one writer set and AQE coalesces the small shuffle
       graft.sources.Sink.writePartitioned(
         emb.select(col("vec_id"), col("label"), col("embedding"),
-          lshKey(col("embedding"), planes, dim).as("bucket"))
-          .repartition(col("bucket")),
-        path, Seq("bucket"))
+          explode(keys).as("k"))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+          .repartition(col("tbl"), col("bucket")),
+        path, Seq("tbl", "bucket"))
       path
     })
 
-  /** Bucketed ANN top-k through the LSH index: the query's bucket plus
-    * all Hamming-1 neighbors (multi-probe) become a partition-pruning
-    * IN-filter on the index layout — the scan reads `planes + 1` bucket
-    * directories, not the corpus. Approximate; recall grows with probes.
+  /** Bucketed ANN top-k through the multi-table LSH index: in EACH table
+    * the query's bucket plus all Hamming-1 neighbors (multi-probe) become
+    * a partition-pruning filter on the layout — the scan reads at most
+    * tables × (planes + 1) bucket directories, never the corpus.
+    * Candidates found by several tables are deduped by vec_id before
+    * scoring. Approximate; recall grows with both probes and tables.
     */
   def lshTopK(
       emb: DataFrame,
@@ -216,19 +230,40 @@ object Similarity {
       k: Int,
       planes: Int = 8,
       dim: Int = 64,
+      tables: Int = 4,
       datasetKey: String): DataFrame = {
-    val path = lshIndex(emb, datasetKey, planes, dim)
-    // 1-row driver fetch: the query vector and its bucket (computed by
-    // the SAME column expression the index used)
+    val path = lshIndex(emb, datasetKey, planes, dim, tables)
+    // 1-row driver fetch: the query vector and its per-table buckets
+    // (computed by the SAME column expressions the index used)
+    val keyCols = (0 until tables).map(t =>
+      lshKeyOffset(col("embedding"), t * planes, planes, dim).as(s"b$t"))
     val q = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding"), lshKey(col("embedding"), planes, dim).as("bucket"))
+      .select((col("embedding") +: keyCols): _*)
       .collect()
     require(q.nonEmpty, s"lshTopK: query vec_id=$queryId not found")
-    val qBucket = q.head.getLong(1)
-    val probes = qBucket +: (0 until planes).map(p => qBucket ^ (1L << p))
+    val admitted = (0 until tables).flatMap { t =>
+      val b = q.head.getLong(1 + t)
+      (b +: (0 until planes).map(p => b ^ (1L << p))).distinct.map(t -> _)
+    }
+    val probeFilter = admitted.groupBy(_._1).map { case (t, bs) =>
+      col("tbl") === t && col("bucket").isInCollection(bs.map(_._2))
+    }.reduce(_ || _)
+    // List ONLY the probed directories (basePath keeps the partition
+    // columns): the layout has tables × 2^planes directories, and a
+    // full read.parquet(path) pays partition DISCOVERY over all of them
+    // before pruning drops the rest — at scale that listing, not the
+    // read, is the probe's cost. Missing dirs = empty buckets, skipped.
+    val probeDirs = admitted
+      .map { case (t, b) => s"$path/tbl=$t/bucket=$b" }
+      .filter(p => new java.io.File(p).isDirectory)
     val qLit = array(q.head.getSeq[Float](0).map(f => lit(f.toDouble)).toIndexedSeq: _*)
-    emb.sparkSession.read.parquet(path)
-      .filter(col("bucket").isInCollection(probes) && col("vec_id") =!= queryId)
+    val indexed =
+      if (probeDirs.isEmpty) emb.sparkSession.read.parquet(path).filter(lit(false))
+      else emb.sparkSession.read.option("basePath", path).parquet(probeDirs: _*)
+    indexed
+      .filter(probeFilter && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .dropDuplicates("vec_id")
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), qLit), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

@@ -110,26 +110,73 @@ object OecJsonSource {
     all.filter(_.endsWith(".json")).sorted
   }
 
-  def records(file: String): Iterator[JsonNode] = {
-    val root = mapper.readTree(new java.io.File(file))
-    val data = root.get("data")
-    require(data != null && data.isArray,
+  /** All records of a response, streamed. */
+  def records(file: String): Iterator[JsonNode] = sampleRecords(file, Int.MaxValue)
+
+  /** The first `limit` records of a response via a STREAMING JsonParser —
+    * never materializes the file's tree. This is what bounds plan-time
+    * inference cost: `readTree` would parse every byte of every response
+    * before `take(n)` could drop anything, so sampling a 1 GB response
+    * would cost 1 GB of driver parse; the streaming parser stops after
+    * the limit-th record subtree. The execution path ([[records]]) is the
+    * same iterator unbounded — one record in memory at a time per reader.
+    */
+  def sampleRecords(file: String, limit: Int): Iterator[JsonNode] = {
+    import com.fasterxml.jackson.core.JsonToken
+    val p = mapper.getFactory.createParser(new java.io.File(file))
+    require(p.nextToken() == JsonToken.START_OBJECT,
+      s"oecjson: $file is not a JSON object (wire contract, oec.py:22)")
+    var dataFound = false
+    var done = false
+    while (!done && !dataFound) {
+      p.nextToken() match {
+        case JsonToken.FIELD_NAME =>
+          val isData = p.currentName == "data"
+          p.nextToken() // move onto the field's value
+          if (isData) {
+            require(p.currentToken == JsonToken.START_ARRAY,
+              s"oecjson: $file has no 'data' array (wire contract, oec.py:22)")
+            dataFound = true
+          } else p.skipChildren() // skip other top-level values wholesale
+        case JsonToken.END_OBJECT | null => done = true
+        case _ => ()
+      }
+    }
+    require(dataFound,
       s"oecjson: $file has no 'data' array (wire contract, oec.py:22)")
-    data.elements().asScala
+    new Iterator[JsonNode] {
+      private var count = 0
+      private var cur: JsonNode = advance()
+      private def advance(): JsonNode =
+        if (count >= limit) { p.close(); null }
+        else p.nextToken() match {
+          case JsonToken.END_ARRAY | null => p.close(); null
+          case _ =>
+            count += 1
+            mapper.readTree[JsonNode](p)
+        }
+      override def hasNext: Boolean = cur != null
+      override def next(): JsonNode = {
+        val r = cur
+        cur = advance()
+        r
+      }
+    }
   }
 
   /** Widening inference: long < double < string, widened across a bounded
     * sample of EVERY response file — responses are independent API results,
     * so one all-integral response must not pin a column another response
     * stores fractionally (`{"v":1}` then `{"v":1.5}` infers double, not
-    * long). Cost is bounded at `perFileSample` records per file, parsed on
-    * the driver once at plan time.
+    * long). Cost is genuinely bounded at `perFileSample` records per file
+    * ([[sampleRecords]] streams and stops — it does not parse the rest of
+    * the response), paid on the driver once at plan time.
     */
   def inferFromFiles(files: Seq[String], perFileSample: Int = 1000): StructType = {
     val norm = graft.cube.Normalize.norm _
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
     files.foreach { file =>
-      records(file).take(perFileSample).foreach { rec =>
+      sampleRecords(file, perFileSample).foreach { rec =>
         rec.fields().asScala.foreach { e =>
           val dt: DataType =
             if (e.getValue.isIntegralNumber) LongType

@@ -244,6 +244,57 @@ object EventsStream {
       .orderBy(col("click_id"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution variant a
+    * real pipeline needs: every click is emitted, with null purchase
+    * columns when no purchase preceded it within the hour. The
+    * semantically hard part is WHEN the null emits: only once the
+    * watermark passes the click's match window (until then a matching
+    * purchase could still arrive), pinned by the multi-trigger
+    * StreamSemanticsSpec test.
+    *
+    * Determinism at drain time: the fixture stream simply ends, and a
+    * click whose match window the final watermark never closes would sit
+    * in state forever — its null row never emits, which would diverge
+    * from any batch oracle. So the query closes its domain: watermarks
+    * are applied BEFORE the event-type filters (each side's watermark
+    * tracks the full stream, max(ts) - 1 h, not its filtered slice), and
+    * clicks are restricted to those at least 2 h older than the newest
+    * event — strictly below the final watermark, so every kept click is
+    * matched-or-nulled exactly once before the drain. The oracle applies
+    * the same 2 h cut. The cutoff is a 1-row driver aggregate over the
+    * batch table; the stream itself never reads batch data.
+    */
+  def purchaseAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    val maxNanos = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(col("ts"))).collect()(0).getLong(0)
+    val cutoffMicros = maxNanos / 1000L - 2L * 3600L * 1000000L
+    val ev = streamingEvents(spark, dir)
+    val clicks = ev
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("event_type"))
+      .withWatermark("click_ts", "1 hour")
+      .filter(col("event_type") === "click" &&
+        unix_micros(col("click_ts")) <= cutoffMicros)
+      .drop("event_type")
+    val purchases = ev
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"), col("event_type"))
+      .withWatermark("purchase_ts", "1 hour")
+      .filter(col("event_type") === "purchase")
+      .drop("event_type")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"),
+      "left_outer")
+    runToMemory(joined, "graft_stream_attrib_outer", OutputMode.Append())
+      .select(col("click_id"), col("user_id"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"),
+        col("purchase_value"))
+      .orderBy(col("click_id"), col("purchase_ts"))
+  }
+
   /** Custom per-key state via mapGroupsWithState: per-user event count,
     * running value total, and latest event type (by event time). With the
     * fixture driven as one batch this equals the batch

@@ -29,7 +29,7 @@ class CorpusPipelineSpec extends SparkFunSuite {
     val out = Corpus.packSequences(docs, budget = 7)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     // reconstruct the expected order: multiplicative hash then doc_id
-    val key = (id: Long) => ((id * 2654435761L) % 1000000007L + 1000000007L) % 1000000007L
+    val key = (id: Long) => (((id & 0x7FFFFFFFL) * 2654435761L) % 1000000007L + 1000000007L) % 1000000007L
     val ordered = (0L until 10L).sortBy(id => (key(id), id))
     var off = 0L
     val expected = ordered.map { id =>
@@ -154,6 +154,34 @@ class CorpusPipelineSpec extends SparkFunSuite {
     val out = Corpus.bigramSurprisal(docs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
     assert(out == Seq((1L, 2, 2.0), (2L, 2, 2.0)))
+  }
+
+  test("docHash membership is wrap-safe and engine-portable at ids >= 2^31") {
+    // The unmasked Knuth multiply overflows long for ids >= ~2^32 — Spark
+    // would wrap silently (non-ANSI) while an ANSI oracle traps. The
+    // masked form bounds the product below 2^63, so exact BigInt
+    // arithmetic (the portable ANSI semantics any oracle computes) must
+    // agree with Spark's evaluation at every id, including the extremes.
+    val ids = Seq(0L, 1L, (1L << 31) - 1, 1L << 31, (1L << 32) + 123L,
+      5000000000L, 1L << 62, Long.MaxValue)
+    val expected = ids.map { id =>
+      val masked = BigInt(id & 0x7FFFFFFFL) * BigInt(2654435761L)
+      (id, (masked % 100).toLong, (masked % 1000000L).toLong)
+    }
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        pmod(Corpus.docHash(col("doc_id")), lit(100)).as("b100"),
+        pmod(Corpus.docHash(col("doc_id")), lit(1000000L)).as("b1m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == expected.sortBy(_._1))
+    // and the split assignment built on it stays total + deterministic
+    val splits = Corpus.splitAssign(ids.map((_, "x")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    expected.foreach { case (id, b100, _) =>
+      val want = if (b100 < 80) "train" else if (b100 < 90) "val" else "test"
+      assert(splits(id) == want)
+    }
   }
 
   test("weighted sample always keeps the max-length doc at rate 1") {

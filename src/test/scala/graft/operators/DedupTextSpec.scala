@@ -71,6 +71,26 @@ class DedupTextSpec extends SparkFunSuite {
     assert(out == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("minhashJoin: a band hot on BOTH sides stays correct and bounded") {
+    // The scaladoc's skew claim (a viral key hot on both sides is handled
+    // by AQE's skew join, since the bipartite join has no star fallback)
+    // made executable: 60 identical docs per side means every (band, sig)
+    // bucket is maximally hot on both sides — the worst bipartite skew
+    // shape. The join must still produce exactly the 60x60 true pairs at
+    // jaccard 1.0 (nothing dropped by a cap, nothing duplicated by a
+    // split) and none of the planted unrelated pairs.
+    val viral = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 until 140).map(i => s"tok$i").mkString(" ")
+    val left = (0L until 60L).map(i => (i, viral)) :+ (900L, other)
+    val right = (1000L until 1060L).map(i => (i, viral)) :+ (1900L, (200 until 240).map(i => s"tok$i").mkString(" "))
+    val out = Dedup.minhashJoin(docs(left: _*), docs(right: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 3600, s"expected 60x60 pairs, got ${out.length}")
+    assert(out.forall(_._3 == 1.0))
+    assert(out.map(p => (p._1, p._2)).distinct.length == 3600, "duplicated pairs")
+    assert(out.forall(p => p._1 < 900L && p._2 >= 1000L && p._2 < 1900L))
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val base = (0 until 40).map(i => s"tok$i").mkString(" ")
     val nearDup = ((0 until 38).map(i => s"tok$i") ++ Seq("x", "y")).mkString(" ")
@@ -174,6 +194,18 @@ class DedupTextSpec extends SparkFunSuite {
       .select(col("ia"), col("ib"), Dedup.hamming(col("sa"), col("sb")).as("h"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(viaBits == viaArrays && viaBits.nonEmpty)
+  }
+
+  test("simhash votes are the md5 bits (cross-engine portable contract)") {
+    // A single-token doc's vote sums are exactly its ±1 votes, so the
+    // packed fingerprint must equal the token's md5 word0 — the value any
+    // engine derives as CAST('0x' || substr(md5('a'), 1, 16) AS UBIGINT).
+    // md5("a") = 0cc175b9c0f1b6a831c399e269772661.
+    val fp = graft.SparkTestBase.spark.range(1)
+      .select(graft.functions.TextExpressions.simhashFp(array(lit("a"))).as("fp"))
+      .collect().head.getLong(0)
+    assert(fp == 0x0cc175b9c0f1b6a8L,
+      f"fingerprint 0x$fp%016x diverged from the md5-vote contract")
   }
 
   test("native text expressions are SQL-callable after registration") {

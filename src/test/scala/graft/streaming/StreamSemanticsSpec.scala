@@ -134,6 +134,51 @@ class StreamSemanticsSpec extends SparkFunSuite {
     q.stop()
   }
 
+  test("left-outer interval join emits nulls only after the watermark closes the window") {
+    val clicks = MemoryStream[(Long, Long, Timestamp)](spark)
+    val purchases = MemoryStream[(Long, Timestamp, Double)](spark)
+    val c = clicks.toDF().toDF("click_id", "user_id", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.toDF().toDF("p_user", "purchase_ts", "purchase_value")
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"),
+      "left_outer")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("outer_join_test").start()
+
+    // batch 1: user 1's click has a matching purchase -> the MATCH emits
+    // immediately; user 2's click has none, but its null row must NOT
+    // emit yet — a matching purchase could still arrive
+    purchases.addData((1L, ts("09:30"), 5.0))
+    clicks.addData((100L, 1L, ts("10:00")), (200L, 2L, ts("10:00")))
+    q.processAllAvailable()
+    val afterB1 = spark.table("outer_join_test")
+      .collect().map(r => (r.getLong(0), r.isNullAt(4)))
+    assert(afterB1.toSeq == Seq((100L, false)),
+      s"only the matched row may emit before close-out: ${afterB1.toSeq}")
+
+    // batch 2: both watermarks advance past 10:00 (events at 13:00 on
+    // users that match nothing) -> click 200's window [09:00, 10:00] is
+    // closed and its null row emits exactly once
+    purchases.addData((8L, ts("13:00"), 1.0))
+    clicks.addData((300L, 9L, ts("13:00")))
+    q.processAllAvailable()
+    val afterB2 = spark.table("outer_join_test")
+      .collect().map(r => (r.getLong(0), r.isNullAt(3), r.isNullAt(4))).toSet
+    assert(afterB2 == Set((100L, false, false), (200L, true, true)),
+      s"null row must emit once the watermark closes the window: $afterB2")
+
+    // batch 3: a LATE purchase behind the watermark cannot resurrect the
+    // already-nulled click — no duplicate, no revision
+    purchases.addData((2L, ts("09:45"), 9.0))
+    q.processAllAvailable()
+    assert(spark.table("outer_join_test").count() == 2)
+    q.stop()
+  }
+
   test("streaming dedup within watermark drops replays, keeps distinct ids, bounds state") {
     // at-least-once upstreams (Kafka replays, task retries) make exact
     // dedup a core streaming operator: dropDuplicatesWithinWatermark
