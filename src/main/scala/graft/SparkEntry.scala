@@ -448,6 +448,11 @@ object SparkEntry {
     // emission gated on watermark close-out; see
     // EventsStream.purchaseAttributionOuter for the drain-determinism cut)
     "q109_stream_outer_join" -> EventsStream.purchaseAttributionOuter _,
+    // BM25 top-k retrieval over the documents table (the retrieval half
+    // of a RAG / query-relevance curation pipeline)
+    "q110_bm25" -> ((s, d) =>
+      Corpus.bm25TopDocs(eng(s, d).table("documents"),
+        Seq("spark", "query", "join"))),
     "q108_ivf8_index_build" -> ((s, d) => {
       val emb = eng(s, d).table("embeddings")
       val idx = Similarity.ivfIndex(emb, datasetKey = d, nlist = 8) // q101's
@@ -740,6 +745,75 @@ object SparkEntry {
         |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // LSH probe top-k: the hyperplane components are md5 bits
+    // (Similarity.planeComponent), so the oracle recomputes the FULL
+    // probe — 4 plane families (tables x 8 planes), per-table bucket
+    // keys, the query's Hamming-1 multi-probe set, candidate union,
+    // exact cosine re-rank — from the raw embeddings. Previously
+    // no_oracle (engine-private plane seeding).
+    "q29_embed_lsh_topk" ->
+      """WITH planes AS (
+        | SELECT p, d,
+        |  CASE WHEN (CAST(concat('0x', substr(md5(p || ',' || d), 1, 16))
+        |    AS UBIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END AS c
+        | FROM range(0, 32) t1(p), range(0, 64) t2(d)),
+        |dots AS (
+        | SELECT e.vec_id, p.p // 8 AS tbl, p.p % 8 AS bit,
+        |  sum(e.embedding[p.d + 1] * p.c) AS dp
+        | FROM embeddings e, planes p GROUP BY 1, 2, 3),
+        |buckets AS (
+        | SELECT vec_id, tbl,
+        |  sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bucket
+        | FROM dots GROUP BY 1, 2),
+        |qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
+        |probes AS (
+        | SELECT DISTINCT qb.tbl,
+        |  xor(qb.bucket, CASE WHEN f.f = 0 THEN 0
+        |    ELSE CAST(1 AS BIGINT) << (f.f - 1) END) AS bucket
+        | FROM qb, range(0, 9) f(f)),
+        |cand AS (
+        | SELECT DISTINCT b.vec_id
+        | FROM buckets b JOIN probes pr ON b.tbl = pr.tbl AND b.bucket = pr.bucket
+        | WHERE b.vec_id <> 0),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        | round(list_inner_product(e.embedding, q_emb)
+        |   / (sqrt(list_inner_product(e.embedding, e.embedding))
+        |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
+        |FROM embeddings e JOIN cand USING (vec_id), q
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // Embedding near-dup: same portable plane families (4 tables x 6
+    // bits), bucket equi-join candidates, exact-cosine verify on the
+    // UNROUNDED ratio — the whole data path recomputed by the oracle
+    "q30_embed_neardup" ->
+      """WITH planes AS (
+        | SELECT p, d,
+        |  CASE WHEN (CAST(concat('0x', substr(md5(p || ',' || d), 1, 16))
+        |    AS UBIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END AS c
+        | FROM range(0, 24) t1(p), range(0, 64) t2(d)),
+        |dots AS (
+        | SELECT e.vec_id, p.p // 6 AS tbl, p.p % 6 AS bit,
+        |  sum(e.embedding[p.d + 1] * p.c) AS dp
+        | FROM embeddings e, planes p GROUP BY 1, 2, 3),
+        |buckets AS (
+        | SELECT vec_id, tbl,
+        |  sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bucket
+        | FROM dots GROUP BY 1, 2),
+        |cand AS (
+        | SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        | FROM buckets a JOIN buckets b
+        |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT c.vec_a, c.vec_b,
+        | round(list_inner_product(ea.embedding, eb.embedding)
+        |   / (sqrt(list_inner_product(ea.embedding, ea.embedding))
+        |      * sqrt(list_inner_product(eb.embedding, eb.embedding))), 4) AS cos_sim
+        |FROM cand c
+        | JOIN embeddings ea ON ea.vec_id = c.vec_a
+        | JOIN embeddings eb ON eb.vec_id = c.vec_b
+        |WHERE list_inner_product(ea.embedding, eb.embedding)
+        |   / (sqrt(list_inner_product(ea.embedding, ea.embedding))
+        |      * sqrt(list_inner_product(eb.embedding, eb.embedding))) >= 0.3
+        |ORDER BY 1, 2""".stripMargin,
     "q31_label_centroids" ->
       """WITH e AS (
         | SELECT label, vec_id, i AS pos, embedding[i] AS v
@@ -1663,6 +1737,28 @@ object SparkEntry {
         | CAST(sum(vec_id) AS BIGINT) AS sum_ids,
         | TRUE AS cells_ok
         |FROM embeddings""".stripMargin,
+    // Lucene-form BM25; FP op order mirrors Corpus.bm25TopDocs exactly
+    // (constants written as the same folded expressions) so the scores
+    // hash-compare at 4 dp
+    "q110_bm25" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        | FROM documents),
+        |lens AS (
+        | SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl
+        | FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |       FROM lens),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS cnt FROM toks
+        |       WHERE tok IN ('spark', 'query', 'join') GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+        |SELECT t.doc_id,
+        | round(sum(ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |   * (t.cnt * (1.2 + 1.0))
+        |   / (t.cnt + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))), 4) AS bm25,
+        | CAST(count(*) AS INTEGER) AS n_terms
+        |FROM tf t JOIN dfreq d USING (tok) JOIN lens l USING (doc_id), st
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin,
     // batch left join over the same 2-hour-cut click domain the streaming
     // query closes itself to (see purchaseAttributionOuter)
     "q109_stream_outer_join" ->

@@ -396,6 +396,46 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  /** BM25 top-k document retrieval for a term query — the classic
+    * relevance scorer (Robertson/Spärck Jones), the retrieval half of a
+    * RAG or query-relevance curation pipeline:
+    * score(doc) = Σ_terms idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Lucene form,
+    * always positive).
+    *
+    * Scale shape: the exploded counts are filtered to the query's terms
+    * FIRST (the IN-list prunes at the aggregation input, so the per-doc
+    * frame carries at most |terms| rows per doc); df is |terms| rows,
+    * broadcast; N/avgdl is a 1-row aggregate, broadcast; the only
+    * shuffles are keyed by doc_id (fine-grained, skew-free) and the
+    * final top-k is TakeOrderedAndProject. FP op order matches the
+    * registered oracle exactly (constants written as the same
+    * expressions, left-associated), so scores hash-compare at 4 dp.
+    */
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25TopDocs needs at least one query term")
+    val lens = docs.select(col("doc_id"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = tokenCounts(docs).filter(col("tok").isin(terms: _*))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val score = idf * (col("cnt").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("cnt").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(score), 4).as("bm25"),
+        count(lit(1)).cast("int").as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** TF-IDF top-k terms per document: tf = cnt/doc_total,
     * idf = ln(N/df). N is a 1-row aggregate broadcast-cross-joined in
     * (declarative — no driver-side count action); df comes from a

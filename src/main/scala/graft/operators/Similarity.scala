@@ -90,11 +90,21 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random +-1 hyperplane component for (plane p,
-    * dim d): parity of a hash — reproducible across sessions, no RNG
-    * state to ship.
+    * dim d): the low bit of md5("p,d") — reproducible across sessions
+    * AND across engines (the portable-hash discipline of
+    * [[graft.functions.TextAnalysis.portableHash60]]): any ANSI engine
+    * derives the identical plane family as
+    * `CAST('0x' || substr(md5(p || ',' || d), 1, 16) AS UBIGINT) & 1`,
+    * which is what puts the LSH bucket keys — and with them q29's probe
+    * and q30's candidate generation — on the cross-engine oracle surface.
+    * An engine-private hash would leave them rows-only checkable.
     */
-  private def planeComponent(p: Int, d: Int): Double =
-    if (((scala.util.hashing.MurmurHash3.productHash((p, d))) & 1) == 0) 1.0 else -1.0
+  private def planeComponent(p: Int, d: Int): Double = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p,$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // low bit of the big-endian first word = low bit of digest byte 7
+    if ((dig(7) & 1) == 1) 1.0 else -1.0
+  }
 
   /** LSH bucket key: `planes` sign bits from dot products with the +-1
     * hyperplanes. Pure per-row expression over literal plane vectors.
@@ -140,9 +150,11 @@ object Similarity {
     cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("e_a"), col("e_b")), 4).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      // threshold the UNROUNDED cosine; round only for display (the same
+      // boundary-correctness fix as Dedup.verifyJaccard)
+      .withColumn("__c", cosine(col("e_a"), col("e_b")))
+      .filter(col("__c") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("__c"), 4).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -184,6 +184,23 @@ class CorpusPipelineSpec extends SparkFunSuite {
     }
   }
 
+  test("bm25 ranks by matched terms and term frequency; non-matching docs absent") {
+    // equal doc lengths and equal idf for both terms isolate the tf /
+    // coverage behavior: two distinct matched terms beat one term at
+    // tf=2 (bm25's tf saturation), which beats a single match
+    val docs = Seq(
+      (1L, "apple apple x y z"),
+      (2L, "apple banana x y z"),
+      (3L, "x y z w v"),
+      (4L, "banana x y z w")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25TopDocs(docs, Seq("apple", "banana"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 4L)) // doc 3 matches nothing
+    assert(out.head._3 == 2 && out(1)._3 == 1)
+    assert(out(1)._2 > out(2)._2) // tf=2 outscores tf=1 at equal idf/length
+  }
+
   test("weighted sample always keeps the max-length doc at rate 1") {
     val docs = Seq(
       (1L, "en", 10L), (2L, "en", 500L), (3L, "fr", 500L), (4L, "fr", 20L)
