@@ -453,6 +453,12 @@ object SparkEntry {
     "q110_bm25" -> ((s, d) =>
       Corpus.bm25TopDocs(eng(s, d).table("documents"),
         Seq("spark", "query", "join"))),
+    // Contrastive hard-negative mining: per query, the top-3 most-similar
+    // vectors with a DIFFERENT label
+    "q111_hard_negatives" -> ((s, d) => {
+      val emb = eng(s, d).table("embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), k = 3)
+    }),
     "q108_ivf8_index_build" -> ((s, d) => {
       val emb = eng(s, d).table("embeddings")
       val idx = Similarity.ivfIndex(emb, datasetKey = d, nlist = 8) // q101's
@@ -1737,6 +1743,21 @@ object SparkEntry {
         | CAST(sum(vec_id) AS BIGINT) AS sum_ids,
         | TRUE AS cells_ok
         |FROM embeddings""".stripMargin,
+    "q111_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        | SELECT q.q_id, e.vec_id, e.label AS neg_label,
+        |  round(list_inner_product(e.embedding, q.q_emb)
+        |    / (sqrt(list_inner_product(e.embedding, e.embedding))
+        |       * sqrt(list_inner_product(q.q_emb, q.q_emb))), 4) AS cos_sim
+        | FROM embeddings e, q WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+        |r AS (SELECT q_id, vec_id, neg_label, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rk
+        | FROM scored)
+        |SELECT q_id, rk, vec_id, neg_label, cos_sim FROM r WHERE rk <= 3
+        |ORDER BY q_id, rk""".stripMargin,
     // Lucene-form BM25; FP op order mirrors Corpus.bm25TopDocs exactly
     // (constants written as the same folded expressions) so the scores
     // hash-compare at 4 dp

@@ -89,6 +89,31 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Hard-negative mining — the contrastive-training data primitive: for
+    * every query vector, the top-k most-similar corpus vectors with a
+    * DIFFERENT label (similar-but-wrong examples are what a contrastive
+    * or reranker objective needs; random negatives are too easy).
+    * Same plan shape as [[knnJoin]] — broadcast queries, one scored scan,
+    * per-query window top-k — with the label-inequality predicate applied
+    * before scoring so mismatched pairs never reach the ranker. At the
+    * indexed scale the corpus side swaps to the IVF layout exactly as
+    * [[ivfKnnJoin]] does; the exact form is the oracle-gated baseline.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"), col("embedding").as("q_emb"))))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label").as("neg_label"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("neg_label"),
+        col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Deterministic pseudo-random +-1 hyperplane component for (plane p,
     * dim d): the low bit of md5("p,d") — reproducible across sessions
     * AND across engines (the portable-hash discipline of

@@ -175,6 +175,16 @@ class IvfSpec extends SparkFunSuite {
     }
   }
 
+  test("hard negatives exclude the query's own label and rank by cosine") {
+    val out = Similarity.hardNegatives(
+      clustered, clustered.filter(col("vec_id") === 0L), k = 5).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getInt(3) != 0), "query label 0 must be excluded")
+    val sims = out.map(_.getDouble(4))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(out.map(_.getInt(1)).toSeq == (1 to 5))
+  }
+
   test("different index parameters never share a layout") {
     // regression: q46 (nlist=16) ran before q101 (nlist=8) and the memo,
     // keyed only on dataset, silently served the 16-cell layout — an
