@@ -403,23 +403,25 @@ object Corpus {
     * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Lucene form,
     * always positive).
     *
-    * Scale shape: the exploded counts are filtered to the query's terms
-    * FIRST (the IN-list prunes at the aggregation input, so the per-doc
-    * frame carries at most |terms| rows per doc); df is |terms| rows,
-    * broadcast; N/avgdl is a 1-row aggregate, broadcast; the only
-    * shuffles are keyed by doc_id (fine-grained, skew-free) and the
-    * final top-k is TakeOrderedAndProject. FP op order matches the
-    * registered oracle exactly (constants written as the same
-    * expressions, left-associated), so scores hash-compare at 4 dp.
+    * Scale shape: TWO corpus scans total. The tf scan carries the doc
+    * length alongside the exploded tokens, and the term IN-list prunes
+    * BELOW the aggregation (plan-asserted), so the shuffle holds at most
+    * |terms| rows per doc and no join back to the corpus is needed; the
+    * stats scan is a 1-row aggregate. df (|terms| rows) and stats are
+    * broadcast; the final top-k is TakeOrderedAndProject. FP op order
+    * matches the registered oracle exactly (constants written as the
+    * same expressions, left-associated), so scores hash-compare at 4 dp.
     */
   def bm25TopDocs(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75, topK: Int = 10): DataFrame = {
     require(terms.nonEmpty, "bm25TopDocs needs at least one query term")
-    val lens = docs.select(col("doc_id"),
-      graft.functions.TextAnalysis.tokenCount(col("text")).cast("double").as("dl"))
-    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val tf = tokenCounts(docs).filter(col("tok").isin(terms: _*))
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val stats = docs
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(size(toks).cast("double")).as("avgdl"))
+    // two consumers (the score join and df) — materialize the tiny
+    // post-filter frame once, as in the surprisal family
+    val tf = bm25Tf(docs, terms).localCheckpoint()
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -427,13 +429,28 @@ object Corpus {
       (col("cnt").cast("double") +
         lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
     tf.join(broadcast(dfreq), "tok")
-      .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(round(sum(score), 4).as("bm25"),
         count(lit(1)).cast("int").as("n_terms"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** [[bm25TopDocs]]'s term-frequency scan, pre-materialization: one
+    * corpus pass carrying the doc length alongside the exploded tokens,
+    * with the query-term IN-list pruning BELOW the (doc_id, tok)
+    * aggregation (PlanShapeSpec asserts the filter sits over the
+    * Generate) so the shuffle holds at most |terms| rows per doc.
+    */
+  private[graft] def bm25Tf(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    docs
+      .select(col("doc_id"), size(toks).cast("double").as("dl"),
+        explode(toks).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"), first(col("dl")).as("dl"))
   }
 
   /** TF-IDF top-k terms per document: tf = cnt/doc_total,

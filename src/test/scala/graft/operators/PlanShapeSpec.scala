@@ -116,6 +116,30 @@ class PlanShapeSpec extends SparkFunSuite {
     }
   }
 
+  test("bm25 prunes to query terms below the aggregation and takes top-k, no global sort") {
+    val df = SparkEntry.queries("q110_bm25")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the final top-k must be a bounded take, not a full sort of the
+    // scored frame
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a top-k take in:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"))
+    // the term IN-list prunes before the (doc_id, tok) aggregation: in
+    // the tf scan's optimized plan (pre-checkpoint — the checkpoint
+    // truncates lineage in the full query) the Filter sits under the
+    // Aggregate, directly over the Generate, so the shuffle carries only
+    // query-term rows
+    val docs = new graft.cube.Engine(spark, sf).table("documents")
+    val opt = graft.operators.Corpus.bm25Tf(docs, Seq("spark", "query"))
+      .queryExecution.optimizedPlan.toString
+    val aggIdx = opt.indexOf("Aggregate")
+    val filterIdx = opt.indexOf("Filter tok")
+    val genIdx = opt.indexOf("Generate explode")
+    assert(aggIdx >= 0 && filterIdx > aggIdx && genIdx > filterIdx,
+      s"term filter must sit between the aggregation and the explode:\n$opt")
+  }
+
   test("cube query pushes cut predicates into the parquet scan") {
     val df = new graft.cube.Engine(spark, sf).getData(graft.cube.CubeQuery(
       "trade", Seq("Nation"), Seq("Trade Value"),
