@@ -453,6 +453,11 @@ object SparkEntry {
     "q110_bm25" -> ((s, d) =>
       Corpus.bm25TopDocs(eng(s, d).table("documents"),
         Seq("spark", "query", "join"))),
+    // Tokenizer-coverage metric: per-doc out-of-vocabulary rate against
+    // the corpus top-20 vocabulary (the fixture has ~31 distinct tokens,
+    // so 20 leaves real OOV mass for the metric to measure)
+    "q112_oov_rate" -> ((s, d) =>
+      Corpus.oovRate(eng(s, d).table("documents"), vocabSize = 20)),
     // Contrastive hard-negative mining: per query, the top-3 most-similar
     // vectors with a DIFFERENT label
     "q111_hard_negatives" -> ((s, d) => {
@@ -1743,6 +1748,19 @@ object SparkEntry {
         | CAST(sum(vec_id) AS BIGINT) AS sum_ids,
         | TRUE AS cells_ok
         |FROM embeddings""".stripMargin,
+    "q112_oov_rate" ->
+      """WITH tc AS (
+        | SELECT doc_id, tok, count(*) AS cnt FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents) GROUP BY 1, 2),
+        |vocab AS (
+        | SELECT tok FROM (SELECT tok, sum(cnt) AS tf FROM tc GROUP BY 1)
+        | ORDER BY tf DESC, tok LIMIT 20)
+        |SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_tokens,
+        | round(CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+        |   THEN cnt ELSE 0 END) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4)
+        |  AS oov_rate
+        |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q111_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 5),

@@ -437,6 +437,36 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Out-of-vocabulary rate per document against the corpus top-`vocabSize`
+    * token vocabulary — the tokenizer-coverage metric a pretraining
+    * pipeline tracks (a doc whose tokens mostly fall outside the working
+    * vocab is noise, another script, or markup). Vocabulary membership is
+    * deterministic: top by total frequency, ties broken by token.
+    *
+    * Scale shape: one exploded-counts pass (materialized once for its two
+    * consumers, as in the surprisal family); the vocabulary is `vocabSize`
+    * rows — TakeOrderedAndProject then broadcast — so the per-doc pass is
+    * a map-side join + one doc_id-keyed aggregation.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    val tc = Par.ensure(docs)
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__v"))
+    tc.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("int").as("n_tokens"),
+        round(
+          sum(when(col("__v").isNull, col("cnt")).otherwise(0L)).cast("double") /
+            sum(col("cnt")).cast("double"), 4).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[bm25TopDocs]]'s term-frequency scan, pre-materialization: one
     * corpus pass carrying the doc length alongside the exploded tokens,
     * with the query-term IN-list pruning BELOW the (doc_id, tok)

@@ -201,6 +201,15 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(out(1)._2 > out(2)._2) // tf=2 outscores tf=1 at equal idf/length
   }
 
+  test("oovRate measures the token mass outside the top-K vocabulary") {
+    // corpus frequencies: a=5, b=4 -> top-1 vocab = {a}; every b is OOV
+    val docs = Seq((1L, "a a a b"), (2L, "a a b b b")).toDF("doc_id", "text")
+    val out = Corpus.oovRate(docs, vocabSize = 1).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(1L) == (4, 0.25))
+    assert(out(2L) == (5, 0.6))
+  }
+
   test("weighted sample always keeps the max-length doc at rate 1") {
     val docs = Seq(
       (1L, "en", 10L), (2L, "en", 500L), (3L, "fr", 500L), (4L, "fr", 20L)
