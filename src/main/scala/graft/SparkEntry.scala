@@ -433,7 +433,8 @@ object SparkEntry {
           sum(col("vec_id")).as("sum_ids"))
         .crossJoin(idx.agg(count(lit(1)).as("__total")))
         .select(col("n_vecs"), col("sum_ids"),
-          (col("__total") === col("n_vecs") * 4).as("all_tables_complete"))
+          (col("__total") === col("n_vecs") * Similarity.DefaultLshTables)
+            .as("all_tables_complete"))
     }),
     "q107_ivf_index_build" -> ((s, d) => {
       val emb = eng(s, d).table("embeddings")

@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Default LSH table count shared by [[lshIndex]]/[[lshTopK]] and the
+    * q106 build-manifest completeness check (total rows = tables × corpus).
+    */
+  val DefaultLshTables = 4
+
   /** Dot product composed from built-in HOFs (element-wise in double — a
     * float multiply would diverge from ANSI engines' low bits). Reference
     * implementation: the native expressions below are the hot path (the
@@ -233,7 +238,7 @@ object Similarity {
     * standard LSH trade, paid once at build, amortized over probes.
     */
   def lshIndex(emb: DataFrame, datasetKey: String,
-      planes: Int = 8, dim: Int = 64, tables: Int = 4): String =
+      planes: Int = 8, dim: Int = 64, tables: Int = DefaultLshTables): String =
     lshMemo.getOrElseUpdate((emb.sparkSession, datasetKey, tables, planes, dim), {
       val path = indexPath(emb.sparkSession, s"lsh${tables}t${planes}x$dim", datasetKey)
       val keys = array((0 until tables).map { t =>
@@ -267,7 +272,7 @@ object Similarity {
       k: Int,
       planes: Int = 8,
       dim: Int = 64,
-      tables: Int = 4,
+      tables: Int = DefaultLshTables,
       datasetKey: String): DataFrame = {
     val path = lshIndex(emb, datasetKey, planes, dim, tables)
     // 1-row driver fetch: the query vector and its per-table buckets
