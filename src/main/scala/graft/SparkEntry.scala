@@ -427,11 +427,12 @@ object SparkEntry {
     "q106_lsh_index_build" -> ((s, d) => {
       val emb = eng(s, d).table("embeddings")
       val path = Similarity.lshIndex(emb, datasetKey = d) // q29's layout
-      val idx = s.read.parquet(path)
-      val one = idx.filter(col("tbl") === 0) // one full corpus copy
-      one.agg(count(lit(1)).as("n_vecs"),
-          sum(col("vec_id")).as("sum_ids"))
-        .crossJoin(idx.agg(count(lit(1)).as("__total")))
+      // single pass over the layout: table 0 is one full corpus copy,
+      // the grand total proves every table holds exactly one copy
+      s.read.parquet(path)
+        .agg(count(when(col("tbl") === 0, lit(1))).as("n_vecs"),
+          sum(when(col("tbl") === 0, col("vec_id"))).as("sum_ids"),
+          count(lit(1)).as("__total"))
         .select(col("n_vecs"), col("sum_ids"),
           (col("__total") === col("n_vecs") * Similarity.DefaultLshTables)
             .as("all_tables_complete"))
@@ -718,7 +719,7 @@ object SparkEntry {
     // documents table. Previously no_oracle (engine-seeded xxhash).
     "q27_simhash_pairs" ->
       """WITH toks AS (
-        | SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
         | FROM documents),
         |fpbits AS (
         | SELECT doc_id, k,
@@ -1782,10 +1783,11 @@ object SparkEntry {
     // hash-compare at 4 dp
     "q110_bm25" ->
       """WITH toks AS (
-        | SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
         | FROM documents),
         |lens AS (
-        | SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
         | FROM documents),
         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
         |       FROM lens),

@@ -309,7 +309,11 @@ object Corpus {
     // i.e. 3 corpus scans where 1 suffices. Same discipline as the
     // minhash shingle frame (Dedup.minhashPairs): localCheckpoint the
     // post-aggregation (doc_id, tok, cnt) frame — orders of magnitude
-    // smaller than the text it replaces re-scanning.
+    // smaller than the text it replaces re-scanning. Lifetime: per-call
+    // checkpoints (here and in bigramSurprisal/bm25/oovRate/tfidf) are
+    // NOT session-held — once the returned frame is unreferenced, the
+    // ContextCleaner reclaims the blocks; only session memos (Dedup
+    // pairs, ANN indexes) need the explicit invalidate path.
     val tc = tokenCounts(Par.ensure(docs)).localCheckpoint()
     val unigram = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
     val total = tc.agg(sum(col("cnt")).cast("double").as("corpus_tokens"))

@@ -363,6 +363,13 @@ object Dedup {
     * pigeonhole trick: split 64 bits into (maxDist+1) chunks — any pair
     * within maxDist collides on at least one chunk. Shuffles only
     * (chunk_id, chunk_hash, doc_id).
+    *
+    * Oracle caveat (q27): the pigeonhole banding is EXACT, so the DuckDB
+    * oracle recomputes the identical pair set from raw text — UNLESS a
+    * chunk bucket exceeds `maxBucketSize`, where [[bucketPairs]] degrades
+    * to its linear star pattern while the all-pairs oracle does not. On a
+    * corpus where >maxBucketSize docs share one 16-bit chunk (mass
+    * boilerplate), gate q27 with a star-aware tolerance or raise the cap.
     */
   def simhashPairs(
       docs: DataFrame,

@@ -159,6 +159,12 @@ object Similarity {
     * 1-(1-p^bits)^tables with p = 1-theta/pi), then exact-cosine verified
     * against `threshold`. Shuffle carries (table_id, bucket, vec_id) —
     * never a cross join; `maxBucketSize` caps degenerate buckets.
+    *
+    * Oracle caveat (q30): the md5-bit planes make the bucket keys and
+    * candidate join exactly reproducible in SQL — UNLESS a bucket exceeds
+    * `maxBucketSize`, where [[Dedup.bucketPairs]] degrades to its linear
+    * star pattern while the all-pairs oracle does not (same caveat as
+    * q27; see [[Dedup.simhashPairs]]).
     */
   def lshNearDupPairs(
       emb: DataFrame,

@@ -110,8 +110,11 @@ object OecJsonSource {
     all.filter(_.endsWith(".json")).sorted
   }
 
-  /** All records of a response, streamed. */
-  def records(file: String): Iterator[JsonNode] = sampleRecords(file, Int.MaxValue)
+  /** All records of a response, streamed. The stream owns an open file
+    * handle — callers that may stop early (limit/take scans) must
+    * [[RecordStream.close]] it; full drains self-close.
+    */
+  def records(file: String): RecordStream = new RecordStream(file, Int.MaxValue)
 
   /** The first `limit` records of a response via a STREAMING JsonParser —
     * never materializes the file's tree. This is what bounds plan-time
@@ -121,46 +124,67 @@ object OecJsonSource {
     * the limit-th record subtree. The execution path ([[records]]) is the
     * same iterator unbounded — one record in memory at a time per reader.
     */
-  def sampleRecords(file: String, limit: Int): Iterator[JsonNode] = {
+  def sampleRecords(file: String, limit: Int): RecordStream =
+    new RecordStream(file, limit)
+
+  /** Streaming iterator over a response's `data` records that OWNS its
+    * JsonParser (and with it the file handle). It self-closes when
+    * drained or when the sample limit is reached, closes on any header
+    * failure (a malformed file must not leak the handle), and exposes
+    * [[close]] for early-terminating consumers — the DSv2 reader wires
+    * it to `PartitionReader.close()` so a `limit(1)` scan releases the
+    * file immediately instead of waiting for GC.
+    */
+  final class RecordStream private[sources] (file: String, limit: Int)
+      extends Iterator[JsonNode] with AutoCloseable {
     import com.fasterxml.jackson.core.JsonToken
-    val p = mapper.getFactory.createParser(new java.io.File(file))
-    require(p.nextToken() == JsonToken.START_OBJECT,
-      s"oecjson: $file is not a JSON object (wire contract, oec.py:22)")
-    var dataFound = false
-    var done = false
-    while (!done && !dataFound) {
-      p.nextToken() match {
-        case JsonToken.FIELD_NAME =>
-          val isData = p.currentName == "data"
-          p.nextToken() // move onto the field's value
-          if (isData) {
-            require(p.currentToken == JsonToken.START_ARRAY,
-              s"oecjson: $file has no 'data' array (wire contract, oec.py:22)")
-            dataFound = true
-          } else p.skipChildren() // skip other top-level values wholesale
-        case JsonToken.END_OBJECT | null => done = true
-        case _ => ()
-      }
-    }
-    require(dataFound,
-      s"oecjson: $file has no 'data' array (wire contract, oec.py:22)")
-    new Iterator[JsonNode] {
-      private var count = 0
-      private var cur: JsonNode = advance()
-      private def advance(): JsonNode =
-        if (count >= limit) { p.close(); null }
-        else p.nextToken() match {
-          case JsonToken.END_ARRAY | null => p.close(); null
-          case _ =>
-            count += 1
-            mapper.readTree[JsonNode](p)
+
+    private val p = mapper.getFactory.createParser(new java.io.File(file))
+    private var closed = false
+
+    override def close(): Unit = if (!closed) { closed = true; p.close() }
+
+    // advance to the 'data' array; any failure here closes the parser
+    try {
+      require(p.nextToken() == JsonToken.START_OBJECT,
+        s"oecjson: $file is not a JSON object (wire contract, oec.py:22)")
+      var dataFound = false
+      var done = false
+      while (!done && !dataFound) {
+        p.nextToken() match {
+          case JsonToken.FIELD_NAME =>
+            val isData = p.currentName == "data"
+            p.nextToken() // move onto the field's value
+            if (isData) {
+              require(p.currentToken == JsonToken.START_ARRAY,
+                s"oecjson: $file has no 'data' array (wire contract, oec.py:22)")
+              dataFound = true
+            } else p.skipChildren() // skip other top-level values wholesale
+          case JsonToken.END_OBJECT | null => done = true
+          case _ => ()
         }
-      override def hasNext: Boolean = cur != null
-      override def next(): JsonNode = {
-        val r = cur
-        cur = advance()
-        r
       }
+      require(dataFound,
+        s"oecjson: $file has no 'data' array (wire contract, oec.py:22)")
+    } catch { case e: Throwable => close(); throw e }
+
+    private var count = 0
+    private var cur: JsonNode = advance()
+
+    private def advance(): JsonNode =
+      if (closed || count >= limit) { close(); null }
+      else p.nextToken() match {
+        case JsonToken.END_ARRAY | null => close(); null
+        case _ =>
+          count += 1
+          mapper.readTree[JsonNode](p)
+      }
+
+    override def hasNext: Boolean = cur != null
+    override def next(): JsonNode = {
+      val r = cur
+      cur = advance()
+      r
     }
   }
 
@@ -176,7 +200,8 @@ object OecJsonSource {
     val norm = graft.cube.Normalize.norm _
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
     files.foreach { file =>
-      sampleRecords(file, perFileSample).foreach { rec =>
+      val stream = sampleRecords(file, perFileSample)
+      try stream.foreach { rec =>
         rec.fields().asScala.foreach { e =>
           val dt: DataType =
             if (e.getValue.isIntegralNumber) LongType
@@ -188,7 +213,7 @@ object OecJsonSource {
             case Some(prev) => fields(name) = widen(prev, dt)
           }
         }
-      }
+      } finally stream.close()
     }
     StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) }.toSeq)
   }
@@ -335,8 +360,11 @@ class OecJsonReader(file: String, schema: StructType,
     extends PartitionReader[InternalRow] {
 
   // original wire key per normalized field name (records carry raw keys);
-  // pushed filters run on the raw record, before row materialization
-  private val it = OecJsonSource.records(file)
+  // pushed filters run on the raw record, before row materialization.
+  // The stream owns the file handle: close() below releases it when the
+  // scan terminates early (limit/take) instead of leaking it until GC.
+  private val stream = OecJsonSource.records(file)
+  private val it = stream
     .filter(rec => pushed.forall(OecJsonFilters.eval(_, rec)))
   private var current: JsonNode = _
 
@@ -361,5 +389,5 @@ class OecJsonReader(file: String, schema: StructType,
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = stream.close()
 }

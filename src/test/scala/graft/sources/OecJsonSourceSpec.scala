@@ -147,4 +147,29 @@ class OecJsonSourceSpec extends SparkFunSuite {
     }
     assert(e.getMessage.contains("data"))
   }
+
+  test("record stream supports early close, double close, and limit scans") {
+    val dir = writeResponses()
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json"))
+      .map(_.getPath).sorted.head
+    // early close: take one record, close, close again — no error, and the
+    // iterator terminates (at most the prefetched record remains)
+    val s = OecJsonSource.records(f)
+    assert(s.hasNext)
+    s.next()
+    s.close()
+    s.close()
+    var left = 0
+    while (s.hasNext && left < 10) { s.next(); left += 1 }
+    assert(left <= 1, "closed stream must not keep producing records")
+    // a sample-limited stream self-closes at the limit
+    val lim = OecJsonSource.sampleRecords(f, 1)
+    assert(lim.hasNext)
+    lim.next()
+    assert(!lim.hasNext)
+    // a limit(1) query over the source terminates cleanly (the reader's
+    // close() path releases the stream)
+    val one = spark.read.format("oecjson").load(dir).limit(1).collect()
+    assert(one.length == 1)
+  }
 }
