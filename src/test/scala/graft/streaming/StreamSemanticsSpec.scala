@@ -179,6 +179,45 @@ class StreamSemanticsSpec extends SparkFunSuite {
     q.stop()
   }
 
+  test("foreachBatch upsert sink maintains a current-state view across triggers") {
+    // the CDC sink pattern: each micro-batch's per-key aggregate is
+    // MERGEd into a maintained target (Merge.mergeUpsert), so the view
+    // always equals the full-history aggregate without rescanning it —
+    // foreachBatch is the API seam a warehouse/Delta upsert plugs into
+    val input = MemoryStream[(Long, Double)](spark)
+    @volatile var target = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("total",
+          org.apache.spark.sql.types.DoubleType))))
+    val seen = scala.collection.mutable.Map.empty[Long, Double]
+    val q = input.toDF().toDF("user_id", "v").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // running per-user totals: fold this batch into the driver-held
+        // view (tiny per-key state; a real sink MERGEs into a table)
+        batch.groupBy(col("user_id")).agg(sum(col("v")).as("total"))
+          .collect().foreach { r =>
+            seen(r.getLong(0)) = seen.getOrElse(r.getLong(0), 0.0) + r.getDouble(1)
+          }
+        import graft.SparkTestBase.spark.implicits._
+        target = graft.operators.Merge.mergeUpsert(
+          target, seen.toSeq.toDF("user_id", "total"), Seq("user_id"))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    input.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    q.processAllAvailable()
+    input.addData((1L, 4.0), (3L, 9.0)) // second trigger updates 1, inserts 3
+    q.processAllAvailable()
+    q.stop()
+    val out = target.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 7.0, 2L -> 5.0, 3L -> 9.0))
+  }
+
   test("streaming dedup within watermark drops replays, keeps distinct ids, bounds state") {
     // at-least-once upstreams (Kafka replays, task retries) make exact
     // dedup a core streaming operator: dropDuplicatesWithinWatermark
