@@ -455,6 +455,15 @@ object SparkEntry {
     "q110_bm25" -> ((s, d) =>
       Corpus.bm25TopDocs(eng(s, d).table("documents"),
         Seq("spark", "query", "join"))),
+    // IVF probe machinery in its exhaustive regime (nprobe = nlist):
+    // provably equal to brute force, so the whole ivfTopK path — index
+    // read through probed directories, partition pruning, cosine re-rank
+    // — carries an oracle; q46 (nprobe < nlist) remains the approximate
+    // regime, recall-gated in IvfSpec (its k-means quantizer is
+    // driver-side model state no SQL engine can recompute)
+    "q113_ivf_exhaustive" -> ((s, d) =>
+      Similarity.ivfTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10,
+        nlist = 16, nprobe = 16, datasetKey = d)),
     // Tokenizer-coverage metric: per-doc out-of-vocabulary rate against
     // the corpus top-20 vocabulary (the fixture has ~31 distinct tokens,
     // so 20 leaves real OOV mass for the metric to measure)
@@ -1750,6 +1759,15 @@ object SparkEntry {
         | CAST(sum(vec_id) AS BIGINT) AS sum_ids,
         | TRUE AS cells_ok
         |FROM embeddings""".stripMargin,
+    // exhaustive IVF ≡ brute force: same oracle as q28
+    "q113_ivf_exhaustive" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        | round(list_inner_product(embedding, q_emb)
+        |   / (sqrt(list_inner_product(embedding, embedding))
+        |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q112_oov_rate" ->
       """WITH tc AS (
         | SELECT doc_id, tok, count(*) AS cnt FROM (
