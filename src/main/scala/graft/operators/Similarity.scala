@@ -227,11 +227,24 @@ object Similarity {
     lshMemo.keys.filter(_._1 eq spark).foreach(lshMemo.remove)
   }
 
+  /** Root directory for index layouts: `spark.graft.indexDir` if set
+    * (on a cluster, point it at the shared filesystem — HDFS/S3 — so
+    * probes from any executor see the layout), else the local tmpdir.
+    * All path handling below goes through the Hadoop FileSystem API, so
+    * whatever filesystem the root resolves to is the one probed.
+    */
+  private def indexRoot(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.get("spark.graft.indexDir",
+      System.getProperty("java.io.tmpdir"))
+
   private def indexPath(spark: org.apache.spark.sql.SparkSession,
-      kind: String, datasetKey: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_idx_" +
-      s"${spark.sparkContext.applicationId}_" +
-      new java.io.File(datasetKey).getName
+      kind: String, datasetKey: String): String = {
+    // basename of the dataset key by pure string ops (the key is an
+    // opaque identifier, often a path — never touch the local FS for it)
+    val base = datasetKey.split('/').filter(_.nonEmpty).lastOption.getOrElse("ds")
+    s"${indexRoot(spark)}/graft_${kind}_idx_" +
+      s"${spark.sparkContext.applicationId}_$base"
+  }
 
   /** Build (once per session+dataset+params) the MULTI-TABLE bucket-
     * partitioned LSH index: `tables` independent plane families (the same
@@ -301,9 +314,14 @@ object Similarity {
     // full read.parquet(path) pays partition DISCOVERY over all of them
     // before pruning drops the rest — at scale that listing, not the
     // read, is the probe's cost. Missing dirs = empty buckets, skipped.
+    // Existence goes through the Hadoop FileSystem API: the index root
+    // may live on HDFS/S3 (spark.graft.indexDir) — a local-only check
+    // there would see nothing and silently return an empty probe.
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      emb.sparkSession.sparkContext.hadoopConfiguration)
     val probeDirs = admitted
       .map { case (t, b) => s"$path/tbl=$t/bucket=$b" }
-      .filter(p => new java.io.File(p).isDirectory)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     val qLit = array(q.head.getSeq[Float](0).map(f => lit(f.toDouble)).toIndexedSeq: _*)
     val indexed =
       if (probeDirs.isEmpty) emb.sparkSession.read.parquet(path).filter(lit(false))
