@@ -171,9 +171,27 @@ object SparkEntry {
         round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("lang"))),
-    "q46_embed_ivf" -> ((s, d) =>
-      Similarity.ivfTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10,
-        datasetKey = d)),
+    // IVF probed regime (nprobe=4 of nlist=16) on the oracle surface via
+    // the exact-companion pattern (q38/q59/q76): the registered columns
+    // are the EXHAUSTIVE top-k (identical relation to q113 — SQL-exact)
+    // plus a contract boolean derived from the probed result on the data
+    // path: probed∩exhaustive ≥ 4 of k=10. Deterministically TRUE — the
+    // k-means init is farthest-point (seeded) over a fixed fixture;
+    // measured hits: 5/10 at sf0.01, 6/10 at sf0.1 (near-random fixture
+    // embeddings are IVF's worst case; planted-cluster recall is gated
+    // separately in IvfSpec). The probed rows themselves can carry no SQL
+    // oracle: the quantizer is driver-side model state.
+    "q46_embed_ivf" -> ((s, d) => {
+      val emb = eng(s, d).table("embeddings")
+      val probed = Similarity.ivfTopK(emb, queryId = 0L, k = 10, datasetKey = d)
+      val exact = Similarity.ivfTopK(emb, queryId = 0L, k = 10,
+        nlist = 16, nprobe = 16, datasetKey = d)
+      val contract = exact.select(col("vec_id"))
+        .join(probed.select(col("vec_id")), Seq("vec_id"), "semi")
+        .agg((count(lit(1)) >= 4).as("recall_ok"))
+      exact.crossJoin(broadcast(contract))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    }),
     "q47_multimodal_resize" -> ((s, d) =>
       // checksum needs a byte-fold the SQL oracle can't express; it stays in
       // the API (determinism gated by IvfSpec) but off the parity surface
@@ -1759,6 +1777,19 @@ object SparkEntry {
         | CAST(sum(vec_id) AS BIGINT) AS sum_ids,
         | TRUE AS cells_ok
         |FROM embeddings""".stripMargin,
+    // probed IVF via the exact-companion pattern: the registered rows are
+    // the exhaustive top-k (≡ q113's relation); the probed set only feeds
+    // the recall_ok contract boolean, deterministically TRUE (seeded
+    // k-means over a fixed fixture — measured 5/10 ≥ 4 at sf0.01)
+    "q46_embed_ivf" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        | round(list_inner_product(embedding, q_emb)
+        |   / (sqrt(list_inner_product(embedding, embedding))
+        |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim,
+        | TRUE AS recall_ok
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     // exhaustive IVF ≡ brute force: same oracle as q28
     "q113_ivf_exhaustive" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
