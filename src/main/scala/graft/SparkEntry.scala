@@ -493,6 +493,16 @@ object SparkEntry {
       val emb = eng(s, d).table("embeddings")
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), k = 3)
     }),
+    // The indexed miner in its exhaustive regime (nprobe = nlist, over
+    // q101/q108's nlist=8 layout): provably equal to the exact miner, so
+    // the whole ivfHardNegatives path — probe-cell expression, cid
+    // equi-join, label-inequality, window top-k — carries q111's oracle;
+    // the probed regime is recall-gated in IvfSpec
+    "q114_ivf_hard_negatives" -> ((s, d) => {
+      val emb = eng(s, d).table("embeddings")
+      Similarity.ivfHardNegatives(emb, emb.filter(col("vec_id") < 5), k = 3,
+        nlist = 8, nprobe = 8, datasetKey = d)
+    }),
     "q108_ivf8_index_build" -> ((s, d) => {
       val emb = eng(s, d).table("embeddings")
       val idx = Similarity.ivfIndex(emb, datasetKey = d, nlist = 8) // q101's
@@ -1812,21 +1822,9 @@ object SparkEntry {
         |   THEN cnt ELSE 0 END) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4)
         |  AS oov_rate
         |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q111_hard_negatives" ->
-      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
-        |           FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        | SELECT q.q_id, e.vec_id, e.label AS neg_label,
-        |  round(list_inner_product(e.embedding, q.q_emb)
-        |    / (sqrt(list_inner_product(e.embedding, e.embedding))
-        |       * sqrt(list_inner_product(q.q_emb, q.q_emb))), 4) AS cos_sim
-        | FROM embeddings e, q WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
-        |r AS (SELECT q_id, vec_id, neg_label, cos_sim,
-        |  CAST(row_number() OVER (PARTITION BY q_id
-        |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rk
-        | FROM scored)
-        |SELECT q_id, rk, vec_id, neg_label, cos_sim FROM r WHERE rk <= 3
-        |ORDER BY q_id, rk""".stripMargin,
+    "q111_hard_negatives" -> hardNegativesOracle,
+    // exhaustive indexed miner ≡ exact miner: same oracle as q111
+    "q114_ivf_hard_negatives" -> hardNegativesOracle,
     // Lucene-form BM25; FP op order mirrors Corpus.bm25TopDocs exactly
     // (constants written as the same folded expressions) so the scores
     // hash-compare at 4 dp
@@ -1868,6 +1866,25 @@ object SparkEntry {
         | AND purchase_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts
         |ORDER BY 1, 4""".stripMargin
   )
+
+  /** Shared hard-negative-mining oracle (q111 exact path; q114 indexed
+    * path in its exhaustive regime — both must produce THIS relation).
+    */
+  private val hardNegativesOracle: String =
+    """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      | SELECT q.q_id, e.vec_id, e.label AS neg_label,
+      |  round(list_inner_product(e.embedding, q.q_emb)
+      |    / (sqrt(list_inner_product(e.embedding, e.embedding))
+      |       * sqrt(list_inner_product(q.q_emb, q.q_emb))), 4) AS cos_sim
+      | FROM embeddings e, q WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+      |r AS (SELECT q_id, vec_id, neg_label, cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rk
+      | FROM scored)
+      |SELECT q_id, rk, vec_id, neg_label, cos_sim FROM r WHERE rk <= 3
+      |ORDER BY q_id, rk""".stripMargin
 
   /** Shared exact-kNN-join oracle (q97 exact path; q101 indexed path in
     * its exhaustive regime — both must produce THIS relation).

@@ -100,9 +100,9 @@ object Similarity {
     * or reranker objective needs; random negatives are too easy).
     * Same plan shape as [[knnJoin]] — broadcast queries, one scored scan,
     * per-query window top-k — with the label-inequality predicate applied
-    * before scoring so mismatched pairs never reach the ranker. At the
-    * indexed scale the corpus side swaps to the IVF layout exactly as
-    * [[ivfKnnJoin]] does; the exact form is the oracle-gated baseline.
+    * before scoring so mismatched pairs never reach the ranker. This
+    * exact form is the oracle-gated baseline; [[ivfHardNegatives]] is the
+    * indexed scale path (same output in its exhaustive regime, q114).
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus
@@ -487,20 +487,9 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
       datasetKey: String): DataFrame = {
     val idx = ivfIndex(corpus, datasetKey, nlist, iters)
-    // squared-L2 to each centroid, cheapest form: ||c||² - 2·q·c (the
-    // ||q||² term is constant per row and cannot change the argsort)
-    val cellScores = idx.centroids.map { case (cid, c) =>
-      val cLit = array(c.map(lit).toIndexedSeq: _*)
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dot(col("q_emb"), cLit)).as("score"),
-        lit(cid).as("cid"))
-    }
-    val probeCids = transform(
-      slice(sort_array(array(cellScores.toIndexedSeq: _*)), 1, nprobe),
-      p => p.getField("cid"))
     val qProbes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("cid", explode(probeCids))
+      .withColumn("cid", explode(probeCids(idx.centroids, nprobe, col("q_emb"))))
     val indexed = corpus.sparkSession.read.parquet(idx.path)
     val scored = indexed.join(broadcast(qProbes), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -510,6 +499,55 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** A query row's `nprobe` nearest cells as a pure column expression
+    * against the centroid model: squared-L2 to each centroid in its
+    * cheapest form ||c||² − 2·q·c (the ||q||² term is constant per row
+    * and cannot change the argsort), sort, slice — nlist scores per row,
+    * no shuffle, no driver round-trip.
+    */
+  private def probeCids(centroids: Array[(Int, Array[Double])],
+      nprobe: Int, qEmb: Column): Column = {
+    val cellScores = centroids.map { case (cid, c) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(qEmb, cLit)).as("score"),
+        lit(cid).as("cid"))
+    }
+    transform(
+      slice(sort_array(array(cellScores.toIndexedSeq: _*)), 1, nprobe),
+      p => p.getField("cid"))
+  }
+
+  /** Hard-negative mining through the IVF layout — the indexed scale path
+    * of [[hardNegatives]]: each query probes only its `nprobe` nearest
+    * cells (the [[ivfKnnJoin]] plan shape — cid equi-join against the
+    * partitioned index, never a full-corpus scan per query), with the
+    * label-inequality predicate applied before scoring. At nprobe = nlist
+    * the probe covers every cell and the result provably equals the exact
+    * miner — the oracle-gated regime (q114, the q101/q113 device); the
+    * probed regime is recall-gated in IvfSpec.
+    */
+  def ivfHardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      datasetKey: String): DataFrame = {
+    val idx = ivfIndex(corpus, datasetKey, nlist, iters)
+    val qProbes = queries
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+      .withColumn("cid", explode(probeCids(idx.centroids, nprobe, col("q_emb"))))
+    val indexed = corpus.sparkSession.read.parquet(idx.path)
+    val scored = indexed.join(broadcast(qProbes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label").as("neg_label"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("neg_label"),
+        col("cos_sim"))
       .orderBy(col("q_id"), col("rk"))
   }
 

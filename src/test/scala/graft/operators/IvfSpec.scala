@@ -175,6 +175,44 @@ class IvfSpec extends SparkFunSuite {
     }
   }
 
+  test("ivf hard negatives: exhaustive regime equals the exact miner") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.hardNegatives(emb, queries, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    val indexed = Similarity.ivfHardNegatives(emb, queries, 3,
+      nlist = 8, nprobe = 8, datasetKey = "ivfspec-hardneg").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(indexed == exact)
+  }
+
+  test("ivf hard negatives: probed regime keeps recall on planted hard cluster") {
+    // the flat `clustered` fixture makes every foreign cluster equidistant
+    // from a query (recall there is a coin flip, not a property) — plant a
+    // TIERED structure instead: cluster 1 shares a strong dim-0 component
+    // with cluster 0, so it is both the cosine-hardest negative set AND
+    // the L2-nearest foreign centroid. A 2-cell probe (own cell + nearest
+    // foreign) must then recover the exact miner's top negatives.
+    val rows = for { c <- 0 until 4; i <- 0 until 25 } yield {
+      val base = Array.fill(16)(0.05f)
+      base(c * 4) = 1.0f
+      if (c == 1) base(0) = 0.5f
+      base(c * 4 + 1) = 0.1f + (i % 5) * 0.01f
+      ((c * 25 + i).toLong, base.toSeq, c)
+    }
+    val tiered = rows.toDF("vec_id", "embedding", "label")
+    val queries = tiered.filter(col("vec_id") === 0L)
+    val exact = Similarity.hardNegatives(tiered, queries, 5).collect()
+      .map(_.getLong(2)).toSet
+    // sanity: the hard negatives really are the planted near cluster
+    assert(exact.forall(id => id >= 25 && id < 50), s"fixture broken: $exact")
+    val probed = Similarity.ivfHardNegatives(tiered, queries, 5,
+      nlist = 4, nprobe = 2, datasetKey = "ivfspec-hardneg-tiered")
+      .collect().map(_.getLong(2)).toSet
+    assert((exact intersect probed).size >= 4,
+      s"recall too low: $probed vs $exact")
+  }
+
   test("hard negatives exclude the query's own label and rank by cosine") {
     val out = Similarity.hardNegatives(
       clustered, clustered.filter(col("vec_id") === 0L), k = 5).collect()
