@@ -473,6 +473,18 @@ object SparkEntry {
     "q110_bm25" -> ((s, d) =>
       Corpus.bm25TopDocs(eng(s, d).table("documents"),
         Seq("spark", "query", "join"))),
+    // Batch BM25 retrieval join: per-query top-k over a query TABLE (the
+    // retrieval analogue of knnJoin; q110 scores one literal term set).
+    // Query 2 carries a term absent from the corpus ("shuffle") — it must
+    // contribute no rows on either engine.
+    "q115_bm25_join" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, Seq("spark", "query", "join")),
+        (1L, Seq("stream", "window", "batch")),
+        (2L, Seq("sort", "merge", "shuffle"))).toDF("query_id", "terms")
+      Corpus.bm25Retrieval(eng(s, d).table("documents"), queries, topK = 5)
+    }),
     // IVF probe machinery in its exhaustive regime (nprobe = nlist):
     // provably equal to brute force, so the whole ivfTopK path — index
     // read through probed directories, partition pruning, cosine re-rank
@@ -1848,6 +1860,43 @@ object SparkEntry {
         | CAST(count(*) AS INTEGER) AS n_terms
         |FROM tf t JOIN dfreq d USING (tok) JOIN lens l USING (doc_id), st
         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin,
+    // per-query BM25 via the same Lucene form; the scored CTE mirrors
+    // Corpus.bm25Retrieval's FP op order exactly (shared bm25Score
+    // expression — constants written as the same folded expressions)
+    "q115_bm25_join" ->
+      """WITH queries AS (
+        | SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), ['spark', 'query', 'join']),
+        |  (CAST(1 AS BIGINT), ['stream', 'window', 'batch']),
+        |  (CAST(2 AS BIGINT), ['sort', 'merge', 'shuffle'])) q(query_id, terms)),
+        |qterms AS (SELECT DISTINCT query_id, unnest(terms) AS tok FROM queries),
+        |toks AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        | FROM documents),
+        |lens AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+        | FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |       FROM lens),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS cnt FROM toks
+        |       WHERE tok IN (SELECT tok FROM qterms) GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        | SELECT q.query_id, t.doc_id,
+        |  round(sum(ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |    * (t.cnt * (1.2 + 1.0))
+        |    / (t.cnt + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))), 4) AS bm25,
+        |  CAST(count(*) AS INTEGER) AS n_terms
+        | FROM tf t JOIN dfreq d USING (tok) JOIN lens l USING (doc_id)
+        |      JOIN qterms q USING (tok), st
+        | GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, bm25, n_terms,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rk
+        | FROM scored)
+        |SELECT query_id, rk, doc_id, bm25, n_terms FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
     // batch left join over the same 2-hour-cut click domain the streaming
     // query closes itself to (see purchaseAttributionOuter)
     "q109_stream_outer_join" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -427,18 +427,66 @@ object Corpus {
     // post-filter frame once, as in the surprisal family
     val tf = bm25Tf(docs, terms).localCheckpoint()
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val score = idf * (col("cnt").cast("double") * (lit(k1) + lit(1.0))) /
-      (col("cnt").cast("double") +
-        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
     tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
-      .agg(round(sum(score), 4).as("bm25"),
+      .agg(round(sum(bm25Score(k1, b)), 4).as("bm25"),
         count(lit(1)).cast("int").as("n_terms"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** The per-(doc, term) BM25 summand over columns (cnt, dl, df, n_docs,
+    * avgdl) — one expression shared by [[bm25TopDocs]] and
+    * [[bm25Retrieval]] so both stay FP-op-order-identical to the oracle.
+    */
+  private def bm25Score(k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    idf * (col("cnt").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("cnt").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+  }
+
+  /** Batch BM25 retrieval join — per-query top-k over a query TABLE of
+    * (query_id, terms array): the retrieval analogue of
+    * [[Similarity.knnJoin]], and the pipeline-shaped form of
+    * [[bm25TopDocs]] (which scores ONE literal term set).
+    *
+    * Scale shape: still two corpus scans regardless of query count. The
+    * tf scan prunes to the UNION of all query terms via a broadcast
+    * semi-join BELOW the (doc_id, tok) aggregation (plan-asserted), so
+    * the shuffle holds at most |distinct terms| rows per doc; df and
+    * corpus stats are computed once and broadcast. The per-query fan-out
+    * is a broadcast join of the scored tf frame against the exploded
+    * (query_id, tok) pairs — the corpus is never re-scanned per query —
+    * followed by a (query_id, doc_id) aggregation and a window top-k per
+    * query. Terms absent from the corpus contribute no rows (df would be
+    * 0) on both engines.
+    */
+  def bm25Retrieval(docs: DataFrame, queries: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 5): DataFrame = {
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val stats = docs
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(size(toks).cast("double")).as("avgdl"))
+    val qterms = queries
+      .select(col("query_id"), explode(col("terms")).as("tok")).distinct()
+    // two consumers (df and the score join) — materialize once
+    val tf = bm25TfForQueries(docs, qterms).localCheckpoint()
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "tok")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(bm25Score(k1, b)), 4).as("bm25"),
+        count(lit(1)).cast("int").as("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("bm25"),
+        col("n_terms"))
+      .orderBy(col("query_id"), col("rk"))
   }
 
   /** Out-of-vocabulary rate per document against the corpus top-`vocabSize`
@@ -483,6 +531,24 @@ object Corpus {
       .select(col("doc_id"), size(toks).cast("double").as("dl"),
         explode(toks).as("tok"))
       .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"), first(col("dl")).as("dl"))
+  }
+
+  /** [[bm25Retrieval]]'s tf scan: as [[bm25Tf]], but the term set comes
+    * from a TABLE, so pruning is a broadcast left-semi join against the
+    * distinct query terms instead of a literal IN-list — still BELOW the
+    * (doc_id, tok) aggregation (plan-asserted), so the shuffle carries
+    * only query-term rows.
+    */
+  private[graft] def bm25TfForQueries(docs: DataFrame,
+      qterms: DataFrame): DataFrame = {
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    docs
+      .select(col("doc_id"), size(toks).cast("double").as("dl"),
+        explode(toks).as("tok"))
+      .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"),
+        "left_semi")
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"), first(col("dl")).as("dl"))
   }

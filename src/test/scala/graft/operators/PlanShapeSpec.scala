@@ -140,6 +140,29 @@ class PlanShapeSpec extends SparkFunSuite {
       s"term filter must sit between the aggregation and the explode:\n$opt")
   }
 
+  test("bm25 retrieval join prunes to query terms below the aggregation, per-query top-k stays windowed") {
+    val df = SparkEntry.queries("q115_bm25_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k must prune below the window")
+    assert(!plan.contains("CartesianProduct"))
+    // the broadcast semi-join against the query terms sits under the
+    // (doc_id, tok) aggregation, directly over the explode — the shuffle
+    // carries only query-term rows (the table-driven analogue of q110's
+    // literal IN-list gate)
+    import graft.SparkTestBase.spark.implicits._
+    val docs = new graft.cube.Engine(spark, sf).table("documents")
+    val qterms = Seq((0L, "spark"), (0L, "query")).toDF("query_id", "tok")
+    val opt = graft.operators.Corpus.bm25TfForQueries(docs, qterms)
+      .queryExecution.optimizedPlan.toString
+    val aggIdx = opt.indexOf("Aggregate")
+    val semiIdx = opt.indexOf("Join LeftSemi")
+    val genIdx = opt.indexOf("Generate explode")
+    assert(aggIdx >= 0 && semiIdx > aggIdx && genIdx > semiIdx,
+      s"term semi-join must sit between the aggregation and the explode:\n$opt")
+  }
+
   test("cube query pushes cut predicates into the parquet scan") {
     val df = new graft.cube.Engine(spark, sf).getData(graft.cube.CubeQuery(
       "trade", Seq("Nation"), Seq("Trade Value"),
