@@ -435,6 +435,10 @@ object SparkEntry {
     // Stream-static enrichment join (events stream ⋈ broadcast customer
     // dim → per-nation rollup); oracle is the batch join
     "q105_stream_enrich" -> EventsStream.nationSpend _,
+    // Streaming ANN enrichment (q105's pattern with an INDEXED static
+    // side): micro-batches of query vectors probe the IVF layout via
+    // foreachBatch + ivfKnnJoin; exhaustive regime ≡ the exact kNN join
+    "q116_stream_ann_enrich" -> EventsStream.annEnrich _,
     // --- ANN index builds as their own timed entries. Bench runs these
     // FIRST in each pass (right after the per-pass memo invalidation), so
     // they price the full-corpus partitioned write while q29/q46/q101
@@ -1734,6 +1738,8 @@ object SparkEntry {
         |FROM documents, m GROUP BY 1 ORDER BY 1""".stripMargin,
     // exhaustive-regime indexed ANN join ≡ exact kNN join: same oracle
     "q101_ivf_knn_join" -> knnJoinOracle,
+    // drained exhaustive stream ≡ exact kNN join: same oracle as q97/q101
+    "q116_stream_ann_enrich" -> knnJoinOracle,
     // id-ordered triple enumeration: each triangle {a<b<c} appears once
     // as pairs (a,b), (b,c), (a,c); the engine's degree-ordered census
     // must produce identical per-node counts

@@ -135,6 +135,53 @@ object EventsStream {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Streaming ANN enrichment: a micro-batch stream of query vectors
+    * enriched against the IVF-INDEXED corpus via `foreachBatch` +
+    * [[graft.operators.Similarity.ivfKnnJoin]] — the [[nationSpend]]
+    * stream-static pattern with an indexed static side. This is the
+    * online-retrieval shape: the index layout is built (or reused) ONCE
+    * before the stream starts, so each micro-batch pays only probe cost —
+    * its query vectors broadcast against the cid-partitioned layout,
+    * never a per-batch corpus scan or rebuild. foreachBatch is the seam:
+    * inside it the batch is a plain DataFrame, so the whole batch ANN
+    * surface composes unchanged.
+    *
+    * Run here in the exhaustive regime (nprobe = nlist over the nlist=8
+    * layout), so the drained stream provably equals the exact kNN join —
+    * its oracle. Per-batch results are unioned on the driver (each is a
+    * localCheckpoint'ed top-k — k rows per query, tiny); a deployment
+    * swaps that accumulator for an append sink.
+    */
+  def annEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val corpus = new graft.cube.Engine(spark, dir).table("embeddings")
+    Similarity.ivfIndex(corpus, dir, nlist = 8) // warm: batches probe only
+    // footer-only driver read at plan time; the stream reads the data
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val queries = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .filter(col("vec_id") < 5)
+    spark.streams.active.filter(_.name == "graft_stream_ann").foreach(_.stop())
+    @volatile var acc: DataFrame = null
+    val q = queries.writeStream.outputMode(OutputMode.Append())
+      .queryName("graft_stream_ann")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val enriched = Similarity.ivfKnnJoin(corpus, batch, k = 3,
+          nlist = 8, nprobe = 8, datasetKey = dir).localCheckpoint()
+        acc = if (acc == null) enriched else acc.unionAll(enriched)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = if (acc == null)
+      Similarity.ivfKnnJoin(corpus, corpus.limit(0), k = 3,
+        nlist = 8, nprobe = 8, datasetKey = dir)
+    else acc
+    out.orderBy(col("q_id"), col("rk"))
+  }
+
   /** Per-type daily running totals — the analytic-window time-series
     * surface (cumulative sums over event time).
     */

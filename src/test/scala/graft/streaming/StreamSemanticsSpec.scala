@@ -218,6 +218,46 @@ class StreamSemanticsSpec extends SparkFunSuite {
     assert(out == Map(1L -> 7.0, 2L -> 5.0, 3L -> 9.0))
   }
 
+  test("foreachBatch ANN enrichment across triggers equals the batch ivf join") {
+    // the q116 pattern driven trigger-by-trigger: query vectors arriving
+    // in DIFFERENT micro-batches each probe the same pre-built IVF layout,
+    // and the union of per-batch enrichments must equal the one-shot batch
+    // join — per-query top-k is batch-local by construction (a query's
+    // neighbors never straddle triggers)
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.operators.Similarity.ivfIndex(corpus, "semspec-ann", nlist = 8)
+    val input = MemoryStream[Long](spark)
+    val qvecs = corpus.select(col("vec_id").as("qv_id"), col("label"),
+      col("embedding")).localCheckpoint()
+    @volatile var acc: org.apache.spark.sql.DataFrame = null
+    val q = input.toDF().toDF("qid").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val queries = qvecs.join(batch, col("qv_id") === col("qid"))
+          .select(col("qv_id").as("vec_id"), col("label"), col("embedding"))
+        val enriched = graft.operators.Similarity.ivfKnnJoin(corpus, queries,
+          3, nlist = 8, nprobe = 8, datasetKey = "semspec-ann")
+          .localCheckpoint()
+        acc = if (acc == null) enriched else acc.unionAll(enriched)
+        ()
+      }
+      .start()
+    input.addData(0L, 1L)
+    q.processAllAvailable()
+    val afterB1 = acc.count()
+    assert(afterB1 == 6, s"first trigger must enrich 2 queries x k=3: $afterB1")
+    input.addData(2L, 3L, 4L) // second trigger: new queries, same layout
+    q.processAllAvailable()
+    q.stop()
+    val streamed = acc.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val oneShot = graft.operators.Similarity.ivfKnnJoin(corpus,
+      corpus.filter(col("vec_id") < 5), 3, nlist = 8, nprobe = 8,
+      datasetKey = "semspec-ann").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(streamed == oneShot)
+  }
+
   test("streaming dedup within watermark drops replays, keeps distinct ids, bounds state") {
     // at-least-once upstreams (Kafka replays, task retries) make exact
     // dedup a core streaming operator: dropDuplicatesWithinWatermark
