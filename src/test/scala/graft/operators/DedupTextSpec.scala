@@ -238,6 +238,44 @@ class DedupTextSpec extends SparkFunSuite {
     assert(got == star ++ allPairs)
   }
 
+  test("capped bucket end-to-end: simhash near-dup degrades to a verified star") {
+    // the q27/q30 oracle caveat, executed: 20 identical docs land in one
+    // bucket of EVERY pigeonhole chunk; a cap of 10 forces the star
+    // fallback inside the operator. The output must stay LINEAR (n-1
+    // pairs, not n(n-1)/2 = 190), keep the star shape (every pair anchored
+    // at the min doc_id), and every emitted pair must still pass the exact
+    // hamming verification — degraded recall, never degraded precision.
+    val n = 20
+    val planted = (0 until n).map(i => (100L + i, "spark joins the stream table fast"))
+    val other = Seq((500L, "completely different words entirely elsewhere"))
+    val out = Dedup.simhashPairs(docs(planted ++ other: _*),
+      maxDist = 3, maxBucketSize = 10).collect()
+    assert(out.length == n - 1, s"star must emit n-1 pairs, got ${out.length}")
+    assert(out.forall(_.getLong(0) == 100L), "star must anchor at the min doc_id")
+    assert(out.forall(r => r.getLong(1) > 100L && r.getLong(1) < 100L + n),
+      "the unrelated doc must not appear in any emitted pair")
+    assert(out.forall(_.getInt(2) == 0), "identical docs verify at hamming 0")
+  }
+
+  test("capped bucket end-to-end: LSH embedding near-dup degrades to a verified star") {
+    import graft.SparkTestBase.spark.implicits._
+    // same contract on the embedding path: 20 identical vectors share one
+    // bucket in every LSH table; the capped operator emits the verified
+    // star (cosine exactly 1.0), not the quadratic blow-up
+    val n = 20
+    val planted = (0 until n).map { i =>
+      (100L + i, Seq.fill(4)(0.5f) ++ Seq.fill(4)(0.1f), 1)
+    }
+    val other = Seq((500L, Seq.fill(4)(-0.5f) ++ Seq.fill(4)(0.2f), 2))
+    val emb = (planted ++ other).toDF("vec_id", "embedding", "label")
+    val out = Similarity.lshNearDupPairs(emb, threshold = 0.9,
+      tables = 2, bitsPerTable = 4, dim = 8, maxBucketSize = 10).collect()
+    assert(out.length == n - 1, s"star must emit n-1 pairs, got ${out.length}")
+    assert(out.forall(_.getLong(0) == 100L), "star must anchor at the min vec_id")
+    assert(out.forall(r => r.getLong(1) > 100L && r.getLong(1) < 100L + n))
+    assert(out.forall(_.getDouble(2) == 1.0), "identical vectors verify at cosine 1")
+  }
+
   test("clusters: chains merge to the min label; keep-list drops non-canonical") {
     import graft.SparkTestBase.spark.implicits._
     // components: {1,2,3} via chain 1-2, 2-3; {7,9}; 5 isolated (no pair)
