@@ -71,7 +71,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Index builds (q106-q108) are deliberately timed entries — the
+    // amortized build cost — but they are NOT query-path work, and rounds
+    // before they existed reported totals without them. builds_total is
+    // emitted alongside so cross-round totals compare like-for-like:
+    // query-path cost = value - builds_total.
+    val buildsTotal =
+      results.filter(_._1.contains("index_build")).map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"builds_total":$buildsTotal,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Full artifact beside the stdout line: the driver's log tail keeps
     // only the last ~64 per-query entries, so cross-round comparison

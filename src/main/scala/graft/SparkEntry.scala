@@ -449,14 +449,21 @@ object SparkEntry {
     "q106_lsh_index_build" -> ((s, d) => {
       val emb = eng(s, d).table("embeddings")
       val path = Similarity.lshIndex(emb, datasetKey = d) // q29's layout
-      // single pass over the layout: table 0 is one full corpus copy,
-      // the grand total proves every table holds exactly one copy
+      // single pass over the layout: table 0 is one full corpus copy.
+      // Completeness must hold PER TABLE, not just in aggregate — a
+      // duplicated row in one table plus a missing row in another keeps
+      // the grand total intact, so the total alone proves nothing. The
+      // pair (distinct (tbl, vec_id) == n_vecs x tables, total ==
+      // distinct) does: the first says every table covers every vector,
+      // the second that no (tbl, vec_id) appears twice.
       s.read.parquet(path)
         .agg(count(when(col("tbl") === 0, lit(1))).as("n_vecs"),
           sum(when(col("tbl") === 0, col("vec_id"))).as("sum_ids"),
-          count(lit(1)).as("__total"))
+          count(lit(1)).as("__total"),
+          countDistinct(col("tbl"), col("vec_id")).as("__distinct"))
         .select(col("n_vecs"), col("sum_ids"),
-          (col("__total") === col("n_vecs") * Similarity.DefaultLshTables)
+          (col("__distinct") === col("n_vecs") * Similarity.DefaultLshTables &&
+            col("__total") === col("__distinct"))
             .as("all_tables_complete"))
     }),
     "q107_ivf_index_build" -> ((s, d) => {
@@ -817,6 +824,17 @@ object SparkEntry {
     // keys, the query's Hamming-1 multi-probe set, candidate union,
     // exact cosine re-rank — from the raw embeddings. Previously
     // no_oracle (engine-private plane seeding).
+    // FP-BOUNDARY ASSUMPTION (q29 and q30): a bucket bit is the SIGN of
+    // a 64-term double dot product. Spark accumulates those terms in
+    // index order; DuckDB's group-aggregate sums them in unspecified
+    // order — two orderings of the same doubles can differ by a few
+    // ulps, so a plane dot within an ulp of zero could flip a bit and
+    // break hash parity on adversarial data. The fixture embeddings are
+    // i.i.d. continuous draws, so exact zeros have measure ~0 and every
+    // observed dot sits far (>>1e-9) from the boundary; like q104's
+    // S-curve recall caveat this is a documented contract of the oracle
+    // pair, not an engine defect. Data engineered to land dots at ±1
+    // ulp of 0 would need a tolerance-banded comparison instead.
     "q29_embed_lsh_topk" ->
       """WITH planes AS (
         | SELECT p, d,

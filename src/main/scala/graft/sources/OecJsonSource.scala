@@ -60,7 +60,9 @@ class OecJsonSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = OecJsonSource.listFiles(options)
     require(files.nonEmpty, "oecjson: no .json files under 'path'")
-    OecJsonSource.inferFromFiles(files)
+    val maxFiles = Option(options.get("inferfiles"))
+      .map(_.toInt).getOrElse(OecJsonSource.DefaultInferFiles)
+    OecJsonSource.inferFromFiles(files, maxFiles = maxFiles)
   }
 
   override def getTable(
@@ -182,24 +184,54 @@ object OecJsonSource {
 
     override def hasNext: Boolean = cur != null
     override def next(): JsonNode = {
+      if (cur == null)
+        throw new NoSuchElementException(s"oecjson: $file record stream exhausted")
       val r = cur
       cur = advance()
       r
     }
   }
 
-  /** Widening inference: long < double < string, widened across a bounded
-    * sample of EVERY response file — responses are independent API results,
-    * so one all-integral response must not pin a column another response
-    * stores fractionally (`{"v":1}` then `{"v":1.5}` infers double, not
-    * long). Cost is genuinely bounded at `perFileSample` records per file
-    * ([[sampleRecords]] streams and stops — it does not parse the rest of
-    * the response), paid on the driver once at plan time.
+  /** Default plan-time inference cap: files opened before deciding the
+    * endpoint is type-homogeneous. Overridable per-read with the
+    * `inferFiles` option; callers with a known schema skip inference
+    * entirely via `.schema(...)` (supportsExternalMetadata).
     */
-  def inferFromFiles(files: Seq[String], perFileSample: Int = 1000): StructType = {
+  val DefaultInferFiles = 16
+
+  /** Plan-time file opens performed by [[inferFromFiles]] since the last
+    * reset — a test hook so the inference cap is assertable (bounded
+    * opens over a large endpoint directory), not just narrated.
+    */
+  private[sources] val inferOpens = new java.util.concurrent.atomic.AtomicLong
+
+  /** Widening inference: long < double < string, widened across a bounded
+    * sample of response files — responses are independent API results, so
+    * one all-integral response must not pin a column another response
+    * stores fractionally (`{"v":1}` then `{"v":1.5}` infers double, not
+    * long). Cost is bounded on BOTH axes: `perFileSample` records per
+    * file ([[sampleRecords]] streams and stops — it does not parse the
+    * rest of the response) and `maxFiles` files per endpoint. A capture
+    * directory can hold 10^5 responses; opening every one at plan time
+    * made planning O(#files), so only the first `maxFiles` are sampled —
+    * UNLESS that sample itself demonstrates heterogeneity (any column
+    * widened across it), in which case the schema is evidently unstable
+    * and inference falls back to sampling every remaining file rather
+    * than pinning a type the tail may widen further. The residual trade
+    * is explicit: a column whose first `maxFiles` files agree but whose
+    * tail diverges (or a column appearing only in the tail) is missed —
+    * the cap is a read option (`inferFiles`) for endpoints known to be
+    * heterogeneous, and `.schema(...)` bypasses inference entirely.
+    */
+  def inferFromFiles(
+      files: Seq[String],
+      perFileSample: Int = 1000,
+      maxFiles: Int = DefaultInferFiles): StructType = {
     val norm = graft.cube.Normalize.norm _
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
-    files.foreach { file =>
+    var conflicted = false
+    def sampleFile(file: String): Unit = {
+      inferOpens.incrementAndGet()
       val stream = sampleRecords(file, perFileSample)
       try stream.foreach { rec =>
         rec.fields().asScala.foreach { e =>
@@ -210,11 +242,17 @@ object OecJsonSource {
           val name = norm(e.getKey)
           fields.get(name) match {
             case None => fields(name) = dt
-            case Some(prev) => fields(name) = widen(prev, dt)
+            case Some(prev) =>
+              val w = widen(prev, dt)
+              if (w != prev) conflicted = true
+              fields(name) = w
           }
         }
       } finally stream.close()
     }
+    val (head, tail) = files.splitAt(maxFiles)
+    head.foreach(sampleFile)
+    if (conflicted) tail.foreach(sampleFile)
     StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) }.toSeq)
   }
 

@@ -148,6 +148,66 @@ class OecJsonSourceSpec extends SparkFunSuite {
     assert(e.getMessage.contains("data"))
   }
 
+  test("plan-time inference opens a bounded number of files on a homogeneous endpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("oecjson_cap").toString
+    (0 until 40).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"$dir/r$i%03d.json"),
+        s"""{"data": [{"Year": ${2000 + i}, "Tag": "t$i"}]}""")
+    }
+    val before = OecJsonSource.inferOpens.get()
+    val df = spark.read.format("oecjson").load(dir)
+    val opened = OecJsonSource.inferOpens.get() - before
+    // type-stable head sample → inference must stop at the cap, not
+    // open all 40 response files at plan time
+    assert(opened == OecJsonSource.DefaultInferFiles,
+      s"expected ${OecJsonSource.DefaultInferFiles} plan-time opens, got $opened")
+    assert(df.schema("year").dataType.typeName == "long")
+    // execution still reads EVERY file — the cap is plan-time only
+    assert(df.count() == 40)
+  }
+
+  test("a widening conflict inside the cap falls back to sampling the tail") {
+    val dir = java.nio.file.Files.createTempDirectory("oecjson_cap2").toString
+    (0 until 30).foreach { i =>
+      // r001 stores the measure fractionally → the head sample itself
+      // demonstrates heterogeneity; a column present ONLY in the final
+      // file must then still be discovered by the fallback pass
+      val v = if (i == 1) "1.5" else i.toString
+      val extra = if (i == 29) """, "Late Col": "x"""" else ""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"$dir/r$i%03d.json"),
+        s"""{"data": [{"Measure": $v, "Tag": "t$i"$extra}]}""")
+    }
+    val before = OecJsonSource.inferOpens.get()
+    val df = spark.read.format("oecjson").load(dir)
+    val opened = OecJsonSource.inferOpens.get() - before
+    assert(opened == 30, s"conflict must widen across every file, got $opened opens")
+    assert(df.schema("measure").dataType.typeName == "double")
+    assert(df.columns.contains("late_col"))
+  }
+
+  test("inferFiles= option overrides the plan-time cap") {
+    val dir = java.nio.file.Files.createTempDirectory("oecjson_cap3").toString
+    (0 until 10).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"$dir/r$i%03d.json"),
+        s"""{"data": [{"Year": ${2000 + i}}]}""")
+    }
+    val before = OecJsonSource.inferOpens.get()
+    spark.read.format("oecjson").option("inferFiles", "4").load(dir)
+    assert(OecJsonSource.inferOpens.get() - before == 4)
+  }
+
+  test("exhausted record stream throws NoSuchElementException on next()") {
+    val dir = writeResponses()
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json"))
+      .map(_.getPath).sorted.head
+    val s = OecJsonSource.records(f)
+    while (s.hasNext) s.next()
+    intercept[NoSuchElementException] { s.next() }
+  }
+
   test("record stream supports early close, double close, and limit scans") {
     val dir = writeResponses()
     val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json"))
