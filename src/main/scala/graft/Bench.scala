@@ -38,8 +38,13 @@ object Bench {
     // probe queries (q29/q46/q101) measure PROBE latency against a warm
     // index — the figure that matters at scale — instead of conflating
     // build + probe as one number.
+    // Dev-loop filter: comma-separated substrings of query names to skip
+    // (A/B isolation of one query's residue). Unset for driver runs.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val names = {
       val all = SparkEntry.queries.keys.toSeq
+        .filterNot(n => skip.exists(n.contains))
       val (builds, rest) = all.partition(_.contains("index_build"))
       builds.sorted ++ rest
     }

@@ -496,6 +496,11 @@ object SparkEntry {
         (2L, Seq("sort", "merge", "shuffle"))).toDF("query_id", "terms")
       Corpus.bm25Retrieval(eng(s, d).table("documents"), queries, topK = 5)
     }),
+    // Corpus-level duplicated-span removal (C4/RefinedWeb boilerplate
+    // cut at 3-token-block granularity): drop every block occurring in
+    // more than one document, reassemble survivors in order
+    "q117_dedup_spans" -> ((s, d) =>
+      Corpus.dedupSpans(eng(s, d).table("documents"), n = 3)),
     // IVF probe machinery in its exhaustive regime (nprobe = nlist):
     // provably equal to brute force, so the whole ivfTopK path — index
     // read through probed directories, partition pruning, cosine re-rank
@@ -1921,6 +1926,31 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, rk, doc_id, bm25, n_terms FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // duplicated-span removal: identical block chunking (1-based
+    // inclusive list slice ≡ Spark's truncating slice), cross-document
+    // distinct count, FILTERed ordered string_agg for the reassembly
+    "q117_dedup_spans" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |blks AS (
+        | SELECT doc_id,
+        |  CAST(unnest(range(0, CAST(ceil(len(t) / 3.0) AS BIGINT)))
+        |    AS INTEGER) AS blk, t
+        | FROM toks),
+        |sp AS (
+        | SELECT doc_id, blk,
+        |  array_to_string(t[(blk*3+1):(blk*3+3)], ' ') AS span
+        | FROM blks),
+        |counts AS (SELECT span, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1),
+        |j AS (SELECT sp.doc_id, sp.blk, sp.span, c.nd
+        |      FROM sp JOIN counts c USING (span))
+        |SELECT d.doc_id,
+        | coalesce(string_agg(j.span, ' ' ORDER BY j.blk)
+        |   FILTER (WHERE j.nd = 1), '') AS text_clean,
+        | count(j.blk) AS n_spans,
+        | coalesce(count(j.blk) FILTER (WHERE j.nd > 1), 0) AS n_dropped
+        |FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // batch left join over the same 2-hour-cut click domain the streaming
     // query closes itself to (see purchaseAttributionOuter)
     "q109_stream_outer_join" ->

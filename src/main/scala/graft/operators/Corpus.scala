@@ -581,4 +581,66 @@ object Corpus {
         round(col("s"), 4).as("score"))
       .orderBy(col("doc_id"), col("rnk"))
   }
+
+  /** Corpus-level duplicated-span removal (the C4 / RefinedWeb
+    * boilerplate cut, adapted to span granularity): chunk each document
+    * into NON-OVERLAPPING `n`-token blocks, drop every block whose exact
+    * text occurs in more than one document of the corpus (site chrome,
+    * license headers, navigation — content that repeats verbatim across
+    * pages), and reassemble the survivors in their original order. C4
+    * removes duplicated three-sentence spans and RefinedWeb duplicated
+    * lines; this fixture's documents are single-line token streams, so
+    * the block of `n` tokens is the analogous unit.
+    *
+    * Emits (doc_id, text_clean, n_spans, n_dropped); a document whose
+    * every span is boilerplate survives with empty text (curation decides
+    * whether to drop it — this operator only removes the spans).
+    *
+    * Scale shape: two shuffles — a (span) aggregation counting distinct
+    * source docs (map-side partial; the span key space is effectively
+    * unbounded so no hot key), then a (doc_id) regroup to reassemble.
+    * The span→count join back is an equi-join on the span string; a
+    * mega-hot boilerplate span makes the PROBE side skewed on that key,
+    * which AQE's skew-join split handles — the build row per key is
+    * single. No driver materialization, no all-pairs anything: cost is
+    * linear in corpus tokens.
+    */
+  def dedupSpans(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = split(col("text"), " ")
+    // ceil(size/n) blocks; sequence(0,-1) counts DOWN, so guard empties
+    val base = Par.ensure(docs).select(col("doc_id"), toks.as("__t"))
+      .withColumn("__nb", when(size(col("__t")) > 0,
+        ceil(size(col("__t")).cast("double") / n).cast("int")).otherwise(lit(0)))
+    val spans = base
+      .select(col("doc_id"), col("__t"),
+        posexplode(when(col("__nb") > 0, sequence(lit(0), col("__nb") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("pos").as("blk"),
+        array_join(slice(col("__t"), col("pos") * n + lit(1), lit(n)), " ")
+          .as("span"))
+    val counts = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+    // collect_list drops the nulls `when` leaves on boilerplate spans, so
+    // one aggregation yields the cleaned text AND both counts; the struct
+    // sort key is blk, restoring original span order regardless of
+    // partitioning
+    val rebuilt = spans.join(counts, "span")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__nd") === 1, struct(col("blk"), col("span"))))),
+            s => s.getField("span")),
+          " ").as("text_clean"),
+        count(col("blk")).as("n_spans"),
+        count(when(col("__nd") > 1, lit(1))).as("n_dropped"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
 }

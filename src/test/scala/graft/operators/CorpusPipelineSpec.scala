@@ -210,6 +210,37 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(out(2L) == (5, 0.6))
   }
 
+  test("dedupSpans drops exactly the cross-document blocks and preserves order") {
+    // docs 1 and 2 share the block "nav home about"; doc 1 repeats a
+    // block INTERNALLY only ("x y z" twice) — internal repeats are q57's
+    // concern, not boilerplate, so both copies survive. Doc 3 is pure
+    // boilerplate and survives as an empty string; doc 4 has a short
+    // trailing block (truncating slice).
+    val docs = Seq(
+      (1L, "nav home about x y z x y z"),
+      (2L, "nav home about unique middle words tail end bit"),
+      (3L, "nav home about"),
+      (4L, "solo doc words tail2")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupSpans(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("x y z x y z", 3L, 1L)))
+    assert(out(2L) == (("unique middle words tail end bit", 3L, 1L)))
+    assert(out(3L) == (("", 1L, 1L)))
+    assert(out(4L) == (("solo doc words tail2", 2L, 0L)))
+  }
+
+  test("dedupSpans with no duplicates reconstructs every document verbatim") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "h i j k")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupSpans(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d e f g")
+    assert(out(2L) == "h i j k")
+  }
+
   test("weighted sample always keeps the max-length doc at rate 1") {
     val docs = Seq(
       (1L, "en", 10L), (2L, "en", 500L), (3L, "fr", 500L), (4L, "fr", 20L)
