@@ -127,7 +127,8 @@ object SparkEntry {
       Similarity.lshTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10,
         datasetKey = d)),
     "q30_embed_neardup" -> ((s, d) =>
-      Similarity.lshNearDupPairs(eng(s, d).table("embeddings"), threshold = 0.3)),
+      Similarity.lshNearDupPairsShared(eng(s, d).table("embeddings"), d,
+        threshold = 0.3)),
     "q31_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(eng(s, d).table("embeddings"))),
     // --- [EXT] structured streaming (SURVEY §2.9) ---
@@ -501,6 +502,11 @@ object SparkEntry {
     // more than one document, reassemble survivors in order
     "q117_dedup_spans" -> ((s, d) =>
       Corpus.dedupSpans(eng(s, d).table("documents"), n = 3)),
+    // SemDeDup-style semantic dedup: q30's near-dup pairs closed into
+    // clusters, each keeping the member closest to the cluster centroid
+    "q118_semantic_keeplist" -> ((s, d) =>
+      Similarity.semanticKeepList(eng(s, d).table("embeddings"),
+        threshold = 0.3, datasetKey = d)),
     // IVF probe machinery in its exhaustive regime (nprobe = nlist):
     // provably equal to brute force, so the whole ivfTopK path — index
     // read through probed directories, partition pruning, cosine re-rank
@@ -1926,6 +1932,68 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, rk, doc_id, bm25, n_terms FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // semantic keep-list: q30's portable-plane pair pipeline, q41's
+    // recursive-CTE closure, then per-cluster per-dim centroid avg and
+    // cosine-to-centroid ranking. Ranking is on the UNROUNDED cosine —
+    // the q29/q30 FP-boundary contract applies (ulp-level rank ties are
+    // measure-zero for continuous embeddings)
+    "q118_semantic_keeplist" ->
+      """WITH planes AS (
+        | SELECT p, d,
+        |  CASE WHEN (CAST(concat('0x', substr(md5(p || ',' || d), 1, 16))
+        |    AS UBIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END AS c
+        | FROM range(0, 24) t1(p), range(0, 64) t2(d)),
+        |dots AS (
+        | SELECT e.vec_id, p.p // 6 AS tbl, p.p % 6 AS bit,
+        |  sum(e.embedding[p.d + 1] * p.c) AS dp
+        | FROM embeddings e, planes p GROUP BY 1, 2, 3),
+        |buckets AS (
+        | SELECT vec_id, tbl,
+        |  sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bucket
+        | FROM dots GROUP BY 1, 2),
+        |cand AS (
+        | SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        | FROM buckets a JOIN buckets b
+        |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |pairs AS (
+        | SELECT c.vec_a, c.vec_b
+        | FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = c.vec_b
+        | WHERE list_inner_product(ea.embedding, eb.embedding)
+        |    / (sqrt(list_inner_product(ea.embedding, ea.embedding))
+        |       * sqrt(list_inner_product(eb.embedding, eb.embedding))) >= 0.3),
+        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |          UNION SELECT vec_b, vec_a FROM pairs),
+        |reach AS (
+        | WITH RECURSIVE r(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        | SELECT * FROM r),
+        |cl AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+        |       FROM reach GROUP BY src),
+        |ex AS (
+        | SELECT cl.cluster_id, cl.vec_id, i AS pos,
+        |  CAST(e.embedding[i] AS DOUBLE) AS v
+        | FROM cl JOIN embeddings e USING (vec_id),
+        |  unnest(generate_series(1, len(e.embedding))) AS t(i)),
+        |cent AS (SELECT cluster_id, pos, avg(v) AS mv FROM ex GROUP BY 1, 2),
+        |nm AS (SELECT cluster_id, CAST(count(*) AS INTEGER) AS n_members
+        |       FROM cl GROUP BY 1),
+        |cosc AS (
+        | SELECT ex.cluster_id, ex.vec_id,
+        |  sum(ex.v * c.mv) / (sqrt(sum(ex.v * ex.v)) * sqrt(sum(c.mv * c.mv))) AS cc
+        | FROM ex JOIN cent c ON ex.cluster_id = c.cluster_id AND ex.pos = c.pos
+        | GROUP BY 1, 2),
+        |rk AS (SELECT cluster_id, vec_id, cc,
+        |  CAST(row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY cc DESC, vec_id) AS INTEGER) AS rn
+        | FROM cosc)
+        |SELECT rk.cluster_id, rk.vec_id, (rk.rn = 1) AS keep, nm.n_members,
+        | round(rk.cc, 4) AS cos_centroid
+        |FROM rk JOIN nm USING (cluster_id)
+        |ORDER BY cluster_id, vec_id""".stripMargin,
     // duplicated-span removal: identical block chunking (1-based
     // inclusive list slice ≡ Spark's truncating slice), cross-document
     // distinct count, FILTERed ordered string_agg for the reassembly

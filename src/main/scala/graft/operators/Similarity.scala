@@ -225,7 +225,32 @@ object Similarity {
   def invalidateIndexes(spark: org.apache.spark.sql.SparkSession): Unit = {
     ivfMemo.keys.filter(_._1 eq spark).foreach(ivfMemo.remove)
     lshMemo.keys.filter(_._1 eq spark).foreach(lshMemo.remove)
+    embPairsMemo.keys.filter(_._1 eq spark).foreach { k =>
+      embPairsMemo.remove(k).foreach { df =>
+        df.queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
+      }
+    }
   }
+
+  /** Session-lifetime memo for the verified embedding near-dup pair
+    * frame — the embedding-space twin of [[Dedup.minhashPairsShared]]:
+    * both the pair query (q30) and the semantic keep-list (q118) consume
+    * the same frame, and recomputing it means re-bucketing and re-scoring
+    * the whole embedding store per consumer. The frame is one row per
+    * verified pair (tiny next to the corpus), so it is localCheckpoint'ed;
+    * [[invalidateIndexes]] releases the blocks deterministically. Only
+    * the default-parameter pipeline is memoized (key = session, dataset,
+    * threshold); custom bandings call [[lshNearDupPairs]] directly.
+    */
+  private val embPairsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Double), DataFrame]
+
+  def lshNearDupPairsShared(emb: DataFrame, datasetKey: String,
+      threshold: Double = 0.3): DataFrame =
+    embPairsMemo.getOrElseUpdate((emb.sparkSession, datasetKey, threshold),
+      lshNearDupPairs(emb, threshold).localCheckpoint())
 
   /** Root directory for index layouts: `spark.graft.indexDir` if set
     * (on a cluster, point it at the shared filesystem — HDFS/S3 — so
@@ -613,4 +638,49 @@ object Similarity {
       .select(col("vec_id"), col("scale"), col("max_abs_err"),
         col("n_saturated"))
       .orderBy(col("vec_id"))
+
+  /** SemDeDup-style semantic dedup keep list: cluster near-duplicate
+    * embeddings (the portable-plane LSH candidate pairs of
+    * [[lshNearDupPairs]], closed into connected components by
+    * [[Dedup.clusters]]), then keep ONE semantic representative per
+    * cluster — the member whose embedding is closest by cosine to the
+    * cluster centroid — and mark the rest for removal. This is the
+    * embedding-space analogue of the text keep-list (q42): text near-dup
+    * picks the min-id member, but semantically the right survivor is the
+    * most CENTRAL one, not an id accident. Singleton vectors (in no
+    * pair) are trivially kept and not emitted.
+    *
+    * Scale shape: pairs and closure are the q30/q41 machinery (bucketed
+    * candidates, label propagation — no all-pairs work); the centroid is
+    * ONE aggregation per cluster ([[graft.functions.VectorAvg]], element
+    * sums widened to double); members then join the centroid frame on
+    * cluster_id and rank within the cluster — the join and the window
+    * share the cluster_id partitioning, so the whole tail is one
+    * shuffle. Ranking uses the UNROUNDED cosine (ulp-ties are
+    * measure-zero for continuous embeddings; same FP-boundary contract
+    * as the q29/q30 oracles), rounded only for display.
+    */
+  def semanticKeepList(emb: DataFrame, threshold: Double = 0.3,
+      datasetKey: String = null): DataFrame = {
+    val pairFrame =
+      if (datasetKey == null) lshNearDupPairs(emb, threshold)
+      else lshNearDupPairsShared(emb, datasetKey, threshold)
+    val pairs = pairFrame
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val cl = Dedup.clusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val members = emb.select(col("vec_id"), col("embedding")).join(cl, "vec_id")
+    val cents = members.groupBy(col("cluster_id"))
+      .agg(graft.functions.VectorAvg.column(col("embedding")).as("centroid"),
+        count(lit(1)).cast("int").as("n_members"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__c").desc, col("vec_id"))
+    members.join(cents, "cluster_id")
+      .withColumn("__c", cosine(col("embedding").cast("array<double>"),
+        col("centroid")))
+      .withColumn("rk", row_number().over(w))
+      .select(col("cluster_id"), col("vec_id"), (col("rk") === 1).as("keep"),
+        col("n_members"), round(col("__c"), 4).as("cos_centroid"))
+      .orderBy(col("cluster_id"), col("vec_id"))
+  }
 }

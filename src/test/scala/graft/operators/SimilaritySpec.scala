@@ -53,6 +53,27 @@ class SimilaritySpec extends SparkFunSuite {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("semantic keep list keeps the centroid-closest member, not the min id") {
+    // three near-identical vectors along axis 0 (the cluster) plus one
+    // orthogonal singleton. vec 3 lies EXACTLY along the centroid
+    // direction, so centrality must pick it over the smaller ids; the
+    // singleton shares no pair and must not be emitted at all.
+    val d = 0.05f
+    def axis0(scale: Float, tilt: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == 0) scale else if (i == 1) tilt else 0f)
+    val df = vecs(
+      (1L, axis0(1f, d), 0),
+      (2L, axis0(1f, -d), 0),
+      (3L, axis0(2f, 0f), 0),
+      (4L, Seq.tabulate(64)(i => if (i == 1) 1f else 0f), 1))
+    val out = Similarity.semanticKeepList(df, threshold = 0.3).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getInt(3)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L), "singleton must be absent")
+    assert(out.forall(_._3 == 3))
+    val kept = out.filter(_._2).map(_._1).toSeq
+    assert(kept == Seq(3L), s"expected the central member kept, got $kept")
+  }
+
   test("label centroids: unit vectors per axis give norm 1") {
     val df = vecs(
       (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),
