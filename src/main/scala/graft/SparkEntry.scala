@@ -507,6 +507,10 @@ object SparkEntry {
     "q118_semantic_keeplist" -> ((s, d) =>
       Similarity.semanticKeepList(eng(s, d).table("embeddings"),
         threshold = 0.3, datasetKey = d)),
+    // Train/eval leakage audit: eval docs near-dupped with a train doc
+    // (shared pair frame x deterministic split — the eval-trust gate)
+    "q119_leakage_audit" -> ((s, d) =>
+      Corpus.leakageAudit(eng(s, d).table("documents"), d)),
     // IVF probe machinery in its exhaustive regime (nprobe = nlist):
     // provably equal to brute force, so the whole ivfTopK path — index
     // read through probed directories, partition pruning, cosine re-rank
@@ -1932,6 +1936,37 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, rk, doc_id, bm25, n_terms FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // leakage audit: q26's exact-jaccard pairs crossed with q49's
+    // masked-hash split; max over the ROUNDED jaccard on both sides
+    "q119_leakage_audit" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |sym AS (
+        | SELECT doc_a AS doc_id, doc_b AS partner, jaccard FROM pairs
+        | UNION ALL SELECT doc_b, doc_a, jaccard FROM pairs),
+        |sp AS (
+        | SELECT doc_id,
+        |  CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+        |       WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT sym.doc_id, sp1.split, CAST(count(*) AS INTEGER) AS n_leaks,
+        | max(sym.jaccard) AS max_jaccard
+        |FROM sym JOIN sp sp1 ON sym.doc_id = sp1.doc_id
+        | JOIN sp sp2 ON sym.partner = sp2.doc_id
+        |WHERE sp1.split <> 'train' AND sp2.split = 'train'
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // semantic keep-list: q30's portable-plane pair pipeline, q41's
     // recursive-CTE closure, then per-cluster per-dim centroid avg and
     // cosine-to-centroid ranking. Ranking is on the UNROUNDED cosine —

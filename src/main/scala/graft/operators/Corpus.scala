@@ -582,6 +582,43 @@ object Corpus {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Train/eval leakage audit: eval-split documents with a near-duplicate
+    * in the training split. A test doc that near-dups a train doc leaks
+    * the evaluation — its score measures memorization, not
+    * generalization — so a split is only trustworthy after this audit
+    * returns the offender list (drop them from eval, or re-split). Emits
+    * one row per leaking eval doc: its split, how many train near-dups
+    * it has, and the worst (max) jaccard among them.
+    *
+    * Scale shape: the near-dup pair frame is the SHARED memoized one
+    * ([[Dedup.minhashPairsShared]] — one row per verified pair, tiny next
+    * to the corpus), symmetrized and broadcast into two map-side joins
+    * against the split assignment (itself a pure map over the corpus —
+    * [[splitAssign]]'s hash needs no shuffle). The only shuffle is the
+    * final per-offender aggregation, keyed by leaking doc — bounded by
+    * the pair count, not the corpus.
+    */
+  def leakageAudit(docs: DataFrame, datasetKey: String): DataFrame = {
+    val pairs = Dedup.minhashPairsShared(docs, datasetKey)
+    val sym = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
+        col("jaccard"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("partner"), col("jaccard")))
+    val splits = splitAssign(docs).select(col("doc_id"), col("split"))
+    // each pass scans the corpus once map-side with the pair-bounded
+    // frame broadcast; the corpus-sized split frame itself is never
+    // broadcast or shuffled
+    val withOwn = splits.join(broadcast(sym), "doc_id")
+    splits.select(col("doc_id").as("partner"), col("split").as("partner_split"))
+      .join(broadcast(withOwn), "partner")
+      .filter(col("split") =!= "train" && col("partner_split") === "train")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).cast("int").as("n_leaks"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-level duplicated-span removal (the C4 / RefinedWeb
     * boilerplate cut, adapted to span granularity): chunk each document
     * into NON-OVERLAPPING `n`-token blocks, drop every block whose exact

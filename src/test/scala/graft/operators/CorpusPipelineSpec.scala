@@ -230,6 +230,23 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(out(4L) == (("solo doc words tail2", 2L, 0L)))
   }
 
+  test("leakageAudit reports eval docs near-dupped with train docs, nothing else") {
+    // doc 13 hashes to 'test', docs 1/2 to 'train' (masked multiplicative
+    // hash % 100). 13 near-dups 1 (identical text) -> must be reported
+    // with n_leaks=1, jaccard 1.0; 18 ('test') has no near-dup and 2
+    // ('train') near-dups nothing in eval direction -> neither appears.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, "totally different words making no shared shingles at all here"),
+      (13L, base),
+      (18L, "yet another unrelated document body with its own tokens only")
+    ).toDF("doc_id", "text")
+    val out = Corpus.leakageAudit(docs, s"leak_${System.nanoTime()}")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((13L, "test", 1, 1.0)), s"got ${out.toSeq}")
+  }
+
   test("dedupSpans with no duplicates reconstructs every document verbatim") {
     val docs = Seq(
       (1L, "a b c d e f g"),
