@@ -163,6 +163,39 @@ class PlanShapeSpec extends SparkFunSuite {
       s"term semi-join must sit between the aggregation and the explode:\n$opt")
   }
 
+  test("dedup spans: no cartesian work, reassembly keyed by doc not by a global sort") {
+    val plan = planOf("q117_dedup_spans")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the span-count join must be an equi-join on the span text
+    assert(plan.contains("span"), "span key missing from the executed plan")
+    // the only SinglePartition exchange allowed is the final presentation
+    // sort's child — the aggregation itself must stay partitioned
+    assert("Exchange SinglePartition".r.findAllIn(plan).isEmpty,
+      "dedupSpans must not aggregate through a single partition")
+  }
+
+  test("leakage audit broadcasts the pair frame; the corpus split frame is never shuffled") {
+    val plan = planOf("q119_leakage_audit")
+    assert(!plan.contains("CartesianProduct"))
+    // both split passes join map-side against the broadcast pair frame
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected both split joins broadcast, got $bhj in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus-side split frame must not sort-merge-join the pair frame")
+  }
+
+  test("semantic keep list: centroid join and rank share cluster grain, no cartesian") {
+    val plan = planOf("q118_semantic_keeplist")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the per-cluster window must run partitioned by cluster_id (a global
+    // single-partition window would serialize the whole corpus)
+    val rnLine = plan.linesIterator.find(_.contains("row_number()"))
+    assert(rnLine.exists(_.contains("cluster_id")),
+      s"row_number must be partitioned by cluster_id, got: $rnLine")
+  }
+
   test("cube query pushes cut predicates into the parquet scan") {
     val df = new graft.cube.Engine(spark, sf).getData(graft.cube.CubeQuery(
       "trade", Seq("Nation"), Seq("Trade Value"),
