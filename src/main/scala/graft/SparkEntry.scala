@@ -511,6 +511,10 @@ object SparkEntry {
     // (shared pair frame x deterministic split — the eval-trust gate)
     "q119_leakage_audit" -> ((s, d) =>
       Corpus.leakageAudit(eng(s, d).table("documents"), d)),
+    // Cross-source duplication matrix: near-dup pair counts per
+    // (source, source) cell — the provenance/mixture-weight view
+    "q120_source_dup_matrix" -> ((s, d) =>
+      Corpus.crossSourceDupMatrix(eng(s, d).table("documents"), d)),
     // IVF probe machinery in its exhaustive regime (nprobe = nlist):
     // provably equal to brute force, so the whole ivfTopK path — index
     // read through probed directories, partition pruning, cosine re-rank
@@ -1936,6 +1940,30 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, rk, doc_id, bm25, n_terms FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // source duplication matrix: q26's pairs joined to source metadata
+    // on both endpoints, (least, greatest)-normalized cells
+    "q120_source_dup_matrix" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+        |SELECT least(da.source, db.source) AS source_a,
+        | greatest(da.source, db.source) AS source_b,
+        | CAST(count(*) AS INTEGER) AS n_pairs,
+        | round(avg(p.jaccard), 4) AS avg_jaccard
+        |FROM pairs p
+        | JOIN documents da ON p.doc_a = da.doc_id
+        | JOIN documents db ON p.doc_b = db.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // leakage audit: q26's exact-jaccard pairs crossed with q49's
     // masked-hash split; max over the ROUNDED jaccard on both sides
     "q119_leakage_audit" ->

@@ -619,6 +619,35 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source duplication matrix: near-dup pair counts between every
+    * pair of sources — the provenance view of dedup (which scrapes copy
+    * from which; a high off-diagonal cell means two "independent" sources
+    * overlap and their mixture weights double-count the same content).
+    * Source pairs are normalized (least, greatest) so each near-dup pair
+    * lands in exactly one unordered cell; within-source duplication sits
+    * on the diagonal.
+    *
+    * Scale shape: same as [[leakageAudit]] — the shared pair frame
+    * broadcasts into two map-side passes over the (doc_id, source)
+    * projection, then a tiny (source, source) aggregation; the corpus
+    * never shuffles.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, datasetKey: String): DataFrame = {
+    val pairs = Dedup.minhashPairsShared(docs, datasetKey)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val meta = docs.select(col("doc_id"), col("source"))
+    val withA = meta.select(col("doc_id").as("doc_a"), col("source").as("sa"))
+      .join(broadcast(pairs), "doc_a")
+    meta.select(col("doc_id").as("doc_b"), col("source").as("sb"))
+      .join(broadcast(withA), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("int").as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Corpus-level duplicated-span removal (the C4 / RefinedWeb
     * boilerplate cut, adapted to span granularity): chunk each document
     * into NON-OVERLAPPING `n`-token blocks, drop every block whose exact

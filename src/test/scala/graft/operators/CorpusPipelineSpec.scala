@@ -247,6 +247,21 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(out.toSeq == Seq((13L, "test", 1, 1.0)), s"got ${out.toSeq}")
   }
 
+  test("crossSourceDupMatrix normalizes cells and separates diagonal from cross-source") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, base, "srcB"), (2L, base, "srcA"),      // cross-source pair
+      (3L, other, "srcA"), (4L, other, "srcA"),    // diagonal pair
+      (5L, "completely unrelated filler tokens here now", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.crossSourceDupMatrix(docs, s"matrix_${System.nanoTime()}")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getInt(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(("srcA", "srcB"), ("srcA", "srcA")))
+    assert(out(("srcA", "srcB")) == ((1, 1.0)))
+    assert(out(("srcA", "srcA")) == ((1, 1.0)))
+  }
+
   test("dedupSpans with no duplicates reconstructs every document verbatim") {
     val docs = Seq(
       (1L, "a b c d e f g"),
