@@ -31,6 +31,7 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
+      graft.operators.Scratch.releaseAll(spark)
     }
     // ANN index builds (q106-q108) run FIRST in each pass, right after
     // the memo invalidation: they are timed as their own entries (the
@@ -64,6 +65,10 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
+        // outside the timed window: each sample starts with a storage
+        // pool free of the previous query's scratch blocks, so timings
+        // measure the query, not its neighbor's eviction pressure
+        graft.operators.Scratch.releaseAll(spark)
         name -> (if (ok) dt else -1.0)
       }
     }

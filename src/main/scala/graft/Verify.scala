@@ -18,6 +18,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // query boundary: drop the query's scratch checkpoint blocks (the
+      // session memos — shared pairs, ANN layouts — survive by design)
+      graft.operators.Scratch.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

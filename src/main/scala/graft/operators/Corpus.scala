@@ -181,10 +181,10 @@ object Corpus {
       col("doc_id"),
       graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
       pmod(docHash(col("doc_id")), lit(1000000007L)).as("__key"))
-    val ranged = sized
+    val ranged = Scratch.register(sized
       .repartitionByRange(col("__key"), col("doc_id"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint())
     val wRow = Window.partitionBy(col("__pid"))
       .orderBy(col("__key"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -311,10 +311,12 @@ object Corpus {
     // post-aggregation (doc_id, tok, cnt) frame — orders of magnitude
     // smaller than the text it replaces re-scanning. Lifetime: per-call
     // checkpoints (here and in bigramSurprisal/bm25/oovRate/tfidf) are
-    // NOT session-held — once the returned frame is unreferenced, the
-    // ContextCleaner reclaims the blocks; only session memos (Dedup
-    // pairs, ANN indexes) need the explicit invalidate path.
-    val tc = tokenCounts(Par.ensure(docs)).localCheckpoint()
+    // SCRATCH — registered for deterministic release at the harness's
+    // next query boundary (Scratch.releaseAll) rather than waiting for
+    // the ContextCleaner to GC the plan references; only session memos
+    // (Dedup pairs, ANN indexes) outlive the query, via their own
+    // invalidate entry points.
+    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).localCheckpoint())
     val unigram = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
     val total = tc.agg(sum(col("cnt")).cast("double").as("corpus_tokens"))
     tc.join(unigram, "tok")
@@ -360,7 +362,7 @@ object Corpus {
     // Same 3-consumer shape as unigramSurprisal: materialize the exploded
     // (doc_id, bg, cnt) frame once instead of re-running the bigram
     // generate+explode three times over the corpus.
-    val bc = bigramCounts(Par.ensure(docs)).localCheckpoint()
+    val bc = Scratch.register(bigramCounts(Par.ensure(docs)).localCheckpoint())
     val lm = bc.groupBy(col("bg")).agg(sum(col("cnt")).as("bf"))
     val total = bc.agg(sum(col("cnt")).cast("double").as("corpus_bigrams"))
     bc.join(lm, "bg")
@@ -425,7 +427,7 @@ object Corpus {
         avg(size(toks).cast("double")).as("avgdl"))
     // two consumers (the score join and df) — materialize the tiny
     // post-filter frame once, as in the surprisal family
-    val tf = bm25Tf(docs, terms).localCheckpoint()
+    val tf = Scratch.register(bm25Tf(docs, terms).localCheckpoint())
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
@@ -473,7 +475,7 @@ object Corpus {
     val qterms = queries
       .select(col("query_id"), explode(col("terms")).as("tok")).distinct()
     // two consumers (df and the score join) — materialize once
-    val tf = bm25TfForQueries(docs, qterms).localCheckpoint()
+    val tf = Scratch.register(bm25TfForQueries(docs, qterms).localCheckpoint())
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
     val scored = tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
@@ -501,12 +503,12 @@ object Corpus {
     * a map-side join + one doc_id-keyed aggregation.
     */
   def oovRate(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
-    val tc = Par.ensure(docs)
+    val tc = Scratch.register(Par.ensure(docs)
       .select(col("doc_id"),
         explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint())
     val vocab = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
       .orderBy(col("tf").desc, col("tok")).limit(vocabSize)
       .select(col("tok"), lit(1).as("__v"))
@@ -563,7 +565,7 @@ object Corpus {
   def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
     // Two consumers (the scored frame and its df side) — materialize the
     // exploded counts once, as in the surprisal family.
-    val tc = tokenCounts(Par.ensure(docs)).localCheckpoint()
+    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).localCheckpoint())
     val dfCounts = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val score = (col("cnt").cast("double") / col("total")) *

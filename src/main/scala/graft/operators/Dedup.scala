@@ -80,9 +80,9 @@ object Dedup {
     // of magnitude smaller than the corpus text it replaces re-scanning.
     // Par.ensure: shingling + 64 minhash passes are the pipeline's hot
     // map work — a single-file local scan would run them on one task.
-    val withSh = Par.ensure(docs).select(col("doc_id"),
+    val withSh = Scratch.register(Par.ensure(docs).select(col("doc_id"),
       TextAnalysis.shingles(col("text"), shingleN).as("sh"))
-      .localCheckpoint()
+      .localCheckpoint())
     val sig = withSh.select(col("doc_id"),
       bandHashes(graft.functions.TextExpressions.minhashSig(col("sh"), numPerms),
         bands, r).as("bands"))
@@ -222,9 +222,9 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val r = numPerms / bands
     def keyed(df: DataFrame, idAs: String, shAs: String): (DataFrame, DataFrame) = {
-      val withSh = Par.ensure(df).select(col("doc_id").as(idAs),
+      val withSh = Scratch.register(Par.ensure(df).select(col("doc_id").as(idAs),
         TextAnalysis.shingles(col("text"), shingleN).as(shAs))
-        .localCheckpoint()
+        .localCheckpoint())
       val ex = withSh.select(col(idAs),
         explode(bandHashes(
           graft.functions.TextExpressions.minhashSig(col(shAs), numPerms),
@@ -289,17 +289,18 @@ object Dedup {
     // localCheckpoint (not cache) after every round: iterative plans grow
     // exponentially in lineage otherwise — planning itself OOMs past a
     // handful of iterations. Checkpointing truncates the logical plan.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint()
+    val edges = Scratch.register(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct().localCheckpoint())
     // Seed label = min(id, min direct neighbor): one aggregation that is
     // exactly the first propagation round for free. For the typical shape
     // (near-dup clusters are near-cliques) every member sees the cluster
     // min immediately and the loop below terminates on its first
     // no-change check.
-    var labels = edges.groupBy(col("src").as("id"))
+    var labels = Scratch.register(edges.groupBy(col("src").as("id"))
       .agg(least(first(col("src")), min(col("dst"))).as("label"))
-      .localCheckpoint()
+      .localCheckpoint())
     // Labels are node ids and only ever decrease, so sum(label) strictly
     // decreases until the fixed point: a one-column aggregate over the
     // just-checkpointed frame replaces a join-based change detector.
@@ -322,6 +323,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint() // the jump self-joins this frame — don't recompute it
+        .transform(Scratch.register)
       val propSum = labelSum(propagated)
       if (propSum.compareTo(prevSum) == 0) {
         converged = true // propagation fixed point — the jump cannot move it
@@ -337,6 +339,7 @@ object Dedup {
           .select(col("a.id").as("id"),
             least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"))
           .localCheckpoint()
+          .transform(Scratch.register)
         prevSum = labelSum(updated)
         labels = updated
       }
@@ -383,10 +386,10 @@ object Dedup {
     // shingle+vote pipeline 3x. Chunk membership is a bit slice of the
     // fingerprint (bijective with the sign sub-array — identical bucket
     // collisions), and hamming is codegen'd bit_count(a ^ b).
-    val sigd = Par.ensure(docs).select(col("doc_id"),
+    val sigd = Scratch.register(Par.ensure(docs).select(col("doc_id"),
       graft.functions.TextExpressions.simhashFp(
         TextAnalysis.tokens(col("text"))).as("fp"))
-      .localCheckpoint()
+      .localCheckpoint())
     val mask = if (width == 64) -1L else (1L << width) - 1
     val exploded = sigd.select(col("doc_id"),
       explode(array((0 until chunks).map { c =>

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry of SCRATCH checkpoint frames — big
+  * intermediates an operator materializes with localCheckpoint for reuse
+  * WITHIN one query (exploded token-counts frames, shingle frames,
+  * label-propagation rounds) but that nothing needs once the query's
+  * result is consumed. Without an explicit release those MEMORY_AND_DISK
+  * blocks stay pinned until the driver happens to GC the plan references
+  * (ContextCleaner), which on a long-lived session means every later
+  * query runs against a storage pool full of dead blocks — exactly the
+  * eviction pressure a 100 TB deployment cannot afford.
+  *
+  * Contract: operators register each scratch frame as they checkpoint
+  * it; the HARNESS (Verify / Bench / a production pipeline driver) calls
+  * [[releaseAll]] at each query boundary, after the result is
+  * materialized to its sink. Session-LIFETIME frames — the shared
+  * near-dup pair memos, the ANN index layouts — are deliberately NOT
+  * scratch: they have their own invalidation entry points
+  * ([[Dedup.invalidateSharedPairs]], [[Similarity.invalidateIndexes]]).
+  */
+object Scratch {
+  private val reg = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, scala.collection.mutable.ArrayBuffer[DataFrame]]
+
+  /** Register an already-localCheckpoint'ed intermediate for release at
+    * the next query boundary. Returns the frame, so call sites stay
+    * one-liners: `Scratch.register(df.localCheckpoint())`.
+    */
+  def register(df: DataFrame): DataFrame = {
+    val buf = reg.getOrElseUpdate(df.sparkSession,
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+    buf.synchronized { buf += df }
+    df
+  }
+
+  /** Unpersist every registered scratch frame of `spark` (non-blocking —
+    * the block manager drops the blocks asynchronously, but they leave
+    * the storage pool's accounting immediately). Returns how many frames
+    * were released, so harnesses and tests can assert the registry
+    * actually drained.
+    */
+  def releaseAll(spark: SparkSession): Int =
+    reg.remove(spark).map { buf =>
+      val frames = buf.synchronized { buf.toList }
+      frames.foreach { df =>
+        df.queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
+      }
+      frames.size
+    }.getOrElse(0)
+}

@@ -167,8 +167,9 @@ object EventsStream {
     val q = queries.writeStream.outputMode(OutputMode.Append())
       .queryName("graft_stream_ann")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val enriched = Similarity.ivfKnnJoin(corpus, batch, k = 3,
-          nlist = 8, nprobe = 8, datasetKey = dir).localCheckpoint()
+        val enriched = graft.operators.Scratch.register(
+          Similarity.ivfKnnJoin(corpus, batch, k = 3,
+            nlist = 8, nprobe = 8, datasetKey = dir).localCheckpoint())
         acc = if (acc == null) enriched else acc.unionAll(enriched)
         ()
       }

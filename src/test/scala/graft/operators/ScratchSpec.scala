@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkFunSuite
+
+/** The scratch-release contract: operators register their intra-query
+  * checkpoint frames, the harness drains them at query boundaries, and
+  * session memos survive the drain. Each test isolates its registry with
+  * a child session (Scratch keys on the SparkSession instance), so
+  * concurrently-running suites cannot pollute the counts.
+  */
+class ScratchSpec extends SparkFunSuite {
+
+  test("operators register scratch frames; release drains the registry exactly") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    assert(docs.sparkSession eq s2)
+    assert(Scratch.releaseAll(s2) == 0)
+    Corpus.unigramSurprisal(docs).collect()
+    assert(Scratch.releaseAll(s2) >= 1,
+      "surprisal must register its exploded counts frame as scratch")
+    assert(Scratch.releaseAll(s2) == 0, "registry must drain on release")
+  }
+
+  test("session memos survive a scratch release; their blocks stay readable") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val key = s"scratchspec_${System.nanoTime()}"
+    val n = Dedup.minhashPairsShared(docs, key).count()
+    assert(n == 1)
+    val released = Scratch.releaseAll(s2)
+    assert(released >= 1, "the shingle frame behind the pair memo is scratch")
+    // the memoized pair frame itself must still be alive and correct
+    assert(Dedup.minhashPairsShared(docs, key).count() == 1)
+    Dedup.invalidateSharedPairs(s2)
+  }
+
+  test("cluster iteration frames are scratch, released after the consumer drains") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs).collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(Scratch.releaseAll(s2) >= 2,
+      "edges and label rounds must be registered as scratch")
+  }
+}
