@@ -515,6 +515,14 @@ object SparkEntry {
     // (source, source) cell — the provenance/mixture-weight view
     "q120_source_dup_matrix" -> ((s, d) =>
       Corpus.crossSourceDupMatrix(eng(s, d).table("documents"), d)),
+    // Quality-tier curation report: fixed-threshold quality bands with
+    // per-tier token mass (the cost of each curation bar, in tokens)
+    "q121_quality_tiers" -> ((s, d) =>
+      Corpus.qualityTierReport(eng(s, d).table("documents"))),
+    // Per-label embedding diversity (variance spread = mean squared
+    // distance to centroid — collapse diagnostic, O(n) not O(n^2))
+    "q122_embedding_diversity" -> ((s, d) =>
+      Similarity.embeddingDiversity(eng(s, d).table("embeddings"))),
     // IVF probe machinery in its exhaustive regime (nprobe = nlist):
     // provably equal to brute force, so the whole ivfTopK path — index
     // read through probed directories, partition pruning, cosine re-rank
@@ -1940,6 +1948,37 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, rk, doc_id, bm25, n_terms FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // embedding diversity: per-(label, dim) var_pop summed; both
+    // engines' variance aggregates agree well inside the round(4)
+    "q122_embedding_diversity" ->
+      """WITH ex AS (
+        | SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        | FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |pd AS (SELECT label, pos, var_pop(v) AS v FROM ex GROUP BY 1, 2),
+        |sp AS (SELECT label, round(sum(v), 4) AS spread FROM pd GROUP BY 1),
+        |st AS (SELECT label, count(*) AS n_members,
+        |  round(avg(sqrt(list_inner_product(embedding, embedding))), 4) AS avg_norm
+        | FROM embeddings GROUP BY 1)
+        |SELECT st.label, st.n_members, st.avg_norm, sp.spread
+        |FROM st JOIN sp USING (label) ORDER BY label""".stripMargin,
+    // quality tiers: q23's bit-portable quality arithmetic banded at
+    // fixed thresholds (no FP caveat — the score matches exactly)
+    "q121_quality_tiers" ->
+      """WITH q AS (
+        | SELECT len(string_split(text, ' ')) AS n_toks,
+        |  0.4 * least(len(string_split(text, ' ')) / 64.0, 1.0)
+        |   + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / len(string_split(text, ' ')))
+        |   + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |       / length(text)) AS quality
+        | FROM documents)
+        |SELECT CASE WHEN quality < 0.65 THEN '1_low'
+        |            WHEN quality < 0.74 THEN '2_mid'
+        |            ELSE '3_high' END AS tier,
+        | count(*) AS n_docs,
+        | CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        | round(avg(quality), 4) AS avg_quality
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     // source duplication matrix: q26's pairs joined to source metadata
     // on both endpoints, (least, greatest)-normalized cells
     "q120_source_dup_matrix" ->

@@ -621,6 +621,36 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-tier curation report: band every document by its quality
+    * score at FIXED thresholds and report each tier's doc count, token
+    * mass, and mean quality — the FineWeb-style "how much of the corpus
+    * survives each quality bar" deliverable that prices a curation
+    * decision in tokens before committing to it.
+    *
+    * Fixed thresholds, not ntile: quantile tiers need a global sort (or
+    * the q75 distributed-rank machinery) and their BOUNDARIES drift as
+    * the corpus grows — a curation bar must mean the same thing on every
+    * shard and every refresh. The banding is pure map work over the
+    * scan; the report is one tier-keyed aggregation (3 groups).
+    * [[graft.functions.TextAnalysis.qualityScore]] is engine-portable
+    * arithmetic (q23's oracle reproduces it bit-for-bit), so the tier
+    * decision is stable cross-engine with no FP-boundary caveat.
+    */
+  def qualityTierReport(docs: DataFrame,
+      lowCut: Double = 0.65, highCut: Double = 0.74): DataFrame = {
+    val q = graft.functions.TextAnalysis.qualityScore(col("text"))
+    Par.ensure(docs)
+      .select(graft.functions.TextAnalysis.tokenCount(col("text")).as("__t"),
+        q.as("__q"))
+      .withColumn("tier", when(col("__q") < lowCut, "1_low")
+        .when(col("__q") < highCut, "2_mid").otherwise("3_high"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).cast("long").as("total_tokens"),
+        round(avg(col("__q")), 4).as("avg_quality"))
+      .orderBy(col("tier"))
+  }
+
   /** Cross-source duplication matrix: near-dup pair counts between every
     * pair of sources — the provenance view of dedup (which scrapes copy
     * from which; a high off-diagonal cell means two "independent" sources

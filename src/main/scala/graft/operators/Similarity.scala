@@ -639,6 +639,32 @@ object Similarity {
         col("n_saturated"))
       .orderBy(col("vec_id"))
 
+  /** Per-label embedding diversity report: member count, mean vector
+    * norm, and SPREAD — the sum of per-dimension population variances
+    * (= mean squared distance to the label centroid). A label whose
+    * spread collapses toward 0 has near-identical embeddings (mode
+    * collapse in the encoder, or a label made of duplicates); comparing
+    * spread across labels is the embedding-space twin of the quality
+    * tier report. Two aggregations over the exploded (label, dim)
+    * relation plus a label-keyed stats pass — skew-free keys, map-side
+    * partials, no pairwise work (the naive "mean pairwise distance"
+    * needs O(n²); the variance identity gives the same signal in O(n)).
+    */
+  def embeddingDiversity(emb: DataFrame): DataFrame = {
+    val ex = Par.ensure(emb).select(col("label"),
+      posexplode(col("embedding").cast("array<double>")))
+    val spread = ex.groupBy(col("label"), col("pos"))
+      .agg(var_pop(col("col")).as("v"))
+      .groupBy(col("label"))
+      .agg(round(sum(col("v")), 4).as("spread"))
+    Par.ensure(emb).groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(norm(col("embedding").cast("array<double>"))), 4)
+          .as("avg_norm"))
+      .join(spread, "label")
+      .orderBy(col("label"))
+  }
+
   /** SemDeDup-style semantic dedup keep list: cluster near-duplicate
     * embeddings (the portable-plane LSH candidate pairs of
     * [[lshNearDupPairs]], closed into connected components by

@@ -247,6 +247,25 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(out.toSeq == Seq((13L, "test", 1, 1.0)), s"got ${out.toSeq}")
   }
 
+  test("qualityTierReport bands at the fixed cuts and sums token mass per tier") {
+    // quality = 0.4*min(n/64,1) + 0.3*ttr + 0.3*alpha. "a b" -> n=2,
+    // ttr=1, alpha=2/3: q = 0.4*2/64 + 0.3 + 0.2 = 0.5125 (low).
+    // "a a ... a" x64 -> n=64, ttr=1/64, alpha ~ 64/127: q ~ 0.5559
+    // (low). A 64-token all-distinct alpha text -> q ~ 0.9976 (high).
+    val allDistinct = (1 to 64).map(i => ('a' + (i % 26)).toChar.toString * 2)
+      .zipWithIndex.map { case (s, i) => s + ('a' + (i / 26)).toChar }.mkString(" ")
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, Seq.fill(64)("a").mkString(" ")),
+      (3L, allDistinct)
+    ).toDF("doc_id", "text")
+    val out = Corpus.qualityTierReport(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("1_low") == ((2L, 66L)), s"got $out")
+    assert(out("3_high") == ((1L, 64L)), s"got $out")
+    assert(!out.contains("2_mid"))
+  }
+
   test("crossSourceDupMatrix normalizes cells and separates diagonal from cross-source") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val other = "one two three four five six seven eight nine ten"

@@ -53,6 +53,16 @@ class SimilaritySpec extends SparkFunSuite {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("embedding diversity: identical members spread 0, split members spread var_pop") {
+    val df = vecs(
+      (1L, Seq(3f, 4f), 0), (2L, Seq(3f, 4f), 0),   // identical: spread 0
+      (3L, Seq(1f, 0f), 1), (4L, Seq(-1f, 0f), 1))  // var_pop {1,-1} = 1
+    val out = Similarity.embeddingDiversity(df).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(0) == ((2L, 5.0, 0.0)))
+    assert(out(1) == ((2L, 1.0, 1.0)))
+  }
+
   test("semantic keep list keeps the centroid-closest member, not the min id") {
     // three near-identical vectors along axis 0 (the cluster) plus one
     // orthogonal singleton. vec 3 lies EXACTLY along the centroid
