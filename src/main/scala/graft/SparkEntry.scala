@@ -523,6 +523,10 @@ object SparkEntry {
     // distance to centroid — collapse diagnostic, O(n) not O(n^2))
     "q122_embedding_diversity" -> ((s, d) =>
       Similarity.embeddingDiversity(eng(s, d).table("embeddings"))),
+    // Streaming ingestion near-dup gate: incoming docs (id < 50) checked
+    // against the static corpus (id >= 50) via the bipartite minhash
+    // join; per-doc verdicts are batch-boundary-independent
+    "q123_stream_neardup_gate" -> EventsStream.nearDupGate _,
     // IVF probe machinery in its exhaustive regime (nprobe = nlist):
     // provably equal to brute force, so the whole ivfTopK path — index
     // read through probed directories, partition pruning, cosine re-rank
@@ -1948,6 +1952,27 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, rk, doc_id, bm25, n_terms FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // stream near-dup gate: brute-force bipartite jaccard join over the
+    // same probe/corpus id cut, per-probe verdict aggregation
+    "q123_stream_neardup_gate" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |probe AS (SELECT * FROM s WHERE doc_id < 50),
+        |corp AS (SELECT * FROM s WHERE doc_id >= 50),
+        |hits AS (
+        | SELECT p.doc_id, round(CAST(len(list_intersect(p.sh, c.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(p.sh, c.sh))), 4) AS j
+        | FROM probe p JOIN corp c
+        |  ON CAST(len(list_intersect(p.sh, c.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(p.sh, c.sh))) >= 0.8)
+        |SELECT p.doc_id, (count(h.j) = 0) AS admitted,
+        | CAST(count(h.j) AS INTEGER) AS n_dups, max(h.j) AS max_jaccard
+        |FROM probe p LEFT JOIN hits h ON p.doc_id = h.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // embedding diversity: per-(label, dim) var_pop summed; both
     // engines' variance aggregates agree well inside the round(4)
     "q122_embedding_diversity" ->

@@ -183,6 +183,56 @@ object EventsStream {
     out.orderBy(col("q_id"), col("rk"))
   }
 
+  /** Streaming ingestion near-dup gate: a stream of incoming documents
+    * checked against the STATIC corpus with the bipartite minhash join
+    * ([[graft.operators.Dedup.minhashJoin]] — q104's machinery) before
+    * admission. This is the online-curation shape: a crawler/ingest feed
+    * must reject near-duplicates of what the corpus already holds
+    * WITHOUT re-deduping the corpus per batch. Each micro-batch emits
+    * one verdict row per probe doc — admitted (no near-dup), or the
+    * match count and worst jaccard.
+    *
+    * Per-doc verdicts depend only on (doc, corpus), never on batch
+    * boundaries, so the drained stream provably equals the batch join —
+    * its oracle. The fixture re-shingles the static side per batch
+    * (bounded here: one small file → one batch); a production deployment
+    * pins the corpus signature frame once (the pairsMemo discipline) so
+    * a batch pays only its own shingles plus the band equi-join.
+    */
+  def nearDupGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Scratch}
+    val docs = new graft.cube.Engine(spark, dir).table("documents")
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") < 50)
+    spark.streams.active.filter(_.name == "graft_stream_gate").foreach(_.stop())
+    @volatile var acc: DataFrame = null
+    def gate(batch: DataFrame): DataFrame = {
+      val hits = Dedup.minhashJoin(batch, corpus)
+      batch.select(col("doc_id"))
+        .join(hits.groupBy(col("probe_id").as("doc_id"))
+          .agg(count(lit(1)).cast("int").as("__n"),
+            max(col("jaccard")).as("max_jaccard")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__n").isNull.as("admitted"),
+          coalesce(col("__n"), lit(0)).as("n_dups"), col("max_jaccard"))
+    }
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .queryName("graft_stream_gate")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val verdicts = Scratch.register(gate(batch).localCheckpoint())
+        acc = if (acc == null) verdicts else acc.unionAll(verdicts)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = if (acc == null) gate(docs.filter(lit(false))) else acc
+    out.orderBy(col("doc_id"))
+  }
+
   /** Per-type daily running totals — the analytic-window time-series
     * surface (cumulative sums over event time).
     */

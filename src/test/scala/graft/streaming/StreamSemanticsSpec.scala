@@ -258,6 +258,47 @@ class StreamSemanticsSpec extends SparkFunSuite {
     assert(streamed == oneShot)
   }
 
+  test("foreachBatch near-dup gate verdicts are batch-boundary-independent") {
+    // the q123 pattern trigger-by-trigger: probes arriving in different
+    // micro-batches are each gated against the SAME static corpus, so
+    // the union of per-batch verdicts must equal gating all probes at
+    // once — doc 100's near-dup is rejected in whichever trigger it
+    // arrives, doc 102's novel text is admitted
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((200L, base),
+      (201L, "established corpus text nothing like the probes own words"))
+      .toDF("doc_id", "text")
+    val probeText = Map(
+      100L -> base,                                          // dup of 200
+      101L -> "fresh original probe content first trigger sample words here",
+      102L -> "another novel probe arriving in the second trigger entirely")
+    val input = MemoryStream[Long](spark)
+    @volatile var acc: org.apache.spark.sql.DataFrame = null
+    val q = input.toDF().toDF("pid").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.collect().map(_.getLong(0))
+        val probes = ids.map(i => (i, probeText(i))).toSeq.toDF("doc_id", "text")
+        val hits = graft.operators.Dedup.minhashJoin(probes, corpus)
+        val verdicts = probes.select(col("doc_id"))
+          .join(hits.groupBy(col("probe_id").as("doc_id"))
+            .agg(count(lit(1)).cast("int").as("n")), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n").isNull.as("admitted"))
+          .localCheckpoint()
+        acc = if (acc == null) verdicts else acc.unionAll(verdicts)
+        ()
+      }
+      .start()
+    input.addData(100L, 101L)
+    q.processAllAvailable()
+    assert(acc.count() == 2, "first trigger must gate both probes")
+    input.addData(102L)
+    q.processAllAvailable()
+    q.stop()
+    val got = acc.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(100L -> false, 101L -> true, 102L -> true), s"got $got")
+  }
+
   test("streaming dedup within watermark drops replays, keeps distinct ids, bounds state") {
     // at-least-once upstreams (Kafka replays, task retries) make exact
     // dedup a core streaming operator: dropDuplicatesWithinWatermark
