@@ -527,6 +527,10 @@ object SparkEntry {
     // against the static corpus (id >= 50) via the bipartite minhash
     // join; per-doc verdicts are batch-boundary-independent
     "q123_stream_neardup_gate" -> EventsStream.nearDupGate _,
+    // Zipf/token-distribution fingerprint: log-log frequency-rank slope
+    // plus top-10 mass — the cross-ingest drift metric
+    "q124_zipf_report" -> ((s, d) =>
+      Corpus.zipfReport(eng(s, d).table("documents"))),
     // IVF probe machinery in its exhaustive regime (nprobe = nlist):
     // provably equal to brute force, so the whole ivfTopK path — index
     // read through probed directories, partition pruning, cosine re-rank
@@ -1952,6 +1956,21 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, rk, doc_id, bm25, n_terms FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // zipf report: identical rank tie-break (freq desc, tok) both
+    // sides; regr_slope(y=ln f, x=ln rank) is sum-based on each engine
+    "q124_zipf_report" ->
+      """WITH tf AS (
+        | SELECT tok, CAST(count(*) AS BIGINT) AS f
+        | FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        | GROUP BY 1),
+        |r AS (SELECT tok, f,
+        |  row_number() OVER (ORDER BY f DESC, tok) AS rk FROM tf)
+        |SELECT count(*) AS vocab_size, CAST(sum(f) AS BIGINT) AS total_tokens,
+        | round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4)
+        |   AS zipf_slope,
+        | round(CAST(sum(CASE WHEN rk <= 10 THEN f ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(f) AS DOUBLE), 4) AS top10_coverage
+        |FROM r""".stripMargin,
     // stream near-dup gate: brute-force bipartite jaccard join over the
     // same probe/corpus id cut, per-probe verdict aggregation
     "q123_stream_neardup_gate" ->

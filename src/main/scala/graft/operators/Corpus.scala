@@ -621,6 +621,35 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-distribution (Zipf) health report: vocabulary size, total
+    * token mass, the log-log slope of frequency vs rank (natural text
+    * sits near -1; a slope collapsing toward 0 means boilerplate-flat
+    * token use, a steep slope means a degenerate vocabulary), and the
+    * mass fraction covered by the top-10 tokens. One row — the corpus
+    * fingerprint a pipeline tracks across ingests to catch distribution
+    * drift cheaply.
+    *
+    * Scale shape: one exploded (tok) aggregation (map-side partial,
+    * skew-free), then the rank window runs over the VOCABULARY — orders
+    * of magnitude smaller than the corpus (10^7 terms vs 10^11 docs), so
+    * the single-partition vocabulary sort is bounded by language, not
+    * data size; the final regression is a 1-row aggregate
+    * (`regr_slope`, sum-based and engine-portable inside round(4)).
+    */
+  def zipfReport(docs: DataFrame): DataFrame = {
+    val tf = tokenCounts(Par.ensure(docs))
+      .groupBy(col("tok")).agg(sum(col("cnt")).as("f"))
+    val ranked = tf.withColumn("rk",
+      row_number().over(Window.orderBy(col("f").desc, col("tok"))))
+    ranked.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("f")).cast("long").as("total_tokens"),
+      round(regr_slope(log(col("f").cast("double")),
+        log(col("rk").cast("double"))), 4).as("zipf_slope"),
+      round(sum(when(col("rk") <= 10, col("f")).otherwise(lit(0L)))
+        .cast("double") / sum(col("f")).cast("double"), 4).as("top10_coverage"))
+  }
+
   /** Quality-tier curation report: band every document by its quality
     * score at FIXED thresholds and report each tier's doc count, token
     * mass, and mean quality — the FineWeb-style "how much of the corpus

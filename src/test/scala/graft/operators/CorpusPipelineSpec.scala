@@ -247,6 +247,19 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(out.toSeq == Seq((13L, "test", 1, 1.0)), s"got ${out.toSeq}")
   }
 
+  test("zipfReport: geometric frequencies give the analytic log-log slope") {
+    // freqs 8/4/2/1 at ranks 1..4: slope = sum(dx*dy)/sum(dx^2) over
+    // (ln rk, ln f) ≈ -1.4591; top-10 covers everything at vocab 4
+    val docs = Seq(
+      (1L, (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+        .mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Corpus.zipfReport(docs).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 15L)
+    assert(math.abs(r.getDouble(2) + 1.4591) < 0.01, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0)
+  }
+
   test("qualityTierReport bands at the fixed cuts and sums token mass per tier") {
     // quality = 0.4*min(n/64,1) + 0.3*ttr + 0.3*alpha. "a b" -> n=2,
     // ttr=1, alpha=2/3: q = 0.4*2/64 + 0.3 + 0.2 = 0.5125 (low).

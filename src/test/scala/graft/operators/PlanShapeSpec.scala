@@ -196,6 +196,19 @@ class PlanShapeSpec extends SparkFunSuite {
       s"row_number must be partitioned by cluster_id, got: $rnLine")
   }
 
+  test("quality tiers and zipf report stay join-free map+agg pipelines") {
+    val tiers = planOf("q121_quality_tiers")
+    assert(!tiers.contains("Join"), "quality tiers must not join anything")
+    // banding is scan-stage map work: one partial+final agg pair, no
+    // window, no sort before the 3-row presentation orderBy
+    assert(!tiers.contains("Window"), "quality tiers must not window")
+    val zipf = planOf("q124_zipf_report")
+    // the rank window runs over the vocabulary aggregate, not the corpus:
+    // the window's child must be the token aggregation, never a scan
+    assert(zipf.contains("row_number()"))
+    assert(!zipf.contains("Join"), "zipf report must not join anything")
+  }
+
   test("cube query pushes cut predicates into the parquet scan") {
     val df = new graft.cube.Engine(spark, sf).getData(graft.cube.CubeQuery(
       "trade", Seq("Nation"), Seq("Trade Value"),
