@@ -21,34 +21,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ([[Dedup.invalidateSharedPairs]], [[Similarity.invalidateIndexes]]).
   */
 object Scratch {
+  // The registry records RDD IDs, never object references: a strong
+  // DataFrame registry would pin every scratch frame for the session's
+  // lifetime if a library caller (outside Verify/Bench) never drains it
+  // — the hygiene mechanism itself becoming the leak — while weak
+  // references are cleared by routine young-gen GC long before the
+  // drain, making the release nondeterministic. An Int survives until
+  // drained, holds nothing alive, and resolves through the context's
+  // persistent-RDD map at release time; an id the ContextCleaner
+  // already reclaimed simply resolves to nothing.
   private val reg = scala.collection.concurrent.TrieMap
-    .empty[SparkSession, scala.collection.mutable.ArrayBuffer[DataFrame]]
+    .empty[SparkSession, scala.collection.mutable.ArrayBuffer[Int]]
 
   /** Register an already-localCheckpoint'ed intermediate for release at
     * the next query boundary. Returns the frame, so call sites stay
     * one-liners: `Scratch.register(df.localCheckpoint())`.
     */
   def register(df: DataFrame): DataFrame = {
+    val ids = df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
     val buf = reg.getOrElseUpdate(df.sparkSession,
-      scala.collection.mutable.ArrayBuffer.empty[DataFrame])
-    buf.synchronized { buf += df }
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    buf.synchronized { buf ++= ids }
     df
   }
 
-  /** Unpersist every registered scratch frame of `spark` (non-blocking —
-    * the block manager drops the blocks asynchronously, but they leave
-    * the storage pool's accounting immediately). Returns how many frames
-    * were released, so harnesses and tests can assert the registry
-    * actually drained.
+  /** Unpersist every registered scratch frame of `spark` that is still
+    * persisted (non-blocking — the block manager drops the blocks
+    * asynchronously, but they leave the storage pool's accounting
+    * immediately); ids the ContextCleaner already reclaimed are skipped.
+    * Returns how many registered ids were drained, so harnesses and
+    * tests can assert operators actually registered their scratch.
     */
   def releaseAll(spark: SparkSession): Int =
     reg.remove(spark).map { buf =>
-      val frames = buf.synchronized { buf.toList }
-      frames.foreach { df =>
-        df.queryExecution.logical.collect {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }.foreach(_.unpersist(blocking = false))
-      }
-      frames.size
+      val ids = buf.synchronized { buf.toList }
+      val persistent = spark.sparkContext.getPersistentRDDs
+      ids.foreach(id => persistent.get(id).foreach(_.unpersist(blocking = false)))
+      ids.size
     }.getOrElse(0)
 }
