@@ -531,6 +531,10 @@ object SparkEntry {
     // plus top-10 mass — the cross-ingest drift metric
     "q124_zipf_report" -> ((s, d) =>
       Corpus.zipfReport(eng(s, d).table("documents"))),
+    // Best-of-per-group curation pick: top-5 quality docs per language
+    // (merit-ordered complement of q55's hash-random cap)
+    "q125_top_quality" -> ((s, d) =>
+      Corpus.topQualityPerGroup(eng(s, d).table("documents"), "lang", 5)),
     // IVF probe machinery in its exhaustive regime (nprobe = nlist):
     // provably equal to brute force, so the whole ivfTopK path — index
     // read through probed directories, partition pruning, cosine re-rank
@@ -1956,6 +1960,23 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, rk, doc_id, bm25, n_terms FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // top quality per group: rank on the UNROUNDED bit-portable quality
+    // (ties by doc_id), display rounded — the q23 arithmetic verbatim
+    "q125_top_quality" ->
+      """WITH q AS (
+        | SELECT doc_id, lang,
+        |  0.4 * least(len(string_split(text, ' ')) / 64.0, 1.0)
+        |   + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / len(string_split(text, ' ')))
+        |   + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |       / length(text)) AS qs
+        | FROM documents),
+        |r AS (SELECT lang, doc_id, qs,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY qs DESC, doc_id) AS INTEGER) AS rn
+        | FROM q)
+        |SELECT lang, rn, doc_id, round(qs, 4) AS quality
+        |FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     // zipf report: identical rank tie-break (freq desc, tok) both
     // sides; regr_slope(y=ln f, x=ln rank) is sum-based on each engine
     "q124_zipf_report" ->

@@ -115,6 +115,31 @@ object Corpus {
       .drop("rn")
   }
 
+  /** Best-of-per-group selection: the top `k` HIGHEST-QUALITY documents
+    * per group — the SFT-style curation pick ("the best 1000 docs per
+    * language"), complementing [[balancedSample]]'s hash-RANDOM cap with
+    * a merit order. Ranking uses the unrounded engine-portable quality
+    * score (q23's bit-identical arithmetic; ties by doc_id), so the
+    * selection is stable across runs, engines, and cluster sizes.
+    *
+    * Scale shape: the rank filter compiles to WindowGroupLimit — each
+    * partition keeps only `k` rows per group BEFORE the group shuffle,
+    * so a billion-doc language ships k rows per partition, not a
+    * full per-group sort.
+    */
+  def topQualityPerGroup(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val q = graft.functions.TextAnalysis.qualityScore(col("text"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__q").desc, col("doc_id"))
+    Par.ensure(docs)
+      .withColumn("__q", q)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(groupCol), col("rn"), col("doc_id"),
+        round(col("__q"), 4).as("quality"))
+      .orderBy(col(groupCol), col("rn"))
+  }
+
   /** End-to-end corpus curation — the composed training-data pipeline:
     * quality filter (repetition thresholds) ∧ near-dup keep-list
     * (canonical representative per cluster) ∧ deterministic split

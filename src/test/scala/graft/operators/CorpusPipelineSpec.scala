@@ -247,6 +247,22 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(out.toSeq == Seq((13L, "test", 1, 1.0)), s"got ${out.toSeq}")
   }
 
+  test("topQualityPerGroup keeps the k best by quality per group, merit-ordered") {
+    // within 'en': the 64-token all-distinct alpha doc far outscores the
+    // two-token one; 'fr' has a single doc which must rank 1 regardless
+    val rich = (0 until 64).map(i => s"w${('a' + i % 26).toChar}$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a b", "en"), (2L, rich, "en"), (3L, "c d", "en"),
+      (4L, "e f", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = Corpus.topQualityPerGroup(docs, "lang", 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 3)
+    assert(out.take(2).map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("en", 1, 2L), ("en", 2, 1L)))
+    assert(out(2) == (("fr", 1, 4L)))
+  }
+
   test("zipfReport: geometric frequencies give the analytic log-log slope") {
     // freqs 8/4/2/1 at ranks 1..4: slope = sum(dx*dy)/sum(dx^2) over
     // (ln rk, ln f) ≈ -1.4591; top-10 covers everything at vocab 4

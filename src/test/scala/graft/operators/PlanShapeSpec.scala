@@ -40,9 +40,10 @@ class PlanShapeSpec extends SparkFunSuite {
     assert("hashpartitioning\\(user_id".r.findAllIn(plan).size >= 1)
   }
 
-  test("tf-idf and balanced sample push top-k below the window") {
+  test("tf-idf, balanced sample, and quality top-k push group limits below the window") {
     assert(planOf("q50_tfidf").contains("WindowGroupLimit"))
     assert(planOf("q55_balanced_sample").contains("WindowGroupLimit"))
+    assert(planOf("q125_top_quality").contains("WindowGroupLimit"))
   }
 
   test("token pipeline scans only the columns it projects") {
