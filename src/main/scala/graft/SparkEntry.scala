@@ -535,6 +535,16 @@ object SparkEntry {
     // (merit-ordered complement of q55's hash-random cap)
     "q125_top_quality" -> ((s, d) =>
       Corpus.topQualityPerGroup(eng(s, d).table("documents"), "lang", 5)),
+    // Multi-benchmark decontamination: two eval suites swept in one
+    // corpus pass (q61 generalized from one suite to many)
+    "q126_decontam_many" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+      val clean = docs.filter(col("doc_id") % 97 =!= 0 &&
+        col("doc_id") % 89 =!= 0)
+      Corpus.decontaminateMany(clean, Seq(
+        "evalA" -> docs.filter(col("doc_id") % 97 === 0),
+        "evalB" -> docs.filter(col("doc_id") % 89 === 0)), n = 4)
+    }),
     // IVF probe machinery in its exhaustive regime (nprobe = nlist):
     // provably equal to brute force, so the whole ivfTopK path — index
     // read through probed directories, partition pruning, cosine re-rank
@@ -1960,6 +1970,27 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, rk, doc_id, bm25, n_terms FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // multi-bench decontam: q61's gram grammar (distinct 4-grams, whole
+    // text for sub-4-token docs), per-suite tagged build side
+    "q126_decontam_many" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 4
+        |   THEN list_distinct(list_transform(
+        |     generate_series(1, len(toks) - 3),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |          || ' ' || toks[i+3]))
+        |   ELSE [array_to_string(toks, ' ')] END) AS gram FROM t),
+        |bench AS (
+        | SELECT 'evalA' AS eval_set, gram FROM (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        | UNION ALL
+        | SELECT 'evalB', gram FROM (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 89 = 0))
+        |SELECT g.doc_id, b.eval_set, CAST(count(*) AS INTEGER) AS n_hit_grams
+        |FROM g JOIN bench b USING (gram)
+        |WHERE g.doc_id % 97 <> 0 AND g.doc_id % 89 <> 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // top quality per group: rank on the UNROUNDED bit-portable quality
     // (ties by doc_id), display rounded — the q23 arithmetic verbatim
     "q125_top_quality" ->

@@ -115,6 +115,29 @@ object Corpus {
       .drop("rn")
   }
 
+  /** Multi-benchmark decontamination sweep: verbatim n-gram overlap of
+    * the corpus against MANY eval suites in ONE corpus pass. A real
+    * pipeline decontaminates against dozens of benchmarks; calling
+    * [[decontaminate]] per suite re-shingles the entire corpus per
+    * suite, while this tags each suite's (small) gram set, unions the
+    * tags into one broadcast build side, and probes it with the single
+    * exploded corpus-gram relation — N suites for one corpus scan, the
+    * per-(doc, suite) hit counts falling out of one aggregation.
+    */
+  def decontaminateMany(docs: DataFrame, benches: Seq[(String, DataFrame)],
+      n: Int = 8): DataFrame = {
+    val grams = (d: DataFrame) => d.select(col("doc_id"),
+      explode(graft.functions.TextAnalysis.shingles(col("text"), n)).as("gram"))
+    val tagged = benches.map { case (name, b) =>
+      grams(b).select(lit(name).as("eval_set"), col("gram")).distinct()
+    }.reduce(_ unionAll _)
+    grams(Par.ensure(docs))
+      .join(broadcast(tagged), "gram")
+      .groupBy(col("doc_id"), col("eval_set"))
+      .agg(count(lit(1)).cast("int").as("n_hit_grams"))
+      .orderBy(col("doc_id"), col("eval_set"))
+  }
+
   /** Best-of-per-group selection: the top `k` HIGHEST-QUALITY documents
     * per group — the SFT-style curation pick ("the best 1000 docs per
     * language"), complementing [[balancedSample]]'s hash-RANDOM cap with

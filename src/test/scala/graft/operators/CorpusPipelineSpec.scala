@@ -247,6 +247,20 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(out.toSeq == Seq((13L, "test", 1, 1.0)), s"got ${out.toSeq}")
   }
 
+  test("decontaminateMany tags hits per suite from one corpus pass") {
+    val evalA = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val evalB = Seq((200L, "one two three four")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta extra words here now"), // 1 gram hits A
+      (2L, "one two three four tail"),                     // 1 gram hits B
+      (3L, "totally clean text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminateMany(docs,
+      Seq("A" -> evalA, "B" -> evalB), n = 4).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getInt(2))).toMap
+    assert(out == Map((1L, "A") -> 1, (2L, "B") -> 1), s"got $out")
+  }
+
   test("topQualityPerGroup keeps the k best by quality per group, merit-ordered") {
     // within 'en': the 64-token all-distinct alpha doc far outscores the
     // two-token one; 'fr' has a single doc which must rank 1 regardless
