@@ -535,6 +535,10 @@ object SparkEntry {
     // (merit-ordered complement of q55's hash-random cap)
     "q125_top_quality" -> ((s, d) =>
       Corpus.topQualityPerGroup(eng(s, d).table("documents"), "lang", 5)),
+    // Packing efficiency audit: bins, token mass, straddle count, and
+    // closed-bin fill of the q62 layout — the budget-tuning one-liner
+    "q127_packing_report" -> ((s, d) =>
+      Corpus.packingReport(eng(s, d).table("documents"), budget = 2048)),
     // Multi-benchmark decontamination: two eval suites swept in one
     // corpus pass (q61 generalized from one suite to many)
     "q126_decontam_many" -> ((s, d) => {
@@ -1970,6 +1974,25 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, rk, doc_id, bm25, n_terms FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // packing report: q62's prefix-sum layout aggregated to the one-row
+    // audit; density divides token mass by allocated capacity (docs can
+    // overhang their start bin, so straddlers push it marginally past 1)
+    "q127_packing_report" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  ((doc_id & 2147483647) * 2654435761) % 1000000007 AS key FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY key, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS tok_offset
+        | FROM t)
+        |SELECT CAST(max(tok_offset // 2048) + 1 AS BIGINT) AS bins_used,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(count(*) FILTER (WHERE tok_offset % 2048 + n_tokens > 2048)
+        |   AS INTEGER) AS n_straddling,
+        | round(CAST(sum(n_tokens) AS DOUBLE)
+        |   / ((max(tok_offset // 2048) + 1) * 2048), 4) AS density
+        |FROM o""".stripMargin,
     // multi-bench decontam: q61's gram grammar (distinct 4-grams, whole
     // text for sub-4-token docs), per-suite tagged build side
     "q126_decontam_many" ->

@@ -115,6 +115,30 @@ object Corpus {
       .drop("rn")
   }
 
+  /** Packing efficiency report: the one-row audit of a
+    * [[packSequences]] layout — bins used, total token mass, fill
+    * utilization of the non-final bins, and how many documents straddle
+    * a bin boundary (each straddle is a truncation or a cross-bin
+    * attention mask, the quantity a packing budget is tuned against).
+    * Derived entirely from the pack offsets, so it shares the
+    * distributed prefix sum; the report itself is a 1-row aggregate.
+    */
+  def packingReport(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    val packed = packSequences(docs, budget)
+    packed.agg(
+      (max(col("bin")) + 1).cast("long").as("bins_used"),
+      sum(col("n_tokens")).cast("long").as("total_tokens"),
+      count(when(col("bin_offset") + col("n_tokens") > budget, lit(1)))
+        .cast("int").as("n_straddling"),
+      // layout density: token mass over the allocated bin capacity. A
+      // doc belongs to the bin its START falls in, so straddlers can
+      // push density marginally past 1 — that overhang is exactly the
+      // truncation/cross-bin mass n_straddling counts.
+      round(sum(col("n_tokens")).cast("double") /
+        ((max(col("bin")) + 1).cast("double") * budget), 4)
+        .as("density"))
+  }
+
   /** Multi-benchmark decontamination sweep: verbatim n-gram overlap of
     * the corpus against MANY eval suites in ONE corpus pass. A real
     * pipeline decontaminates against dozens of benchmarks; calling

@@ -247,6 +247,19 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(out.toSeq == Seq((13L, "test", 1, 1.0)), s"got ${out.toSeq}")
   }
 
+  test("packingReport counts bins, straddlers, and density from the pack layout") {
+    // three 6-token docs at budget 10: offsets 0/6/12 (hash order is a
+    // permutation but sizes are equal so the layout is the same) ->
+    // bins 0/0/1, one straddler (starts at offset 6, spills past 10),
+    // density 18 / (2*10) = 0.9
+    val six = "a b c d e f"
+    val docs = Seq((1L, six), (2L, six), (3L, six)).toDF("doc_id", "text")
+    val r = Corpus.packingReport(docs, budget = 10).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 18L)
+    assert(r.getInt(2) == 1)
+    assert(r.getDouble(3) == 0.9)
+  }
+
   test("decontaminateMany tags hits per suite from one corpus pass") {
     val evalA = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val evalB = Seq((200L, "one two three four")).toDF("doc_id", "text")
