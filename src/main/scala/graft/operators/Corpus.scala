@@ -665,12 +665,18 @@ object Corpus {
     * it has, and the worst (max) jaccard among them.
     *
     * Scale shape: the near-dup pair frame is the SHARED memoized one
-    * ([[Dedup.minhashPairsShared]] — one row per verified pair, tiny next
-    * to the corpus), symmetrized and broadcast into two map-side joins
-    * against the split assignment (itself a pure map over the corpus —
-    * [[splitAssign]]'s hash needs no shuffle). The only shuffle is the
-    * final per-offender aggregation, keyed by leaking doc — bounded by
-    * the pair count, not the corpus.
+    * ([[Dedup.minhashPairsShared]] — one row per verified pair),
+    * symmetrized and joined twice against the split assignment (itself a
+    * pure map over the corpus — [[splitAssign]]'s hash needs no
+    * shuffle). Both joins are plain shuffle equi-joins keyed on a doc id
+    * — fine-grained, skew-free keys — deliberately NOT broadcast: near-dup
+    * pairs are not bounded by corpus size (clusters are near-cliques, so
+    * one 1000-member boilerplate cluster alone is ~500k pairs, and a
+    * web-scale pair frame runs tens of GB — past Spark's 8 GB broadcast
+    * cap and the driver's memory). AQE still promotes either side to a
+    * broadcast at runtime when it measures small. The final per-offender
+    * aggregation is keyed by leaking doc — bounded by the pair count,
+    * not the corpus.
     */
   def leakageAudit(docs: DataFrame, datasetKey: String): DataFrame = {
     val pairs = Dedup.minhashPairsShared(docs, datasetKey)
@@ -680,12 +686,12 @@ object Corpus {
       .unionAll(pairs.select(col("doc_b").as("doc_id"),
         col("doc_a").as("partner"), col("jaccard")))
     val splits = splitAssign(docs).select(col("doc_id"), col("split"))
-    // each pass scans the corpus once map-side with the pair-bounded
-    // frame broadcast; the corpus-sized split frame itself is never
-    // broadcast or shuffled
-    val withOwn = splits.join(broadcast(sym), "doc_id")
+    // shuffle joins on doc ids: the pair frame is unbounded at corpus
+    // scale, so no broadcast hint on either pass (AQE may still pick one
+    // when the measured size is small)
+    val withOwn = splits.join(sym, "doc_id")
     splits.select(col("doc_id").as("partner"), col("split").as("partner_split"))
-      .join(broadcast(withOwn), "partner")
+      .join(withOwn, "partner")
       .filter(col("split") =!= "train" && col("partner_split") === "train")
       .groupBy(col("doc_id"), col("split"))
       .agg(count(lit(1)).cast("int").as("n_leaks"),
@@ -702,17 +708,18 @@ object Corpus {
     * drift cheaply.
     *
     * Scale shape: one exploded (tok) aggregation (map-side partial,
-    * skew-free), then the rank window runs over the VOCABULARY — orders
-    * of magnitude smaller than the corpus (10^7 terms vs 10^11 docs), so
-    * the single-partition vocabulary sort is bounded by language, not
-    * data size; the final regression is a 1-row aggregate
+    * skew-free), then the vocabulary rank via the DISTRIBUTED global-rank
+    * machinery ([[Ranks.globalRowNumber]]) — clean text keeps the
+    * vocabulary small, but a web-scale token set (typos, URLs, code)
+    * reaches 10^8–10^9 distinct tokens, far too many to sort through a
+    * single-partition window; the final regression is a 1-row aggregate
     * (`regr_slope`, sum-based and engine-portable inside round(4)).
     */
   def zipfReport(docs: DataFrame): DataFrame = {
     val tf = tokenCounts(Par.ensure(docs))
       .groupBy(col("tok")).agg(sum(col("cnt")).as("f"))
-    val ranked = tf.withColumn("rk",
-      row_number().over(Window.orderBy(col("f").desc, col("tok"))))
+    val ranked = Ranks.globalRowNumber(tf,
+      Seq(col("f").desc, col("tok")), "rk")
     ranked.agg(
       count(lit(1)).as("vocab_size"),
       sum(col("f")).cast("long").as("total_tokens"),
@@ -761,18 +768,19 @@ object Corpus {
     * on the diagonal.
     *
     * Scale shape: same as [[leakageAudit]] — the shared pair frame
-    * broadcasts into two map-side passes over the (doc_id, source)
-    * projection, then a tiny (source, source) aggregation; the corpus
-    * never shuffles.
+    * joins twice against the (doc_id, source) projection as plain
+    * shuffle equi-joins on the doc-id keys (the pair frame is unbounded
+    * at corpus scale, so no broadcast hint — see [[leakageAudit]]), then
+    * a tiny (source, source) aggregation.
     */
   def crossSourceDupMatrix(docs: DataFrame, datasetKey: String): DataFrame = {
     val pairs = Dedup.minhashPairsShared(docs, datasetKey)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val meta = docs.select(col("doc_id"), col("source"))
     val withA = meta.select(col("doc_id").as("doc_a"), col("source").as("sa"))
-      .join(broadcast(pairs), "doc_a")
+      .join(pairs, "doc_a")
     meta.select(col("doc_id").as("doc_b"), col("source").as("sb"))
-      .join(broadcast(withA), "doc_b")
+      .join(withA, "doc_b")
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
       .groupBy(col("source_a"), col("source_b"))

@@ -390,16 +390,10 @@ object Relational {
 
   /** Revenue distribution analytics: quartile bucket (ntile semantics)
     * and exact percentile position (percent_rank) per customer — computed
-    * with the DISTRIBUTED global-rank pattern, not a global window. A
-    * `Window.orderBy` with no partitioning plans as a single-partition
-    * sort of EVERY customer (fine on fixture rows, a straggler-then-OOM
-    * at 100 TB); instead: range-partition on the total order
-    * (revenue desc, custkey), row_number locally per partition, add
-    * broadcast per-partition row-count offsets (the pattern
-    * [[Corpus.packSequences]] proves), then derive ntile/percent_rank
-    * arithmetically from the global rank. The only un-partitioned window
-    * left runs over ONE ROW PER PARTITION — bounded by cluster size, not
-    * data size. Identical results to the window functions under the
+    * with the DISTRIBUTED global-rank machinery ([[Ranks.globalRowNumber]];
+    * see its scaladoc for why a global `Window.orderBy` cannot run at
+    * 100 TB), then ntile/percent_rank derived arithmetically from the
+    * global rank. Identical results to the window functions under the
     * deterministic total order (oracle-gated, q75; plan-asserted in
     * PlanShapeSpec).
     */
@@ -411,27 +405,8 @@ object Relational {
       .groupBy(col("c_custkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("revenue"))
-    // localCheckpoint: range boundaries are sampled per materialization;
-    // the row frame and the offset frame must observe the SAME cut.
-    val ranged = rev
-      .repartitionByRange(col("revenue").desc, col("c_custkey"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val wLocal = Window.partitionBy(col("__pid"))
-      .orderBy(col("revenue").desc, col("c_custkey"))
-    val wPrev = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = ranged.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__pn"))
-      .withColumn("__poff", coalesce(sum(col("__pn")).over(wPrev), lit(0L)))
-      .withColumn("__n", sum(col("__pn")).over(wAll))
-      .select(col("__pid"), col("__poff"), col("__n"))
-    ranged
-      .withColumn("__local", row_number().over(wLocal).cast("long"))
-      .join(broadcast(offsets), "__pid")
-      .withColumn("__rank", col("__local") + col("__poff"))
+    Ranks.globalRowNumber(rev, Seq(col("revenue").desc, col("c_custkey")),
+        "__rank", totalCol = Some("__n"))
       // ntile(4) semantics: the first (n % 4) buckets hold ceil(n/4) rows
       .withColumn("quartile", expr(
         """CASE WHEN __rank <= (__n % 4) * (__n div 4 + 1)

@@ -176,14 +176,37 @@ class PlanShapeSpec extends SparkFunSuite {
       "dedupSpans must not aggregate through a single partition")
   }
 
-  test("leakage audit broadcasts the pair frame; the corpus split frame is never shuffled") {
-    val plan = planOf("q119_leakage_audit")
-    assert(!plan.contains("CartesianProduct"))
-    // both split passes join map-side against the broadcast pair frame
-    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
-    assert(bhj >= 2, s"expected both split joins broadcast, got $bhj in:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      "corpus-side split frame must not sort-merge-join the pair frame")
+  test("leakage audit and dup matrix shuffle-join the pair frame, no unconditional broadcast") {
+    // The near-dup pair frame is NOT bounded by corpus size (clusters are
+    // near-cliques; web-scale pair frames run tens of GB, past Spark's
+    // 8 GB broadcast cap), so neither operator may carry an explicit
+    // broadcast hint. An explicit hint forces BroadcastHashJoin even at
+    // threshold -1, so planning with auto-broadcast disabled
+    // distinguishes "hint present" from "AQE chose broadcast because the
+    // fixture is tiny" — the latter is fine and stays available at scale.
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("q119_leakage_audit", "q120_source_dup_matrix").foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sf)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastExchange"),
+          s"$q still broadcasts the pair frame:\n${plan.take(1500)}")
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$q must shuffle-join the pair frame on the doc-id keys")
+        assert(!plan.contains("CartesianProduct"))
+      }
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
   }
 
   test("semantic keep list: centroid join and rank share cluster grain, no cartesian") {
@@ -197,17 +220,31 @@ class PlanShapeSpec extends SparkFunSuite {
       s"row_number must be partitioned by cluster_id, got: $rnLine")
   }
 
-  test("quality tiers and zipf report stay join-free map+agg pipelines") {
+  test("quality tiers stay join-free; zipf ranks the vocabulary distributed") {
     val tiers = planOf("q121_quality_tiers")
     assert(!tiers.contains("Join"), "quality tiers must not join anything")
     // banding is scan-stage map work: one partial+final agg pair, no
     // window, no sort before the 3-row presentation orderBy
     assert(!tiers.contains("Window"), "quality tiers must not window")
-    val zipf = planOf("q124_zipf_report")
-    // the rank window runs over the vocabulary aggregate, not the corpus:
-    // the window's child must be the token aggregation, never a scan
-    assert(zipf.contains("row_number()"))
-    assert(!zipf.contains("Join"), "zipf report must not join anything")
+    val zipf = finalPlanOf("q124_zipf_report")
+    // the vocabulary rank is DISTRIBUTED (Ranks.globalRowNumber): the
+    // row_number window must run partitioned by __pid, never as a
+    // single-partition sort of the whole token-frequency frame
+    val rnLine = zipf.linesIterator.find(_.contains("row_number()"))
+    assert(rnLine.exists(_.contains("__pid")),
+      s"vocabulary row_number must be partitioned by __pid, got: $rnLine")
+    // the offsets frame joins back map-side; the vocabulary never
+    // shuffles for the rank join
+    assert(zipf.contains("BroadcastHashJoin"),
+      "per-partition offsets must broadcast to the ranked frame")
+    assert(!zipf.contains("SortMergeJoin") && !zipf.contains("ShuffledHashJoin"),
+      "the token-frequency frame must not shuffle for the offsets join")
+    // single-partition exchanges: only the bounded ones — the
+    // one-row-per-partition offsets frame and the 1-row report aggregate
+    val singles = "Exchange SinglePartition".r.findAllIn(zipf).size
+    assert(singles <= 2, s"expected at most two bounded SinglePartition exchanges, got $singles")
+    assert(zipf.contains("HashAggregate(keys=[__pid"),
+      "the offsets subtree must aggregate one row per partition")
   }
 
   test("cube query pushes cut predicates into the parquet scan") {
