@@ -135,6 +135,35 @@ object EventsStream {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Per-run durable append sink for foreachBatch results: each
+    * micro-batch WRITES its rows and forgets them, so driver state and
+    * plan depth are CONSTANT in the trigger count — the production shape
+    * (the earlier form accumulated a driver-side `unionAll` chain whose
+    * plan grew O(triggers)). Rooted at `spark.graft.indexDir` when set
+    * (a shared filesystem on a cluster), else the local tmpdir; keyed by
+    * applicationId so concurrent sessions never collide. All path ops go
+    * through the Hadoop FS API, mirroring [[graft.operators.Similarity]]'s
+    * index layouts.
+    */
+  private def batchSink(spark: SparkSession, name: String): String = {
+    val root = spark.conf.get("spark.graft.indexDir",
+      System.getProperty("java.io.tmpdir"))
+    s"$root/graft_${name}_sink_${spark.sparkContext.applicationId}"
+  }
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def resetSink(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopFs(spark, path)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private def sinkExists(spark: SparkSession, path: String): Boolean =
+    hadoopFs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
   /** Streaming ANN enrichment: a micro-batch stream of query vectors
     * enriched against the IVF-INDEXED corpus via `foreachBatch` +
     * [[graft.operators.Similarity.ivfKnnJoin]] — the [[nationSpend]]
@@ -148,9 +177,8 @@ object EventsStream {
     *
     * Run here in the exhaustive regime (nprobe = nlist over the nlist=8
     * layout), so the drained stream provably equals the exact kNN join —
-    * its oracle. Per-batch results are unioned on the driver (each is a
-    * localCheckpoint'ed top-k — k rows per query, tiny); a deployment
-    * swaps that accumulator for an append sink.
+    * its oracle. Per-batch top-k rows append to a durable parquet sink
+    * ([[batchSink]]); the returned frame is a plain scan of it.
     */
   def annEnrich(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
@@ -163,23 +191,23 @@ object EventsStream {
       .parquet(dir)
       .filter(col("vec_id") < 5)
     spark.streams.active.filter(_.name == "graft_stream_ann").foreach(_.stop())
-    @volatile var acc: DataFrame = null
+    val sink = batchSink(spark, "ann")
+    resetSink(spark, sink)
     val q = queries.writeStream.outputMode(OutputMode.Append())
       .queryName("graft_stream_ann")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val enriched = graft.operators.Scratch.register(
-          Similarity.ivfKnnJoin(corpus, batch, k = 3,
-            nlist = 8, nprobe = 8, datasetKey = dir).localCheckpoint())
-        acc = if (acc == null) enriched else acc.unionAll(enriched)
+        Similarity.ivfKnnJoin(corpus, batch, k = 3,
+          nlist = 8, nprobe = 8, datasetKey = dir)
+          .write.mode("append").parquet(sink)
         ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    val out = if (acc == null)
+    val out = if (!sinkExists(spark, sink))
       Similarity.ivfKnnJoin(corpus, corpus.limit(0), k = 3,
         nlist = 8, nprobe = 8, datasetKey = dir)
-    else acc
+    else spark.read.parquet(sink)
     out.orderBy(col("q_id"), col("rk"))
   }
 
@@ -194,23 +222,29 @@ object EventsStream {
     *
     * Per-doc verdicts depend only on (doc, corpus), never on batch
     * boundaries, so the drained stream provably equals the batch join —
-    * its oracle. The fixture re-shingles the static side per batch
-    * (bounded here: one small file → one batch); a production deployment
-    * pins the corpus signature frame once (the pairsMemo discipline) so
-    * a batch pays only its own shingles plus the band equi-join.
+    * its oracle. The static side is keyed ONCE before the stream starts
+    * ([[graft.operators.Dedup.minhashJoinIndexShared]] — the q116
+    * warm-index pattern): each micro-batch pays only its own shingles
+    * plus the (band, sig) equi-join against the checkpointed corpus
+    * signature frames, never a per-trigger corpus re-scan. Verdicts
+    * append to a durable parquet sink ([[batchSink]]); the returned
+    * frame is a plain scan of it, so driver state and plan depth stay
+    * constant in the trigger count.
     */
   def nearDupGate(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Dedup, Scratch}
+    import graft.operators.Dedup
     val docs = new graft.cube.Engine(spark, dir).table("documents")
     val corpus = docs.filter(col("doc_id") >= 50)
+    // warm: the corpus is shingled + signed once per (session, dataset);
+    // triggers probe the checkpointed frames
+    val idx = Dedup.minhashJoinIndexShared(corpus, s"$dir#gate-corpus-50")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .filter(col("doc_id") < 50)
     spark.streams.active.filter(_.name == "graft_stream_gate").foreach(_.stop())
-    @volatile var acc: DataFrame = null
     def gate(batch: DataFrame): DataFrame = {
-      val hits = Dedup.minhashJoin(batch, corpus)
+      val hits = Dedup.minhashJoinProbe(batch, idx)
       batch.select(col("doc_id"))
         .join(hits.groupBy(col("probe_id").as("doc_id"))
           .agg(count(lit(1)).cast("int").as("__n"),
@@ -219,17 +253,19 @@ object EventsStream {
         .select(col("doc_id"), col("__n").isNull.as("admitted"),
           coalesce(col("__n"), lit(0)).as("n_dups"), col("max_jaccard"))
     }
+    val sink = batchSink(spark, "gate")
+    resetSink(spark, sink)
     val q = stream.writeStream.outputMode(OutputMode.Append())
       .queryName("graft_stream_gate")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val verdicts = Scratch.register(gate(batch).localCheckpoint())
-        acc = if (acc == null) verdicts else acc.unionAll(verdicts)
+        gate(batch).write.mode("append").parquet(sink)
         ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    val out = if (acc == null) gate(docs.filter(lit(false))) else acc
+    val out = if (!sinkExists(spark, sink)) gate(docs.filter(lit(false)))
+    else spark.read.parquet(sink)
     out.orderBy(col("doc_id"))
   }
 

@@ -258,16 +258,22 @@ class StreamSemanticsSpec extends SparkFunSuite {
     assert(streamed == oneShot)
   }
 
-  test("foreachBatch near-dup gate verdicts are batch-boundary-independent") {
+  test("foreachBatch near-dup gate verdicts are batch-boundary-independent; corpus keyed once") {
     // the q123 pattern trigger-by-trigger: probes arriving in different
     // micro-batches are each gated against the SAME static corpus, so
     // the union of per-batch verdicts must equal gating all probes at
     // once — doc 100's near-dup is rejected in whichever trigger it
-    // arrives, doc 102's novel text is admitted
+    // arrives, doc 102's novel text is admitted. The corpus side is a
+    // pre-built shared index: the build counter must advance exactly
+    // once for the whole run, however many triggers probe it — the
+    // amortization q123 claims (a per-trigger rebuild is a full corpus
+    // scan per micro-batch, which an online gate cannot pay).
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val corpus = Seq((200L, base),
       (201L, "established corpus text nothing like the probes own words"))
       .toDF("doc_id", "text")
+    val builds0 = graft.operators.Dedup.joinIndexBuildCount
+    val idx = graft.operators.Dedup.minhashJoinIndexShared(corpus, "semspec-gate")
     val probeText = Map(
       100L -> base,                                          // dup of 200
       101L -> "fresh original probe content first trigger sample words here",
@@ -279,7 +285,7 @@ class StreamSemanticsSpec extends SparkFunSuite {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val ids = batch.collect().map(_.getLong(0))
         val probes = ids.map(i => (i, probeText(i))).toSeq.toDF("doc_id", "text")
-        val hits = graft.operators.Dedup.minhashJoin(probes, corpus)
+        val hits = graft.operators.Dedup.minhashJoinProbe(probes, idx)
         val verdicts = probes.select(col("doc_id"))
           .join(hits.groupBy(col("probe_id").as("doc_id"))
             .agg(count(lit(1)).cast("int").as("n")), Seq("doc_id"), "left")
@@ -297,6 +303,31 @@ class StreamSemanticsSpec extends SparkFunSuite {
     q.stop()
     val got = acc.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(got == Map(100L -> false, 101L -> true, 102L -> true), s"got $got")
+    // one build for the whole multi-trigger run, and a re-request of the
+    // same (session, dataset) is a memo hit — the static side never
+    // recomputes with trigger count
+    assert(graft.operators.Dedup.joinIndexBuildCount == builds0 + 1,
+      "corpus-side index must be built exactly once across all triggers")
+    val again = graft.operators.Dedup.minhashJoinIndexShared(corpus, "semspec-gate")
+    assert(again.sh eq idx.sh, "shared index must be a memo hit")
+    assert(graft.operators.Dedup.joinIndexBuildCount == builds0 + 1)
+  }
+
+  test("drained gate and ANN enrichment read a durable sink — plan depth constant in triggers") {
+    // the q123/q116 fixture paths end in a plain scan of the per-batch
+    // append sink: no driver-side unionAll chain, so the returned plan
+    // has no Union however many triggers ran (the O(triggers) plan-depth
+    // accumulator is gone), and the verdict relation still matches the
+    // batch-equivalence oracle (driver-gated; spot-checked here)
+    val gate = EventsStream.nearDupGate(spark, sf)
+    assert(!gate.queryExecution.optimizedPlan.toString.contains("Union"),
+      "gate result must be a sink scan, not a per-trigger union")
+    val admitted = gate.collect()
+    assert(admitted.length == 50, "one verdict per probe doc")
+    val ann = EventsStream.annEnrich(spark, sf)
+    assert(!ann.queryExecution.optimizedPlan.toString.contains("Union"),
+      "ANN enrichment result must be a sink scan, not a per-trigger union")
+    assert(ann.count() == 15, "5 query vectors x k=3")
   }
 
   test("streaming dedup within watermark drops replays, keeps distinct ids, bounds state") {
