@@ -537,9 +537,19 @@ object Corpus {
     * followed by a (query_id, doc_id) aggregation and a window top-k per
     * query. Terms absent from the corpus contribute no rows (df would be
     * 0) on both engines.
+    *
+    * `broadcastQueries` ([[Similarity.queryRegime]]): a retrieval BATCH
+    * broadcasts (the auto default); when the query table is itself
+    * corpus-scale its distinct-term set approaches the full vocabulary
+    * (10^8+ distinct tokens on web text — past Spark's broadcast cap),
+    * so Some(false) swaps the term semi-join, the df join, and the
+    * per-query fan-out to shuffle joins keyed on tok. The output
+    * relation is regime-independent (q115's oracle holds for both); the
+    * shuffle plan shape is asserted in CorpusPipelineSpec.
     */
   def bm25Retrieval(docs: DataFrame, queries: DataFrame, k1: Double = 1.2,
-      b: Double = 0.75, topK: Int = 5): DataFrame = {
+      b: Double = 0.75, topK: Int = 5,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     val toks = graft.functions.TextAnalysis.tokens(col("text"))
     val stats = docs
       .agg(count(lit(1)).cast("double").as("n_docs"),
@@ -547,11 +557,12 @@ object Corpus {
     val qterms = queries
       .select(col("query_id"), explode(col("terms")).as("tok")).distinct()
     // two consumers (df and the score join) — materialize once
-    val tf = Scratch.register(bm25TfForQueries(docs, qterms).localCheckpoint())
+    val tf = Scratch.register(
+      bm25TfForQueries(docs, qterms, broadcastQueries).localCheckpoint())
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
-    val scored = tf.join(broadcast(dfreq), "tok")
+    val scored = tf.join(Similarity.queryRegime(dfreq, broadcastQueries), "tok")
       .crossJoin(broadcast(stats))
-      .join(broadcast(qterms), "tok")
+      .join(Similarity.queryRegime(qterms, broadcastQueries), "tok")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(bm25Score(k1, b)), 4).as("bm25"),
         count(lit(1)).cast("int").as("n_terms"))
@@ -561,6 +572,47 @@ object Corpus {
       .select(col("query_id"), col("rk"), col("doc_id"), col("bm25"),
         col("n_terms"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF) — the standard
+    * two-tower fuse of a LEXICAL ranking ([[bm25TopDocs]]) and a
+    * SEMANTIC ranking ([[Similarity.bruteForceTopK]] / its indexed
+    * regimes) that retrieval-curation pipelines ship in production:
+    * rrf(d) = Σ_lists 1/(rrfK + rank_list(d)) over the lists containing
+    * d, which rewards agreement between modalities without having to
+    * calibrate BM25 scores against cosines (the whole point of RRF —
+    * rank is the only thing fused, so the two scorers' incomparable
+    * scales never meet). Documents and embeddings are id-aligned
+    * (doc_id = vec_id, the fixture's contract).
+    *
+    * Scale shape: each candidate list is an already-proven bounded
+    * top-`fuseK` (BM25's two-scan TakeOrderedAndProject; the ANN side an
+    * exact scan here, swappable for the IVF probe). Fusion then touches
+    * 2×fuseK rows: ranks are windows over those bounded lists (fuseK
+    * rows — bounded by the fusion width, a constant, not by data), the
+    * merge is a full outer join of two fuseK-row frames, and the final
+    * top-k is again a bounded take. Ranks sort on the ROUNDED (4 dp)
+    * scores with id tie-breaks — the same values the oracles rank — so
+    * fused output is hash-comparable cross-engine.
+    */
+  def hybridRetrieval(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVecId: Long, fuseK: Int = 20, topK: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lex = bm25TopDocs(docs, terms, topK = fuseK)
+      .withColumn("lex_rank", row_number().over(wLex))
+      .select(col("doc_id"), col("lex_rank"))
+    val wSem = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+    val sem = Similarity.bruteForceTopK(emb, queryVecId, fuseK)
+      .withColumn("sem_rank", row_number().over(wSem))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)), 6))
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
   }
 
   /** Out-of-vocabulary rate per document against the corpus top-`vocabSize`
@@ -616,13 +668,14 @@ object Corpus {
     * only query-term rows.
     */
   private[graft] def bm25TfForQueries(docs: DataFrame,
-      qterms: DataFrame): DataFrame = {
+      qterms: DataFrame,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     val toks = graft.functions.TextAnalysis.tokens(col("text"))
     docs
       .select(col("doc_id"), size(toks).cast("double").as("dl"),
         explode(toks).as("tok"))
-      .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"),
-        "left_semi")
+      .join(Similarity.queryRegime(qterms.select(col("tok")).distinct(),
+        broadcastQueries), Seq("tok"), "left_semi")
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"), first(col("dl")).as("dl"))
   }

@@ -499,6 +499,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Pick the query-side join regime for the indexed ANN joins. A
+    * mining/retrieval BATCH of queries broadcasts (each corpus partition
+    * scores its local cells against every probing query — no corpus
+    * shuffle at all); but when the query side is ITSELF corpus-scale
+    * (all-pairs hard-negative mining, corpus-vs-corpus retrieval) the
+    * broadcast exceeds Spark's 8 GB cap and the right plan is a SHUFFLE
+    * join on cid — both sides hash-partition on cell id, so each task
+    * joins one cell's corpus slice with that cell's probes. Parallelism
+    * is then bounded by nlist: size nlist to the cluster (thousands of
+    * cells at web scale), exactly how IVF shards are laid out anyway.
+    *
+    * `regime`: Some(true) forces broadcast, Some(false) forces shuffle,
+    * None auto-selects by comparing the query plan's size estimate to
+    * `spark.sql.autoBroadcastJoinThreshold` — the same bar Spark itself
+    * uses, so the auto choice degrades exactly when Spark's would.
+    */
+  private[operators] def queryRegime(qProbes: DataFrame,
+      regime: Option[Boolean]): DataFrame = {
+    val doBroadcast = regime.getOrElse {
+      val raw = qProbes.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val thr =
+        try raw.toLong
+        catch { case _: NumberFormatException =>
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        }
+      thr > 0 &&
+        qProbes.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+    }
+    if (doBroadcast) broadcast(qProbes) else qProbes
+  }
+
   /** Batch ANN join through the IVF index — the scale path of [[knnJoin]]:
     * every query row probes only its `nprobe` nearest cells. The probe
     * cells are a pure row expression against the centroid model (nlist
@@ -507,16 +539,21 @@ object Similarity {
     * cid, never a cross join against the whole corpus. At nprobe = nlist
     * the result is exactly the exhaustive [[knnJoin]] (the oracle-gated
     * regime, q101); nprobe < nlist recall is gated in IvfSpec.
+    * `broadcastQueries` selects the query-side regime ([[queryRegime]]):
+    * broadcast for mining batches, cid-keyed shuffle when the query side
+    * is corpus-scale; the shuffle regime's exhaustive form is
+    * oracle-gated as q128.
     */
   def ivfKnnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
-      datasetKey: String): DataFrame = {
+      datasetKey: String,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     val idx = ivfIndex(corpus, datasetKey, nlist, iters)
     val qProbes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("cid", explode(probeCids(idx.centroids, nprobe, col("q_emb"))))
     val indexed = corpus.sparkSession.read.parquet(idx.path)
-    val scored = indexed.join(broadcast(qProbes), Seq("cid"))
+    val scored = indexed.join(queryRegime(qProbes, broadcastQueries), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
@@ -553,18 +590,22 @@ object Similarity {
     * label-inequality predicate applied before scoring. At nprobe = nlist
     * the probe covers every cell and the result provably equals the exact
     * miner — the oracle-gated regime (q114, the q101/q113 device); the
-    * probed regime is recall-gated in IvfSpec.
+    * probed regime is recall-gated in IvfSpec. `broadcastQueries` selects
+    * the query-side regime ([[queryRegime]]): hard-negative mining over
+    * the WHOLE corpus as the query set is the canonical corpus-scale
+    * case, and it must shuffle on cid, not broadcast.
     */
   def ivfHardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
-      datasetKey: String): DataFrame = {
+      datasetKey: String,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     val idx = ivfIndex(corpus, datasetKey, nlist, iters)
     val qProbes = queries
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("q_emb"))
       .withColumn("cid", explode(probeCids(idx.centroids, nprobe, col("q_emb"))))
     val indexed = corpus.sparkSession.read.parquet(idx.path)
-    val scored = indexed.join(broadcast(qProbes), Seq("cid"))
+    val scored = indexed.join(queryRegime(qProbes, broadcastQueries), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
       .select(col("q_id"), col("vec_id"), col("label").as("neg_label"),
         round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))

@@ -359,4 +359,49 @@ class CorpusPipelineSpec extends SparkFunSuite {
     // kept_chars counts only kept docs' chars
     assert(byLang("en")._2 >= 500L && byLang("fr")._2 >= 500L)
   }
+
+  test("bm25 retrieval shuffle regime: same relation as broadcast, no broadcast hint") {
+    // the corpus-scale-query-side regime (Some(false)) must produce the
+    // SAME ranked output as the broadcast default — the regime is a plan
+    // choice, not a semantics choice — and with auto-broadcast disabled
+    // its executed plan must contain no BroadcastExchange at all (an
+    // explicit hint would force one even at threshold -1)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val queries = Seq(
+      (0L, Seq("spark", "query", "join")),
+      (1L, Seq("stream", "window", "batch"))).toDF("query_id", "terms")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    val broadcastRows = rows(Corpus.bm25Retrieval(docs, queries))
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = Corpus.bm25Retrieval(docs, queries,
+        broadcastQueries = Some(false))
+      assert(rows(shuffled) == broadcastRows,
+        "shuffle regime must not change the ranked relation")
+      val plan = shuffled.queryExecution.executedPlan.toString
+      // the 1-row stats frame stays an (explicit, bounded) broadcast
+      // cross join; the TOK joins — term prune, df, per-query fan-out —
+      // must all be shuffle joins with no hash-broadcast anywhere
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"shuffle regime still hash-broadcasts a tok join:\n${plan.take(1200)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "tok joins must shuffle under the forced regime")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) =>
+          conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      Scratch.releaseAll(spark)
+    }
+  }
 }
