@@ -176,12 +176,17 @@ object SparkEntry {
     // the exact-companion pattern (q38/q59/q76): the registered columns
     // are the EXHAUSTIVE top-k (identical relation to q113 — SQL-exact)
     // plus a contract boolean derived from the probed result on the data
-    // path: probed∩exhaustive ≥ 4 of k=10. Deterministically TRUE — the
+    // path: probed∩exhaustive ≥ 3 of k=10. Deterministically TRUE — the
     // k-means init is farthest-point (seeded) over a fixed fixture;
     // measured hits: 5/10 at sf0.01, 6/10 at sf0.1 (near-random fixture
     // embeddings are IVF's worst case; planted-cluster recall is gated
-    // separately in IvfSpec). The probed rows themselves can carry no SQL
-    // oracle: the quantizer is driver-side model state.
+    // separately in IvfSpec). The ≥3 bound deliberately sits 2+ hits
+    // below the measured floor: this row gates the PLUMBING (index read,
+    // partition pruning, re-rank), not recall quality — IvfSpec owns the
+    // recall bar — so a fixture regen or quantizer-seeding change must
+    // not flip the whole round red over a 1-hit wobble. The probed rows
+    // themselves can carry no SQL oracle: the quantizer is driver-side
+    // model state.
     "q46_embed_ivf" -> ((s, d) => {
       val emb = eng(s, d).table("embeddings")
       val probed = Similarity.ivfTopK(emb, queryId = 0L, k = 10, datasetKey = d)
@@ -189,7 +194,7 @@ object SparkEntry {
         nlist = 16, nprobe = 16, datasetKey = d)
       val contract = exact.select(col("vec_id"))
         .join(probed.select(col("vec_id")), Seq("vec_id"), "semi")
-        .agg((count(lit(1)) >= 4).as("recall_ok"))
+        .agg((count(lit(1)) >= 3).as("recall_ok"))
       exact.crossJoin(broadcast(contract))
         .orderBy(col("cos_sim").desc, col("vec_id"))
     }),
@@ -415,6 +420,26 @@ object SparkEntry {
       Similarity.ivfKnnJoin(emb, emb.filter(col("vec_id") < 5), k = 3,
         nlist = 8, nprobe = 8, datasetKey = d)
     }),
+    // The cid-keyed SHUFFLE regime of the indexed ANN join — the plan a
+    // corpus-scale query side needs (a broadcast dies at Spark's 8 GB cap
+    // when the query set is itself a corpus). Exhaustive (nprobe = nlist)
+    // and forced off broadcast, so it must equal q101's relation — the
+    // same exact-kNN oracle; the plan shape (shuffle join on cid, no
+    // broadcast hint) is pinned in PlanShapeSpec.
+    "q128_ivf_shuffle_knn" -> ((s, d) => {
+      val emb = eng(s, d).table("embeddings")
+      Similarity.ivfKnnJoin(emb, emb.filter(col("vec_id") < 5), k = 3,
+        nlist = 8, nprobe = 8, datasetKey = d,
+        broadcastQueries = Some(false))
+    }),
+    // Hybrid retrieval: BM25 top-20 and cosine top-20 fused by
+    // reciprocal rank (RRF, k=60) over the id-aligned documents and
+    // embeddings tables — rank is the only thing fused, so the two
+    // scorers' incomparable scales never meet
+    "q129_hybrid_rrf" -> ((s, d) =>
+      Corpus.hybridRetrieval(eng(s, d).table("documents"),
+        eng(s, d).table("embeddings"),
+        Seq("spark", "query", "join"), queryVecId = 0L)),
     // Degree-ordered triangle census of the near-dup graph (7th consumer
     // of the shared pair frame); oracle enumerates id-ordered triples
     "q102_triangles" -> Graph.docTriangles _,
@@ -1809,6 +1834,52 @@ object SparkEntry {
         |FROM documents, m GROUP BY 1 ORDER BY 1""".stripMargin,
     // exhaustive-regime indexed ANN join ≡ exact kNN join: same oracle
     "q101_ivf_knn_join" -> knnJoinOracle,
+    // shuffle-regime exhaustive indexed join ≡ exact kNN join: same oracle
+    "q128_ivf_shuffle_knn" -> knnJoinOracle,
+    // RRF hybrid: the q110 BM25 list and the q113 cosine list (both at
+    // fuseK=20, ranked on their ROUNDED scores with id tie-breaks —
+    // exactly what the engine ranks), full-outer merged, 1/(60+rank)
+    // summed in double (CAST — DuckDB's bare 1.0 is DECIMAL and its
+    // division would diverge from Spark's double at the 6th dp)
+    "q129_hybrid_rrf" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        | FROM documents),
+        |lens AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl
+        | FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |       FROM lens),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS cnt FROM toks
+        |       WHERE tok IN ('spark', 'query', 'join') GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |bm AS (
+        | SELECT t.doc_id,
+        |  round(sum(ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |    * (t.cnt * (1.2 + 1.0))
+        |    / (t.cnt + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))), 4) AS bm25
+        | FROM tf t JOIN dfreq d USING (tok) JOIN lens l USING (doc_id), st
+        | GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20),
+        |lex AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+        |    AS lex_rank FROM bm),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |cs AS (
+        | SELECT vec_id,
+        |  round(list_inner_product(embedding, q_emb)
+        |    / (sqrt(list_inner_product(embedding, embedding))
+        |       * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
+        | FROM embeddings, q WHERE vec_id <> 0
+        | ORDER BY cos_sim DESC, vec_id LIMIT 20),
+        |sem AS (SELECT vec_id AS doc_id,
+        |  CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER)
+        |    AS sem_rank FROM cs)
+        |SELECT doc_id, lex_rank, sem_rank,
+        | round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0)
+        |   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + sem_rank), 0.0), 6) AS rrf
+        |FROM lex FULL OUTER JOIN sem USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // drained exhaustive stream ≡ exact kNN join: same oracle as q97/q101
     "q116_stream_ann_enrich" -> knnJoinOracle,
     // id-ordered triple enumeration: each triangle {a<b<c} appears once
@@ -1879,7 +1950,8 @@ object SparkEntry {
     // probed IVF via the exact-companion pattern: the registered rows are
     // the exhaustive top-k (≡ q113's relation); the probed set only feeds
     // the recall_ok contract boolean, deterministically TRUE (seeded
-    // k-means over a fixed fixture — measured 5/10 ≥ 4 at sf0.01)
+    // k-means over a fixed fixture — measured 5/10 vs the ≥ 3 bound at
+    // sf0.01, a 2-hit slack so fixture drift cannot flip the row)
     "q46_embed_ivf" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

@@ -89,10 +89,15 @@ class PlanShapeSpec extends SparkFunSuite {
     // sort) must be gone from the plan entirely
     assert(!plan.contains("ntile("), "ntile window fn reappeared in q75")
     assert(!plan.contains("percent_rank("), "percent_rank window fn reappeared in q75")
-    // the per-partition rank runs partitioned by __pid
-    val rnLine = plan.linesIterator.find(_.contains("row_number()"))
-    assert(rnLine.exists(_.contains("__pid")),
-      s"row_number must be partitioned by __pid, got: $rnLine")
+    // the local rank is POSITIONAL (monotonically_increasing_id in the
+    // range-sorted stage) — no row_number window at all, so the ranked
+    // frame is never hash-exchanged a second time after the range cut
+    assert(!plan.contains("row_number("),
+      "q75 must not rank via a row_number window")
+    // at most one __pid hash exchange — the one-row-per-partition COUNT
+    // frame; the old window shape exchanged the full ranked frame too
+    assert("hashpartitioning\\(__pid".r.findAllIn(plan).size <= 1,
+      "the full ranked frame must not re-shuffle on __pid")
     // the only single-partition exchange allowed is the offsets frame —
     // one row per partition, bounded by cluster size not data size
     val singles = "Exchange SinglePartition".r.findAllIn(plan).size
@@ -176,6 +181,30 @@ class PlanShapeSpec extends SparkFunSuite {
       "dedupSpans must not aggregate through a single partition")
   }
 
+  /** Run `body` with broadcast joins disabled (both the static and the
+    * AQE thresholds), restoring prior values after — and invalidate the
+    * session-lifetime memos afterward so a pair frame or index layout
+    * materialized under the altered conf is never observed by a later
+    * suite (order-independence; the memos recompute on next use).
+    */
+  private def withAutoBroadcastDisabled[T](body: => T): T = {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      graft.operators.Dedup.invalidateSharedPairs(spark)
+      graft.operators.Similarity.invalidateIndexes(spark)
+    }
+  }
+
   test("leakage audit and dup matrix shuffle-join the pair frame, no unconditional broadcast") {
     // The near-dup pair frame is NOT bounded by corpus size (clusters are
     // near-cliques; web-scale pair frames run tens of GB, past Spark's
@@ -184,12 +213,7 @@ class PlanShapeSpec extends SparkFunSuite {
     // threshold -1, so planning with auto-broadcast disabled
     // distinguishes "hint present" from "AQE chose broadcast because the
     // fixture is tiny" — the latter is fine and stays available at scale.
-    val conf = spark.conf
-    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevAqe = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    try {
+    withAutoBroadcastDisabled {
       Seq("q119_leakage_audit", "q120_source_dup_matrix").foreach { q =>
         val df = SparkEntry.queries(q)(spark, sf)
         df.collect()
@@ -200,13 +224,31 @@ class PlanShapeSpec extends SparkFunSuite {
           s"$q must shuffle-join the pair frame on the doc-id keys")
         assert(!plan.contains("CartesianProduct"))
       }
-    } finally {
-      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      prevAqe match {
-        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
-        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-      }
     }
+  }
+
+  test("shuffle-regime indexed ANN join never broadcasts the query side") {
+    // q128 is the corpus-scale-query-side regime: with broadcastQueries =
+    // Some(false) there must be NO broadcast hint — planning with
+    // auto-broadcast disabled (the q119/q120 device) distinguishes "hint
+    // present" from "AQE chose broadcast because the fixture is tiny" —
+    // and the probe join must shuffle both sides on cid.
+    withAutoBroadcastDisabled {
+      val df = SparkEntry.queries("q128_ivf_shuffle_knn")(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"q128 still broadcasts the query side:\n${plan.take(1500)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "q128 must shuffle-join the probes on cid")
+      assert("hashpartitioning\\(cid".r.findAllIn(plan).nonEmpty,
+        "the probe join must be keyed on cid")
+      assert(!plan.contains("CartesianProduct"))
+    }
+    // and the default (auto) regime still broadcasts a small mining batch
+    val auto = planOf("q101_ivf_knn_join")
+    assert(auto.contains("BroadcastExchange"),
+      "a small query batch must broadcast under the auto regime")
   }
 
   test("semantic keep list: centroid join and rank share cluster grain, no cartesian") {
@@ -227,12 +269,16 @@ class PlanShapeSpec extends SparkFunSuite {
     // window, no sort before the 3-row presentation orderBy
     assert(!tiers.contains("Window"), "quality tiers must not window")
     val zipf = finalPlanOf("q124_zipf_report")
-    // the vocabulary rank is DISTRIBUTED (Ranks.globalRowNumber): the
-    // row_number window must run partitioned by __pid, never as a
-    // single-partition sort of the whole token-frequency frame
-    val rnLine = zipf.linesIterator.find(_.contains("row_number()"))
-    assert(rnLine.exists(_.contains("__pid")),
-      s"vocabulary row_number must be partitioned by __pid, got: $rnLine")
+    // the vocabulary rank is DISTRIBUTED (Ranks.globalRowNumber):
+    // positional local ranks in the range-sorted stage — no row_number
+    // window, no single-partition sort of the token-frequency frame,
+    // and no second hash exchange of it either
+    assert(!zipf.contains("row_number("),
+      "vocabulary rank must not be a row_number window")
+    // at most one __pid hash exchange — the bounded count frame; the old
+    // window shape also exchanged the full vocabulary on __pid
+    assert("hashpartitioning\\(__pid".r.findAllIn(zipf).size <= 1,
+      "the ranked vocabulary must not re-shuffle on __pid")
     // the offsets frame joins back map-side; the vocabulary never
     // shuffles for the rank join
     assert(zipf.contains("BroadcastHashJoin"),
