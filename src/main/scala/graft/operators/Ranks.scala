@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
   * sort of the ENTIRE frame — fine at fixture scale, a
   * straggler-then-OOM when the frame is 10^8+ rows (every customer; a
   * web-scale token vocabulary with its typo/URL/code tail). Instead:
-  * range-partition on the total order, `row_number` locally per
-  * partition, then add broadcast per-partition row-count offsets — the
-  * same prefix-sum shape [[Corpus.packSequences]] proves. The only
-  * un-partitioned window left runs over ONE ROW PER PARTITION, bounded
-  * by cluster size, not data size.
+  * range-partition on the total order, sort within partitions, index
+  * rows POSITIONALLY per partition, then add broadcast per-partition
+  * row-count offsets — the same prefix-sum shape [[Corpus.packSequences]]
+  * proves. The only un-partitioned window left runs over ONE ROW PER
+  * PARTITION, bounded by cluster size, not data size.
   */
 object Ranks {
 
@@ -25,18 +25,37 @@ object Ranks {
     * (`totalCol`), computed on the same tiny offsets frame so rank
     * consumers like percent_rank/ntile pay no extra pass.
     *
+    * The local index is NOT a window: Spark cannot prove
+    * RangePartitioning(order) satisfies a `Window.partitionBy(__pid)`
+    * distribution, so a window would hash-shuffle the whole ranged frame
+    * a second time. Instead rows are indexed positionally —
+    * `monotonically_increasing_id` encodes (partitionId << 33 | position)
+    * in the sorted stage — so the frame is exchanged exactly once (the
+    * range repartition) and ranks are pure map work over it.
+    *
     * The range-partitioned frame is localCheckpoint'ed (and
-    * Scratch-registered): range boundaries are sampled per
-    * materialization, and the row frame and the offset frame must
-    * observe the SAME cut.
+    * Scratch-registered): range boundaries are sampled and the position
+    * ids assigned per materialization, and the row frame and the offset
+    * frame must observe the SAME cut. localCheckpoint pins blocks in
+    * executor storage and truncates lineage — an executor loss mid-query
+    * loses them unrecoverably; a long-running cluster job that must
+    * survive executor churn should swap in reliable `checkpoint` (same
+    * plan shape, durable blocks) at the cost of a filesystem write.
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], rankCol: String,
       totalCol: Option[String] = None): DataFrame = {
+    val scratchCols = Seq("__pid", "__mid", "__pn", "__poff")
+    val clash = (scratchCols ++ Seq(rankCol) ++ totalCol)
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"globalRowNumber: input already has column(s) ${clash.mkString(", ")} " +
+        "— withColumn would silently replace them; rename before ranking")
     val ranged = Scratch.register(df
       .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
       .localCheckpoint())
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(order: _*)
     val wPrev = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.orderBy(col("__pid"))
@@ -50,9 +69,11 @@ object Ranks {
       case None => offsets0.select(col("__pid"), col("__poff"))
     }
     ranged
-      .withColumn("__local", row_number().over(wLocal).cast("long"))
       .join(broadcast(offsets), "__pid")
-      .withColumn(rankCol, col("__local") + col("__poff"))
-      .drop("__pid", "__local", "__poff")
+      // position within partition = the low 33 id bits (the partition id
+      // occupies the high bits), 0-based -> +1 for a 1-based rank
+      .withColumn(rankCol,
+        col("__mid").bitwiseAND(lit((1L << 33) - 1)) + col("__poff") + lit(1L))
+      .drop("__pid", "__mid", "__poff")
   }
 }
