@@ -38,6 +38,7 @@ object Scratch {
     * one-liners: `Scratch.register(df.localCheckpoint())`.
     */
   def register(df: DataFrame): DataFrame = {
+    pruneStopped(_.sparkContext.isStopped)
     val ids = df.queryExecution.logical.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
     }
@@ -47,6 +48,21 @@ object Scratch {
     df
   }
 
+  /** Drop registry entries whose session is dead — without this, the
+    * map keys strongly retain every stopped SparkSession (and its id
+    * buffer) for the driver's lifetime, so a long-lived driver cycling
+    * sessions leaks them through the hygiene mechanism itself. A stopped
+    * context has already torn down its block manager, so there is
+    * nothing left to unpersist — dropping the entry is the release.
+    * Runs at both entry points ([[register]]/[[releaseAll]]); the
+    * predicate is injectable so tests can exercise the prune without
+    * stopping the JVM-wide shared context. Returns how many sessions
+    * were pruned.
+    */
+  private[operators] def pruneStopped(
+      isStopped: SparkSession => Boolean): Int =
+    reg.keys.count(s => isStopped(s) && reg.remove(s).isDefined)
+
   /** Unpersist every registered scratch frame of `spark` that is still
     * persisted (non-blocking — the block manager drops the blocks
     * asynchronously, but they leave the storage pool's accounting
@@ -54,11 +70,13 @@ object Scratch {
     * Returns how many registered ids were drained, so harnesses and
     * tests can assert operators actually registered their scratch.
     */
-  def releaseAll(spark: SparkSession): Int =
+  def releaseAll(spark: SparkSession): Int = {
+    pruneStopped(_.sparkContext.isStopped)
     reg.remove(spark).map { buf =>
       val ids = buf.synchronized { buf.toList }
       val persistent = spark.sparkContext.getPersistentRDDs
       ids.foreach(id => persistent.get(id).foreach(_.unpersist(blocking = false)))
       ids.size
     }.getOrElse(0)
+  }
 }

@@ -37,6 +37,29 @@ class ScratchSpec extends SparkFunSuite {
     Dedup.invalidateSharedPairs(s2)
   }
 
+  test("registry entries of stopped sessions are pruned, not retained forever") {
+    // a long-lived driver cycling sessions must not leak each dead
+    // session through the registry's strong keys; the prune predicate is
+    // injected so the JVM-wide shared context stays up for other suites
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    Corpus.unigramSurprisal(docs).collect()
+    // simulate s2's context being stopped: the prune drops its entry...
+    assert(Scratch.pruneStopped(_ eq s2) == 1,
+      "a stopped session's registry entry must be pruned")
+    assert(Scratch.pruneStopped(_ eq s2) == 0, "prune is idempotent")
+    // ...so a later drain has nothing to release for it
+    assert(Scratch.releaseAll(s2) == 0)
+    // live sessions are untouched by the prune
+    val s3 = spark.newSession()
+    val docs3 = { import s3.implicits._
+      Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text") }
+    Corpus.unigramSurprisal(docs3).collect()
+    assert(Scratch.pruneStopped(_ eq s2) == 0)
+    assert(Scratch.releaseAll(s3) >= 1, "live session entries must survive")
+  }
+
   test("cluster iteration frames are scratch, released after the consumer drains") {
     val s2 = spark.newSession()
     import s2.implicits._
