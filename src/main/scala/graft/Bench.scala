@@ -49,7 +49,14 @@ object Bench {
       val (builds, rest) = all.partition(_.contains("index_build"))
       builds.sorted ++ rest
     }
+    // Self-identification: the emitted JSON names the active skip list
+    // and each pass's wall-clock start, so a filtered run or one whose
+    // timings straddle a host-contention window is self-diagnosing from
+    // the artifact alone (cross-round comparisons have been poisoned by
+    // both before — see the q99 contamination verdicts).
+    val passStarts = scala.collection.mutable.ArrayBuffer.empty[Long]
     val samples = (1 to Passes).flatMap { _ =>
+      passStarts += System.currentTimeMillis() / 1000L
       // Session-lifetime memos (the shared near-dup pair frame, ANN
       // index layouts) are cleared at the START of every pass: otherwise
       // only the first sample of the first consumer pays the pipeline,
@@ -88,7 +95,9 @@ object Bench {
     // query-path cost = value - builds_total.
     val buildsTotal =
       results.filter(_._1.contains("index_build")).map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"builds_total":$buildsTotal,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val skipJson = skip.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val passJson = passStarts.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"builds_total":$buildsTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","skip":$skipJson,"pass_started_epoch_s":$passJson}"""
     println(line)
     // Full artifact beside the stdout line: the driver's log tail keeps
     // only the last ~64 per-query entries, so cross-round comparison

@@ -253,6 +253,18 @@ object OecJsonSource {
     val (head, tail) = files.splitAt(maxFiles)
     head.foreach(sampleFile)
     if (conflicted) tail.foreach(sampleFile)
+    else if (tail.nonEmpty)
+      // The residual risk documented above is now also OBSERVABLE: when
+      // the cap truncates sampling with a conflict-free head, say so once
+      // — a tail-only column or late widening is invisible in the plan,
+      // and a silent cap reads as "inferred from everything" when it
+      // wasn't. (A conflicted head already samples every file.)
+      System.err.println(
+        s"[oecjson] schema inferred from the first $maxFiles of " +
+          s"${files.size} files (conflict-free sample; tail not opened). " +
+          "A column appearing or widening only in the tail is missed — " +
+          "raise the `inferFiles` read option or pass .schema(...) " +
+          "for heterogeneous endpoints.")
     StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) }.toSeq)
   }
 
