@@ -440,6 +440,22 @@ object SparkEntry {
       Corpus.hybridRetrieval(eng(s, d).table("documents"),
         eng(s, d).table("embeddings"),
         Seq("spark", "query", "join"), queryVecId = 0L)),
+    // Two-stage quantized ANN serving: int8 prefilter (scale cancels out
+    // of the cosine, so no dequantization) -> top-50 -> full-precision
+    // re-rank. Exhaustive regime (nprobe = nlist over the q46/q107
+    // layout), so both stages ride the proven q84 quantization parity
+    // onto the oracle surface
+    "q130_quantized_rerank" -> ((s, d) =>
+      Similarity.ivfQuantizedTopK(eng(s, d).table("embeddings"),
+        queryId = 0L, k = 10, rerankWidth = 50,
+        nlist = 16, nprobe = 16, datasetKey = d)),
+    // Domain-mixture sampling under a token budget: per-source rates
+    // min(1, budget*w/avail) with the deterministic hash draw; src3's
+    // 1.5 weight exercises the rate cap, unweighted sources rate 0
+    "q131_mixture_sample" -> ((s, d) =>
+      Corpus.mixtureSample(eng(s, d).table("documents"),
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 1.5),
+        tokenBudget = 2000L)),
     // Degree-ordered triangle census of the near-dup graph (7th consumer
     // of the shared pair frame); oracle enumerates id-ordered triples
     "q102_triangles" -> Graph.docTriangles _,
@@ -1880,6 +1896,74 @@ object SparkEntry {
         |   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + sem_rank), 0.0), 6) AS rrf
         |FROM lex FULL OUTER JOIN sem USING (doc_id)
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // two-stage quantized rerank: stage-1 cosine of the q84-form int8
+    // vector (scale cancels; qv and the query both widened to double —
+    // the exact widening Spark applies), top-50 cut on the rounded
+    // score, stage-2 exact cosine re-rank in the raw-float q113 form
+    "q130_quantized_rerank" ->
+      """WITH q0 AS (
+        | SELECT embedding AS q_emb,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        | FROM embeddings WHERE vec_id = 0),
+        |v AS (
+        | SELECT vec_id, label, embedding,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        | FROM embeddings WHERE vec_id <> 0),
+        |s AS (
+        | SELECT vec_id, label, embedding, ve,
+        |  list_max(list_transform(ve, x -> abs(x))) / 127 AS scale
+        | FROM v),
+        |qz AS (
+        | SELECT vec_id, label, embedding,
+        |  list_transform(ve, x -> CAST(round(x / scale) AS DOUBLE)) AS qv
+        | FROM s),
+        |approx AS (
+        | SELECT vec_id, label, embedding,
+        |  round(list_inner_product(qv, qe)
+        |    / (sqrt(list_inner_product(qv, qv))
+        |       * sqrt(list_inner_product(qe, qe))), 4) AS approx_cos
+        | FROM qz, q0),
+        |cand AS (
+        | SELECT * FROM approx ORDER BY approx_cos DESC, vec_id LIMIT 50)
+        |SELECT vec_id, label, approx_cos,
+        | round(list_inner_product(embedding, q_emb)
+        |   / (sqrt(list_inner_product(embedding, embedding))
+        |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
+        |FROM cand, q0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // mixture sampling: same masked-multiplicative-hash membership as
+    // q100; weights CAST to DOUBLE (DuckDB's bare 0.4 is DECIMAL and
+    // its arithmetic would diverge from Spark's double rates)
+    "q131_mixture_sample" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        | FROM documents),
+        |m AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS avail_tokens
+        | FROM t GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES
+        |  ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |  ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(1.5 AS DOUBLE)))
+        |  w(source, tw)),
+        |r AS (
+        | SELECT m.source, m.n_docs, m.avail_tokens,
+        |  COALESCE(w.tw, CAST(0.0 AS DOUBLE)) AS target_w,
+        |  least(CAST(1.0 AS DOUBLE),
+        |    CAST(2000 AS DOUBLE) * COALESCE(w.tw, CAST(0.0 AS DOUBLE))
+        |      / CAST(m.avail_tokens AS DOUBLE)) AS rate
+        | FROM m LEFT JOIN w USING (source))
+        |SELECT r.source, r.n_docs, r.avail_tokens,
+        | round(r.target_w, 4) AS target_w, round(r.rate, 6) AS rate,
+        | CAST(sum(CASE WHEN ((t.doc_id & 2147483647) * 2654435761) % 1000000
+        |   < floor(r.rate * 1000000.0) THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS kept_docs,
+        | CAST(sum(CASE WHEN ((t.doc_id & 2147483647) * 2654435761) % 1000000
+        |   < floor(r.rate * 1000000.0) THEN t.toks ELSE 0 END) AS BIGINT)
+        |   AS kept_tokens
+        |FROM t JOIN r USING (source)
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin,
     // drained exhaustive stream ≡ exact kNN join: same oracle as q97/q101
     "q116_stream_ann_enrich" -> knnJoinOracle,
     // id-ordered triple enumeration: each triangle {a<b<c} appears once

@@ -673,6 +673,56 @@ object Similarity {
       .drop("__v")
   }
 
+  /** Two-stage quantized ANN: int8 prefilter, full-precision re-rank —
+    * the standard memory-bound serving shape (a 100 TB embedding store
+    * is scanned 4x cheaper as int8; only `rerankWidth` survivors pay the
+    * float read). Stage 1 scores candidates with the COSINE OF THE
+    * QUANTIZED VECTOR against the query: for symmetric per-vector
+    * scaling the scale cancels out of the cosine
+    * (cos(scale·q, v) = cos(q, v)), so the approximate score needs no
+    * dequantization — integer dot products on the serving side, and
+    * exactly reproducible cross-engine because [[quantizeInt8]] already
+    * hash-matches (q84). Stage 2 re-ranks the top `rerankWidth` by exact
+    * full-precision cosine and emits top-k with both scores (the
+    * approx-vs-exact gap per row is the quantization-quality audit).
+    *
+    * Both stage cuts order on ROUNDED scores (4 dp) with vec_id
+    * tie-breaks — the same values an ANSI oracle ranks — so the whole
+    * two-stage path is hash-comparable at nprobe = nlist (q130, the
+    * q113 exhaustive device); probed regimes inherit ivfTopK's pruning.
+    */
+  def ivfQuantizedTopK(
+      emb: DataFrame,
+      queryId: Long,
+      k: Int,
+      rerankWidth: Int = 50,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 5,
+      datasetKey: String): DataFrame = {
+    val idx = ivfIndex(emb, datasetKey, nlist, iters)
+    val qRows = emb.filter(col("vec_id") === queryId).collect()
+    require(qRows.nonEmpty, s"ivfQuantizedTopK: query vec_id=$queryId not found")
+    val q = qRows.head
+    val qv = q.getSeq[Float](q.fieldIndex("embedding")).map(_.toDouble).toArray
+    val probes = idx.centroids.map { case (cid, c) =>
+      cid -> c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sortBy(_._2).take(nprobe).map(_._1).toSet
+    val qLit = array(qv.map(lit).toIndexedSeq: _*)
+    val candidates = quantizeInt8(
+      emb.sparkSession.read.parquet(idx.path)
+        .filter(col("cid").isInCollection(probes) && col("vec_id") =!= queryId))
+      .withColumn("approx_cos",
+        round(cosine(col("q").cast("array<double>"), qLit), 4))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(rerankWidth)
+    candidates
+      .select(col("vec_id"), col("label"), col("approx_cos"),
+        round(cosine(col("embedding"), qLit), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Fixture wiring (q84): quantization audit per vector. */
   def quantizationReport(emb: DataFrame): DataFrame =
     quantizeInt8(emb)

@@ -56,6 +56,32 @@ class IvfSpec extends SparkFunSuite {
     assert(ivf == bf) // nprobe = nlist => exhaustive => exact
   }
 
+  test("quantized two-stage rerank: exact stage dominates when the prefilter keeps everyone") {
+    // rerankWidth >= corpus: stage 1 (int8 cosine) keeps every candidate,
+    // so the output must be exactly the full-precision brute-force top-k
+    // — proving the re-rank stage is the exact scorer and the plumbing
+    // (quantize, prefilter cut, re-rank) loses nothing
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count().toInt
+    val bf = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val reranked = Similarity.ivfQuantizedTopK(emb, 0L, 10,
+      rerankWidth = n + 1, nlist = 8, nprobe = 8,
+      datasetKey = "ivfspec-qrerank")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(reranked == bf)
+    // a tight prefilter still returns k rows, each with both scores, and
+    // int8-vs-float cosine agree within quantization error (<= ~1e-2 for
+    // 64-dim int8) on every surfaced row
+    val tight = Similarity.ivfQuantizedTopK(emb, 0L, 10, rerankWidth = 20,
+      nlist = 8, nprobe = 8, datasetKey = "ivfspec-qrerank").collect()
+    assert(tight.length == 10)
+    tight.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) <= 0.05,
+        s"approx/exact cosine diverge past quantization error: $r")
+    }
+  }
+
   test("ivf probe prunes storage partitions: only nprobe cell dirs are read") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val df = Similarity.ivfTopK(emb, 0L, 10, nlist = 8, nprobe = 2,
