@@ -615,6 +615,56 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Domain-mixture sampling under a token budget — the pretraining
+    * mixture primitive (Pile/DoReMi-style static weights): given
+    * relative `weights` per source and a global `tokenBudget`, each
+    * source's sampling rate is min(1, budget·w_s / tokens_s) and
+    * membership is the deterministic [[docHash]] draw, so the kept set
+    * is reproducible across runs and engines (the q100 device). Sources
+    * absent from `weights` rate 0 — an explicit decision, not an
+    * accident, so a new scrape appearing mid-pipeline contributes
+    * nothing until someone weights it. Returns the per-source mixture
+    * report: availability, target weight, rate, and the realized
+    * doc/token mass — the artifact a data card publishes.
+    *
+    * Scale shape: ONE corpus scan computes per-doc token counts
+    * (checkpointed for its two consumers); rates are a per-source
+    * aggregate (bounded by source count — broadcast back), and the keep
+    * pass is a map-side join + one source-keyed aggregation. No
+    * per-source scans, no shuffle of text.
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    val perDoc = Scratch.register(Par.ensure(docs)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("toks"))
+      .localCheckpoint())
+    val wCol = element_at(
+      map(weights.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col("source"))
+    val rates = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("avail_tokens"))
+      .withColumn("target_w", coalesce(wCol, lit(0.0)))
+      .withColumn("rate", least(lit(1.0),
+        lit(tokenBudget.toDouble) * col("target_w") /
+          col("avail_tokens").cast("double")))
+    perDoc.join(broadcast(rates), "source")
+      .withColumn("keep",
+        pmod(docHash(col("doc_id")), lit(1000000L)) <
+          floor(col("rate") * lit(1000000.0)))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("avail_tokens")).cast("long").as("avail_tokens"),
+        round(first(col("target_w")), 4).as("target_w"),
+        round(first(col("rate")), 6).as("rate"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("keep"), col("toks")).otherwise(0L)).cast("long")
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Out-of-vocabulary rate per document against the corpus top-`vocabSize`
     * token vocabulary — the tokenizer-coverage metric a pretraining
     * pipeline tracks (a doc whose tokens mostly fall outside the working

@@ -360,6 +360,31 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(byLang("en")._2 >= 500L && byLang("fr")._2 >= 500L)
   }
 
+  test("mixtureSample caps rates at availability and zeroes unweighted sources") {
+    // a: tiny corpus, huge weight -> rate capped at 1.0, everything kept;
+    // b: weighted below availability -> partial rate; c: unweighted -> 0
+    val docs = (
+      Seq.tabulate(4)(i => (i.toLong, "a", Seq.fill(5)("w").mkString(" "))) ++
+      Seq.tabulate(100)(i => (100L + i, "b", Seq.fill(10)("w").mkString(" "))) ++
+      Seq.tabulate(4)(i => (300L + i, "c", "x y z"))
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.mixtureSample(docs,
+      Map("a" -> 10.0, "b" -> 0.5), tokenBudget = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val (aN, aAvail, aRate, aKeptD, aKeptT) = out("a")
+    assert(aN == 4 && aAvail == 20 && aRate == 1.0 &&
+      aKeptD == 4 && aKeptT == 20, s"capped source must keep all: ${out("a")}")
+    val (_, bAvail, bRate, bKeptD, bKeptT) = out("b")
+    assert(bAvail == 1000 && bRate == 0.05, s"partial rate wrong: ${out("b")}")
+    assert(bKeptD < 100 && bKeptT == bKeptD * 10,
+      "partial source must keep the hash draw, tokens consistent")
+    val (_, _, cRate, cKeptD, _) = out("c")
+    assert(cRate == 0.0 && cKeptD == 0,
+      "unweighted source must contribute nothing")
+  }
+
   test("bm25 retrieval shuffle regime: same relation as broadcast, no broadcast hint") {
     // the corpus-scale-query-side regime (Some(false)) must produce the
     // SAME ranked output as the broadcast default — the regime is a plan
