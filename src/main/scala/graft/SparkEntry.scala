@@ -456,6 +456,10 @@ object SparkEntry {
       Corpus.mixtureSample(eng(s, d).table("documents"),
         Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 1.5),
         tokenBudget = 2000L)),
+    // Leakage-free split (the FIX to q119's audit): drop from train
+    // every near-dup of a val/test doc; eval docs never move
+    "q132_leakage_free_split" -> ((s, d) =>
+      Corpus.leakageFreeSplit(eng(s, d).table("documents"), d)),
     // Degree-ordered triangle census of the near-dup graph (7th consumer
     // of the shared pair frame); oracle enumerates id-ordered triples
     "q102_triangles" -> Graph.docTriangles _,
@@ -2309,6 +2313,38 @@ object SparkEntry {
         | JOIN sp sp2 ON sym.partner = sp2.doc_id
         |WHERE sp1.split <> 'train' AND sp2.split = 'train'
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // leakage-free split: q119's pair/split machinery with the verdict
+    // inverted onto the train side — a train doc near-dupping any
+    // val/test doc is flagged dropped
+    "q132_leakage_free_split" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |sym AS (
+        | SELECT doc_a AS doc_id, doc_b AS partner FROM pairs
+        | UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |sp AS (
+        | SELECT doc_id,
+        |  CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+        |       WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents),
+        |leaky AS (
+        | SELECT DISTINCT sym.doc_id
+        | FROM sym JOIN sp o ON sym.doc_id = o.doc_id
+        |  JOIN sp p ON sym.partner = p.doc_id
+        | WHERE o.split = 'train' AND p.split <> 'train')
+        |SELECT sp.doc_id, sp.split, (l.doc_id IS NOT NULL) AS dropped
+        |FROM sp LEFT JOIN leaky l ON sp.doc_id = l.doc_id
+        |ORDER BY 1""".stripMargin,
     // semantic keep-list: q30's portable-plane pair pipeline, q41's
     // recursive-CTE closure, then per-cluster per-dim centroid avg and
     // cosine-to-centroid ranking. Ranking is on the UNROUNDED cosine —

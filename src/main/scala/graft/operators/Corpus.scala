@@ -802,6 +802,41 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** The leakage FIX complementing [[leakageAudit]] (which only
+    * reports): assign splits, then DROP from train every doc with a
+    * near-duplicate in val/test. The drop direction is deliberate —
+    * eval sets are small, fixed, and expensive to re-bless, while train
+    * data is plentiful, so the train side pays; an eval doc is never
+    * moved or removed. `docs.filter(!dropped)` (or a semi-join on the
+    * kept ids) is the leakage-free training corpus, and re-running
+    * [[leakageAudit]] over it must come back empty — the closure
+    * property the spec pins.
+    *
+    * Scale shape: the 8th consumer of the shared near-dup pair frame
+    * ([[Dedup.minhashPairsShared]] — no re-shingle), symmetrized and
+    * shuffle-joined on doc-id keys like the audit (no broadcast hint:
+    * the pair frame is unbounded at corpus scale); the verdict join back
+    * to the split frame is an id-keyed left join.
+    */
+  def leakageFreeSplit(docs: DataFrame, datasetKey: String): DataFrame = {
+    val pairs = Dedup.minhashPairsShared(docs, datasetKey)
+    val sym = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("partner")))
+    val splits = splitAssign(docs).select(col("doc_id"), col("split"))
+    val leaky = splits.join(sym, "doc_id")
+      .join(splits.select(col("doc_id").as("partner"),
+        col("split").as("partner_split")), "partner")
+      .filter(col("split") === "train" && col("partner_split") =!= "train")
+      .select(col("doc_id")).distinct()
+    splits
+      .join(leaky.withColumn("dropped", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-distribution (Zipf) health report: vocabulary size, total
     * token mass, the log-log slope of frequency vs rank (natural text
     * sits near -1; a slope collapsing toward 0 means boilerplate-flat

@@ -385,6 +385,30 @@ class CorpusPipelineSpec extends SparkFunSuite {
       "unweighted source must contribute nothing")
   }
 
+  test("leakageFreeSplit closure: auditing the cleaned corpus finds nothing") {
+    // the fix must actually fix: drop the flagged train docs, re-run the
+    // audit over what remains, and the leak report must be EMPTY. Pair
+    // detection is per-doc-deterministic (signatures + banding), so any
+    // pair present in the full corpus is present in the subset too —
+    // emptiness is exact, not probabilistic.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val key = s"cps-lfs-${System.nanoTime()}"
+    val verdicts = Corpus.leakageFreeSplit(docs, key).localCheckpoint()
+    assert(verdicts.count() == docs.count(), "one verdict per doc")
+    assert(verdicts.filter(col("dropped")).count() > 0,
+      "fixture must contain at least one train->eval near-dup to drop")
+    assert(verdicts.filter(col("dropped") && col("split") =!= "train")
+      .count() == 0, "only train docs may be dropped")
+    val cleaned = docs.join(
+      verdicts.filter(!col("dropped")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val again = Corpus.leakageAudit(cleaned, s"$key-clean")
+    assert(again.count() == 0,
+      "auditing the leakage-free corpus must find no leaks")
+    Scratch.releaseAll(spark)
+  }
+
   test("bm25 retrieval shuffle regime: same relation as broadcast, no broadcast hint") {
     // the corpus-scale-query-side regime (Some(false)) must produce the
     // SAME ranked output as the broadcast default — the regime is a plan
