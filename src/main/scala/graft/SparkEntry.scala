@@ -460,6 +460,28 @@ object SparkEntry {
     // every near-dup of a val/test doc; eval docs never move
     "q132_leakage_free_split" -> ((s, d) =>
       Corpus.leakageFreeSplit(eng(s, d).table("documents"), d)),
+    // Snapshot diff for incremental runs: the "new" snapshot is derived
+    // deterministically — drop ids %13==0 (removed), append ' v2' to
+    // %17==0 (changed), renumber %19==0 by +1000000 (added) — so all
+    // four statuses are exercised
+    "q133_snapshot_diff" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionAll(docs.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Corpus.snapshotDiff(docs, newSnap)
+    }),
+    // Padding-waste report: per length-bin cost of naive pad-to-512
+    // batching — the measurement that motivates q62's packing
+    "q134_padding_waste" -> ((s, d) =>
+      Corpus.paddingWaste(eng(s, d).table("documents"),
+        contextLen = 512, binWidth = 64)),
+    // Embedding health audit: per-dim mean/std/min/max + near-zero
+    // fraction — run before any index build over a fresh embedding drop
+    "q135_embedding_health" -> ((s, d) =>
+      Similarity.embeddingHealth(eng(s, d).table("embeddings"))),
     // Degree-ordered triangle census of the near-dup graph (7th consumer
     // of the shared pair frame); oracle enumerates id-ordered triples
     "q102_triangles" -> Graph.docTriangles _,
@@ -2345,6 +2367,49 @@ object SparkEntry {
         |SELECT sp.doc_id, sp.split, (l.doc_id IS NOT NULL) AS dropped
         |FROM sp LEFT JOIN leaky l ON sp.doc_id = l.doc_id
         |ORDER BY 1""".stripMargin,
+    // snapshot diff: derive the same "new" snapshot (%13 removed, %17
+    // changed, %19 renumbered +1e6) and full-outer join on content hash
+    "q133_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |n AS (
+        | SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS h
+        | FROM documents WHERE doc_id % 13 <> 0
+        | UNION ALL
+        | SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 19 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.h IS NULL THEN 'added'
+        |      WHEN n.h IS NULL THEN 'removed'
+        |      WHEN o.h = n.h THEN 'unchanged'
+        |      ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY 1""".stripMargin,
+    // padding waste: 64-wide token-length bins, pad-to-512 cost model
+    "q134_padding_waste" ->
+      """WITH t AS (
+        | SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |b AS (SELECT n_tok, n_tok // 64 AS bin,
+        |  LEAST(n_tok, 512) AS kept FROM t)
+        |SELECT bin, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        | CAST(sum(512 - kept) AS BIGINT) AS pad_waste,
+        | CAST(sum(n_tok - kept) AS BIGINT) AS trunc_loss,
+        | round(CAST(sum(kept) AS DOUBLE) / (count(*) * 512), 4) AS efficiency
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // embedding health: per-dim stats over the unnested embedding column
+    "q135_embedding_health" ->
+      """WITH e AS (
+        | SELECT CAST(i AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        | FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+        |SELECT dim, count(*) AS n,
+        | round(avg(v), 6) AS dim_mean,
+        | round(stddev_samp(v), 4) AS dim_std,
+        | round(min(v), 6) AS dim_min,
+        | round(max(v), 6) AS dim_max,
+        | round(avg(CASE WHEN abs(v) < 0.000001 THEN 1.0 ELSE 0.0 END), 4)
+        |   AS near_zero_frac
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // semantic keep-list: q30's portable-plane pair pipeline, q41's
     // recursive-CTE closure, then per-cluster per-dim centroid avg and
     // cosine-to-centroid ranking. Ranking is on the UNROUNDED cosine —

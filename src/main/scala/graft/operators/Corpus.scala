@@ -988,4 +988,57 @@ object Corpus {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
       .orderBy(col("doc_id"))
   }
+
+  /** Snapshot diff for incremental pipeline runs: classify every doc id
+    * across two corpus snapshots as added / removed / changed / unchanged
+    * by comparing a scan-stage content hash. A recurring 100 TB pipeline
+    * that reprocesses everything on every run pays its full cost daily;
+    * with this verdict frame the downstream run reprocesses only
+    * `added ∪ changed` and retires `removed` — usually a few percent.
+    *
+    * Scale shape: text never shuffles — each side reduces to
+    * (doc_id, md5) at the scan, so the full-outer equi-join moves two
+    * narrow columns per row. Hashes are compared WITHIN one engine only
+    * (the verdict, not the hash, is the output), so no cross-engine hash
+    * parity is required.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("__oh"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("__nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") === col("__nh"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Batching-efficiency report for a fixed context window: bucket
+    * documents by token length (`binWidth`-wide bins) and report, per
+    * bin, the padding waste (slots burned padding short docs to
+    * `contextLen`) and truncation loss (tokens cut from docs longer than
+    * it) of naive one-doc-per-row batching, plus the resulting
+    * efficiency = kept / (docs × contextLen). This is the measurement
+    * that motivates [[packSequences]]: the gap between a bin's
+    * efficiency and 1.0 is exactly what packing recovers.
+    *
+    * Scale shape: one scan, one partial-agg groupBy on a small bounded
+    * key (≈ maxLen / binWidth bins) — no joins, no text shuffle (the
+    * token count reduces each doc to one long at the scan).
+    */
+  def paddingWaste(docs: DataFrame, contextLen: Int = 512,
+      binWidth: Int = 64): DataFrame = {
+    val kept = least(col("n_tok"), lit(contextLen.toLong))
+    docs.select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("bin", floor(col("n_tok") / binWidth).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(lit(contextLen.toLong) - kept).as("pad_waste"),
+        sum(col("n_tok") - kept).as("trunc_loss"),
+        round(sum(kept).cast("double") /
+          (count(lit(1)) * contextLen), 4).as("efficiency"))
+      .orderBy(col("bin"))
+  }
 }

@@ -800,4 +800,31 @@ object Similarity {
         col("n_members"), round(col("__c"), 4).as("cos_centroid"))
       .orderBy(col("cluster_id"), col("vec_id"))
   }
+
+  /** Embedding-column health audit: per-dimension mean / std / min / max
+    * and the near-zero fraction — the cheap detector for collapsed or
+    * dead dimensions (std ≈ 0 means the dim carries no information; a
+    * mean drifting from 0 skews every cosine downstream) and for zeroed
+    * vectors from failed encoder batches. Run it before building any
+    * index over a fresh embedding drop; a bad dim here invalidates all
+    * of them.
+    *
+    * Scale shape: posexplode is map-side (dim rows per vector) and the
+    * aggregation partial-aggs on the dimension index — at most `dim`
+    * groups, so the shuffle is partitions × dim tiny rows regardless of
+    * corpus size. No joins, no vector materialization on the driver.
+    */
+  def embeddingHealth(emb: DataFrame, zeroEps: Double = 1e-6): DataFrame =
+    emb.select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        col("col").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v")), 6).as("dim_mean"),
+        round(stddev_samp(col("v")), 4).as("dim_std"),
+        round(min(col("v")), 6).as("dim_min"),
+        round(max(col("v")), 6).as("dim_max"),
+        round(avg(when(abs(col("v")) < zeroEps, 1.0).otherwise(0.0)), 4)
+          .as("near_zero_frac"))
+      .orderBy(col("dim"))
 }

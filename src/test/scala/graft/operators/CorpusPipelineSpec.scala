@@ -409,6 +409,48 @@ class CorpusPipelineSpec extends SparkFunSuite {
     Scratch.releaseAll(spark)
   }
 
+  test("snapshotDiff: identity is all-unchanged; statuses partition the id space") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // diff of a snapshot with itself: every verdict is 'unchanged'
+    val self = Corpus.snapshotDiff(docs, docs)
+    assert(self.filter(col("status") =!= "unchanged").count() == 0)
+    assert(self.count() == docs.count())
+    // a derived snapshot exercises all four statuses, and the verdict
+    // frame covers old ∪ new ids exactly once
+    val derived = docs.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" x"))).otherwise(col("text")))
+      .unionAll(docs.limit(3).withColumn("doc_id", col("doc_id") + 9999999L))
+    val diff = Corpus.snapshotDiff(docs, derived).localCheckpoint()
+    val counts = diff.groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("added", "removed", "changed", "unchanged"))
+    assert(counts("added") == 3)
+    assert(counts.values.sum == diff.count())
+    assert(diff.select(col("doc_id")).distinct().count() == diff.count(),
+      "one verdict per id")
+  }
+
+  test("paddingWaste: token mass conserved, efficiency bounded by the window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val report = Corpus.paddingWaste(docs, contextLen = 512, binWidth = 64)
+      .localCheckpoint()
+    val agg = report.agg(
+      sum(col("n_docs")), sum(col("total_tokens")), sum(col("trunc_loss")),
+      sum(col("pad_waste"))).head()
+    assert(agg.getLong(0) == docs.count(), "every doc lands in one bin")
+    val corpusTokens = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(agg.getLong(1) == corpusTokens, "token mass conserved")
+    // kept + trunc = total, and kept + pad = docs * 512
+    assert(agg.getLong(1) - agg.getLong(2) + agg.getLong(3)
+      == agg.getLong(0) * 512L, "kept and pad tile the batch slots exactly")
+    assert(report.filter(col("efficiency") > 1.0 || col("efficiency") < 0.0)
+      .count() == 0, "efficiency is a ratio of slots")
+  }
+
   test("bm25 retrieval shuffle regime: same relation as broadcast, no broadcast hint") {
     // the corpus-scale-query-side regime (Some(false)) must produce the
     // SAME ranked output as the broadcast default — the regime is a plan

@@ -21,6 +21,22 @@ class SimilaritySpec extends SparkFunSuite {
     assert(math.abs(m("opp") + 1.0) < 1e-12)
   }
 
+  test("embeddingHealth: one row per dim, exact extrema, dead dim flagged") {
+    val df = vecs(
+      (0L, Seq(1f, 0f, 0.5f), 0),
+      (1L, Seq(-1f, 0f, 0.5f), 0),
+      (2L, Seq(3f, 0f, 0.5f), 1))
+    val out = Similarity.embeddingHealth(df).collect()
+    assert(out.length == 3, "one row per dimension")
+    val byDim = out.map(r => r.getLong(0) -> r).toMap
+    assert(byDim(1L).getDouble(4) == -1.0 && byDim(1L).getDouble(5) == 3.0,
+      "min/max of dim 1 are exact")
+    // dim 2 is all-zero: dead (std 0) and fully near-zero
+    assert(byDim(2L).getDouble(3) == 0.0 && byDim(2L).getDouble(6) == 1.0)
+    // dim 3 is constant non-zero: dead but NOT near-zero
+    assert(byDim(3L).getDouble(3) == 0.0 && byDim(3L).getDouble(6) == 0.0)
+  }
+
   test("brute-force top-k returns nearest first, excludes the query") {
     val df = vecs(
       (0L, Seq(1f, 0f, 0f), 0),
