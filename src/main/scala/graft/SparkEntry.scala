@@ -95,6 +95,11 @@ object SparkEntry {
       Dedup.minhashPairsShared(eng(s, d).table("documents"), d)),
     "q27_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(eng(s, d).table("documents"))),
+    // EXACT n-gram Jaccard pairs via the inverted postings index — the
+    // certainty regime of the q26 approximation; df cap 256 bounds the
+    // postings hot key (and the oracle replicates the cap)
+    "q136_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(eng(s, d).table("documents"), maxDf = 256)),
     // --- [EXT] text analysis ---
     "q22_token_stats" -> ((s, d) => eng(s, d).table("documents")
       .groupBy(col("lang"))
@@ -892,6 +897,30 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // exact Jaccard pairs: the oracle mirrors the inverted-index plan —
+    // postings, df cap, pairwise intersect counts, size join — so the
+    // contract stays exact even if the cap ever bites
+    "q136_jaccard_pairs" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |p AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |keep AS (SELECT g FROM p GROUP BY g HAVING count(*) <= 256),
+        |kp AS (SELECT p.doc_id, p.g FROM p JOIN keep USING (g)),
+        |i AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+        | FROM kp a JOIN kp b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM s)
+        |SELECT doc_a, doc_b,
+        | round(CAST(n_int AS DOUBLE) / (za.n + zb.n - n_int), 4) AS jaccard
+        |FROM i JOIN z za ON i.doc_a = za.doc_id
+        | JOIN z zb ON i.doc_b = zb.doc_id
+        |WHERE CAST(n_int AS DOUBLE) / (za.n + zb.n - n_int) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
     // SimHash pairs: the per-token votes are md5 bits (SimHashVotes), so
     // the oracle recomputes the FULL path — fingerprints (per-bit
     // majority votes), pigeonhole banding (4 x 16-bit slices), candidate

@@ -194,6 +194,60 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("__j"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** EXACT n-gram Jaccard near-dup pairs via an inverted postings index —
+    * the exact counterpart to [[minhashPairs]]' approximation. Reach for
+    * it when the threshold sits where minhash banding's S-curve is soft
+    * (0.5–0.7) or when false NEGATIVES are contractual (a benchmark
+    * decontamination audit, a legal-hold dedup): every pair with true
+    * Jaccard ≥ threshold over the un-capped gram space is emitted, modulo
+    * the df cap below.
+    *
+    * Plan: explode each doc's distinct shingle set into postings
+    * (gram, doc_id); self-join postings on the gram to count |A∩B| per
+    * id-ordered pair (shuffles keyed by gram, then by pair — both
+    * fine-grained); join each side's set size back and threshold
+    * |A∩B| / (|A| + |B| − |A∩B|). No signatures, no probability: what
+    * banding makes ~certain, this makes certain.
+    *
+    * The scale lever is `maxDf`: a gram appearing in > maxDf docs (site
+    * chrome, license boilerplate) would emit O(df²) pair rows from one
+    * join key — the classic postings hot key. Such grams are dropped from
+    * PAIRING only; each doc's set SIZE keeps them, so the denominator
+    * stays honest and a capped gram can only LOWER a counted
+    * intersection: bounded work traded for one-sided recall loss at the
+    * boundary, never a false positive. Oracles replicate the cap with the
+    * same df rule, so the contract stays hash-exact either way.
+    */
+  def jaccardPairs(docs: DataFrame, shingleN: Int = 3,
+      threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    val withSh = Scratch.register(Par.ensure(docs)
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), shingleN).as("sh"))
+      .localCheckpoint())
+    val post = withSh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // count-then-semi-join (not collect_list-then-filter): a mega-hot gram
+    // must never be materialized as one giant postings array on a single row
+    val keptGrams = post.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("g"))
+    val keptPost = post.join(keptGrams, "g")
+    val inter = keptPost.select(col("g"), col("doc_id").as("doc_a"))
+      .join(keptPost.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("__i"))
+    val sz = withSh.select(col("doc_id"), size(col("sh")).cast("long").as("__n"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("__n").as("__na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("__n").as("__nb")), "doc_b")
+      // threshold the UNROUNDED ratio, same discipline as [[verifyJaccard]]
+      .withColumn("__j", col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")))
+      .filter(col("__j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("__j"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** One side of the bipartite near-dup join, pre-keyed: the checkpointed
     * shingle frame and its exploded (id, band, sig) band-hash frame, plus
     * the banding parameters they were built with (a probe MUST use the

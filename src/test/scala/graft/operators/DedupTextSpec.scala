@@ -91,6 +91,36 @@ class DedupTextSpec extends SparkFunSuite {
     assert(out.forall(p => p._1 < 900L && p._2 >= 1000L && p._2 < 1900L))
   }
 
+  test("exact jaccardPairs matches the minhash pipeline where banding recall is 1") {
+    // on the fixture the banded pipeline's recall is exactly 1.0 (pinned
+    // below), so the exact inverted-index join must produce the SAME
+    // relation — same pairs, same rounded jaccard
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val exact = Dedup.jaccardPairs(real)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = Dedup.minhashPairs(real)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact == banded, "exact and banded pipelines must agree here")
+    assert(exact.nonEmpty, "fixture must contain planted near-dups")
+    Scratch.releaseAll(spark)
+  }
+
+  test("jaccardPairs df cap drops hot-gram evidence one-sidedly: no false positives") {
+    // two identical docs whose every gram is corpus-hot: with the cap
+    // below their df, all intersect evidence is dropped — the pair goes
+    // UNDETECTED (recall loss) but nothing is invented (no false
+    // positive), and set sizes keep the capped grams
+    val hot = (1L to 6L).map(i => (i, "x y z w v u")).toList
+    val out = Dedup.jaccardPairs(docs(hot: _*), maxDf = 5)
+    assert(out.count() == 0, "capped grams must not pair")
+    val uncapped = Dedup.jaccardPairs(docs(hot: _*), maxDf = 6)
+    assert(uncapped.count() == 15 &&
+      uncapped.filter(col("jaccard") === 1.0).count() == 15,
+      "with the cap above df the identical pairs all surface at j=1")
+    Scratch.releaseAll(spark)
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
     val base = (0 until 40).map(i => s"tok$i").mkString(" ")
     val nearDup = ((0 until 38).map(i => s"tok$i") ++ Seq("x", "y")).mkString(" ")
