@@ -219,7 +219,22 @@ object Dedup {
     * same df rule, so the contract stays hash-exact either way.
     */
   def jaccardPairs(docs: DataFrame, shingleN: Int = 3,
-      threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+      threshold: Double = 0.8, maxDf: Int = 1000): DataFrame =
+    pairIntersections(docs, shingleN, maxDf)
+      // threshold the UNROUNDED ratio, same discipline as [[verifyJaccard]]
+      .withColumn("__j", col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")))
+      .filter(col("__j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("__j"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Shared inverted-postings machinery for [[jaccardPairs]] and
+    * [[containmentPairs]]: id-ordered pair intersection counts with both
+    * set sizes attached — (doc_a, doc_b, __i, __na, __nb). Pairs with an
+    * empty (fully capped) intersection do not appear.
+    */
+  private def pairIntersections(docs: DataFrame, shingleN: Int,
+      maxDf: Int): DataFrame = {
     val withSh = Scratch.register(Par.ensure(docs)
       .select(col("doc_id"), TextAnalysis.shingles(col("text"), shingleN).as("sh"))
       .localCheckpoint())
@@ -240,13 +255,32 @@ object Dedup {
     inter
       .join(sz.select(col("doc_id").as("doc_a"), col("__n").as("__na")), "doc_a")
       .join(sz.select(col("doc_id").as("doc_b"), col("__n").as("__nb")), "doc_b")
-      // threshold the UNROUNDED ratio, same discipline as [[verifyJaccard]]
-      .withColumn("__j", col("__i").cast("double") /
-        (col("__na") + col("__nb") - col("__i")))
-      .filter(col("__j") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("__j"), 4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Overlap-coefficient (containment) near-dup pairs:
+    * |A∩B| / min(|A|, |B|) over the same inverted postings index as
+    * [[jaccardPairs]]. Catches what Jaccard structurally CANNOT: a short
+    * doc wholly quoted inside a much longer one has overlap 1.0 but
+    * Jaccard ≈ |A|/|B| → 0, so a Jaccard-thresholded dedup keeps both.
+    * Containment is the C4/RealNews-style answer to quote-inclusion and
+    * template-wrapping duplication.
+    *
+    * Same plan and same `maxDf` hot-key cap as [[jaccardPairs]] (capped
+    * grams drop from pairing only, sizes stay honest — one-sided recall
+    * loss, no false positives); emits the id-ordered pair with BOTH
+    * coefficients so a consumer can separate true near-dups (high
+    * jaccard) from inclusions (high overlap, low jaccard).
+    */
+  def containmentPairs(docs: DataFrame, shingleN: Int = 3,
+      threshold: Double = 0.9, maxDf: Int = 1000): DataFrame =
+    pairIntersections(docs, shingleN, maxDf)
+      .withColumn("__c", col("__i").cast("double") / least(col("__na"), col("__nb")))
+      .filter(col("__c") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("__c"), 4).as("overlap"),
+        round(col("__i").cast("double") /
+          (col("__na") + col("__nb") - col("__i")), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** One side of the bipartite near-dup join, pre-keyed: the checkpointed
     * shingle frame and its exploded (id, band, sig) band-hash frame, plus
