@@ -15,8 +15,12 @@ import org.apache.spark.sql.SparkSession
   *     defense for skew; `operators.Skew` is the explicit fallback.
   *   - TIMESTAMP_MICROS parquet output: results round-trip with the same
   *     physical type ANSI engines write (INT96 reads back as nanos).
-  *   - nanosAsLong: the events fixture stores TIMESTAMP(NANOS), which the
-  *     vectorized reader otherwise rejects (`cube.Engine` converts).
+  *   - nanosAsLong: legacy fixture generations stored the events ts as
+  *     TIMESTAMP(NANOS), which the vectorized reader otherwise rejects;
+  *     with the flag it scans as long and `cube.Engine.adaptTs` converts
+  *     schema-adaptively (current fixtures store timestamp[us] and pass
+  *     through untouched — the flag is then inert but kept so both
+  *     encodings read in one session).
   *   - shuffle partitions are a REQUIRED argument: there is no correct
   *     global default — size to ~2-3x total cores on a cluster, to the
   *     core count locally. (The streaming mains further cap stateful

@@ -26,8 +26,8 @@ import org.apache.spark.sql.types._
   */
 class Engine(spark: SparkSession, dir: String) {
 
-  // Session config (nanosAsLong for the TIMESTAMP(NANOS) events fixture,
-  // TIMESTAMP_MICROS parquet output) is set ONCE at session build in
+  // Session config (nanosAsLong so legacy TIMESTAMP(NANOS) fixtures stay
+  // readable, TIMESTAMP_MICROS parquet output) is set ONCE at session build in
   // [[graft.GraftSession]] — an Engine constructor must not mutate
   // session-global conf: two concurrent Engines over different dirs in
   // one session would race, and idempotent-looking writes become traps
@@ -41,13 +41,7 @@ class Engine(spark: SparkSession, dir: String) {
     */
   def table(name: String): DataFrame = {
     val df0 = spark.read.parquet(s"$dir/$name.parquet")
-    val df =
-      if (name == "events")
-        // integer `div`, NOT `/`: long / long evaluates in double, which
-        // cannot represent epoch-nanos exactly (53-bit mantissa) and
-        // rounds the microsecond digit
-        df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df0
+    val df = if (name == "events") Engine.adaptTs(df0) else df0
     val cols = df.schema.fields.map { f =>
       if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
       else col(f.name)
@@ -143,4 +137,34 @@ class Engine(spark: SparkSession, dir: String) {
     val cols = Seq(lvl.expr.as("ID")) ++ lvl.memberLabel.map(_.as("Label"))
     Normalize(base.select(cols: _*).distinct()).orderBy(col("id"))
   }
+}
+
+object Engine {
+
+  /** Schema-adaptive event-time read — THE single place physical
+    * timestamp encodings are normalized. At 100 TB ingest from
+    * heterogeneous scrapes the physical type of an event-time column
+    * varies per file generation; fixtures have shipped both encodings
+    * (TIMESTAMP(NANOS), surfaced as long under the session's
+    * `nanosAsLong`; and timestamp[us], surfaced as TIMESTAMP_NTZ), so
+    * the branch is on the OBSERVED scan type, never on an assumed one:
+    *
+    *   - `LongType`  -> epoch-nanos; integer `div` 1000 (NOT `/`:
+    *     long / long evaluates in double, whose 53-bit mantissa cannot
+    *     represent epoch-nanos exactly and rounds the microsecond digit)
+    *     then `timestamp_micros`, yielding tz-aware TIMESTAMP;
+    *   - timestamp types (TZ or NTZ) pass through unchanged — callers
+    *     normalize the surface (Engine.table casts to NTZ; streaming
+    *     casts to TZ for watermarks, value-preserving under the pinned
+    *     UTC session).
+    *
+    * Works for batch and streaming frames alike (pure column
+    * transform). Dual-encoding equivalence is pinned by TsEncodingSpec.
+    */
+  def adaptTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
 }

@@ -18,22 +18,25 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Events schema as stored (ts is TIMESTAMP(NANOS) -> long under
-    * nanosAsLong, set once at session build in [[graft.GraftSession]];
-    * converted to NTZ micros, mirroring Engine.table).
+  /** Events stream with its schema taken from the batch parquet FOOTER
+    * (a driver-side metadata read at plan time — the stream itself reads
+    * the data files), so the physical ts encoding is whatever the fixture
+    * generation actually wrote, never a hard-coded assumption. The raw ts
+    * is then normalized by [[graft.cube.Engine.adaptTs]] (legacy
+    * nanos-as-long -> micros; timestamp types pass through) and cast to
+    * tz-aware TIMESTAMP — watermarks demand it, and under the pinned UTC
+    * session the NTZ->TZ cast is value-preserving. Cast back to NTZ only
+    * at the output edge.
     */
   private def streamingEvents(spark: SparkSession, dir: String): DataFrame = {
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val stored = spark.read.parquet(s"$dir/events.parquet").schema
     // file stream sources take directories; pathGlobFilter selects the one
-    // events file. ts stays tz-aware TIMESTAMP here — watermarks demand it
-    // — and is cast to NTZ only at the output edge.
-    spark.readStream.schema(raw)
+    // events file
+    val raw = spark.readStream.schema(stored)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: see Engine.table
+    graft.cube.Engine.adaptTs(raw)
+      .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
@@ -399,9 +402,14 @@ object EventsStream {
     * batch table; the stream itself never reads batch data.
     */
   def purchaseAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
-    val maxNanos = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(col("ts"))).collect()(0).getLong(0)
-    val cutoffMicros = maxNanos / 1000L - 2L * 3600L * 1000000L
+    // typed timestamp math end-to-end: adaptTs normalizes whatever the
+    // fixture physically stored, unix_micros reads it back — no
+    // physical-type assumption (the old getLong-of-nanos math broke when
+    // the fixture moved to timestamp[us])
+    val cutoffMicros = graft.cube.Engine
+      .adaptTs(spark.read.parquet(s"$dir/events.parquet"))
+      .agg(max(unix_micros(col("ts").cast(TimestampType))))
+      .collect()(0).getLong(0) - 2L * 3600L * 1000000L
     val ev = streamingEvents(spark, dir)
     val clicks = ev
       .select(col("event_id").as("click_id"), col("user_id"),
