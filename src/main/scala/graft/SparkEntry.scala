@@ -87,6 +87,13 @@ object SparkEntry {
       Map("Event Type" -> Seq("purchase", "signup"))))),
     "q19_events_daily" -> ((s, d) => eng(s, d).getData(CubeQuery(
       "events", Seq("Event Day"), Seq("Event Count", "User Count", "Avg Value")))),
+    // time-window slice of the events cube: the range cut on the derived
+    // calendar level carries a companion raw-ts prune predicate
+    // (Level.rangePrune) that reaches the parquet scan's PushedFilters —
+    // THE access pattern on a 100 TB event store (plan-asserted)
+    "q138_events_window" -> ((s, d) => eng(s, d).getData(CubeQuery(
+      "events", Seq("Event Day", "Event Type"), Seq("Event Count", "Total Value"),
+      rangeCuts = Map("Event Day" -> ("2024-01-05 00:00:00", "2024-01-09 00:00:00"))))),
     "q20_docs_lang" -> ((s, d) => eng(s, d).getData(CubeQuery(
       "documents", Seq("Lang"), Seq("Doc Count", "Total Chars", "Avg Chars")))),
     // --- [EXT] dedup family (SURVEY §2.11) ---
@@ -100,6 +107,18 @@ object SparkEntry {
     // postings hot key (and the oracle replicates the cap)
     "q136_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(eng(s, d).table("documents"), maxDf = 256)),
+    // overlap-coefficient (containment) pairs over the SAME postings
+    // index — catches quote-inclusion dups Jaccard structurally cannot
+    // (short doc wholly inside a long one); threshold 0.8 aligns with
+    // q136 so inclusions (high overlap, low jaccard) separate cleanly
+    "q137_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(eng(s, d).table("documents"),
+        threshold = 0.8, maxDf = 256)),
+    // per-doc near-dup degree over the same postings index: the
+    // boilerplate-density signal (many partners = template/chrome, one
+    // partner = ordinary dup) that neighborhood-drop curation keys on
+    "q139_dup_degree" -> ((s, d) =>
+      Dedup.dupDegree(eng(s, d).table("documents"), maxDf = 256)),
     // --- [EXT] text analysis ---
     "q22_token_stats" -> ((s, d) => eng(s, d).table("documents")
       .groupBy(col("lang"))
@@ -414,6 +433,11 @@ object SparkEntry {
     "q98_event_transitions" -> EventAnalytics.eventTransitions _,
     "q99_bigram_surprisal" -> ((s, d) =>
       Corpus.bigramSurprisal(eng(s, d).table("documents"))),
+    // CCNet-style head/middle/tail terciles over the corpus's own
+    // unigram+bigram LM score — the quality-stratification cut mixture
+    // recipes consume; global rank via the distributed Ranks machinery
+    "q141_perplexity_buckets" -> ((s, d) =>
+      Corpus.perplexityBuckets(eng(s, d).table("documents"))),
     "q100_weighted_sample" -> ((s, d) =>
       Corpus.weightedSample(eng(s, d).table("documents"))),
     // Indexed batch ANN join, exhaustive regime: nprobe = nlist makes the
@@ -630,6 +654,21 @@ object SparkEntry {
     "q113_ivf_exhaustive" -> ((s, d) =>
       Similarity.ivfTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10,
         nlist = 16, nprobe = 16, datasetKey = d)),
+    // Incremental index maintenance: 4/5 of the corpus builds the layout,
+    // the remaining fifth is APPENDED against the frozen quantizer (no
+    // retrain, no rewrite — the daily-ingest path at 100 TB). Probed
+    // exhaustively (nprobe = nlist) the appended layout must equal the
+    // brute-force top-k over the WHOLE corpus — q113's oracle relation —
+    // which is only true if every appended vector landed probe-reachable
+    // in the layout. The query vector itself lives in the DELTA, so the
+    // probe also proves appended rows are findable as queries.
+    "q140_ivf_append" -> ((s, d) => {
+      val emb = eng(s, d).table("embeddings")
+      Similarity.ivfIncrementalTopK(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        queryId = 0L, k = 10, nlist = 8, nprobe = 8, datasetKey = d)
+    }),
     // Tokenizer-coverage metric: per-doc out-of-vocabulary rate against
     // the corpus top-20 vocabulary (the fixture has ~31 distinct tokens,
     // so 20 leaves real OOV mass for the metric to measure)
@@ -812,6 +851,13 @@ object SparkEntry {
         | count(*) AS event_count, count(DISTINCT user_id) AS user_count,
         | round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q138_events_window" ->
+      """SELECT date_trunc('day', ts) AS event_day, event_type,
+        | count(*) AS event_count, round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE date_trunc('day', ts) BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+        |  AND TIMESTAMP '2024-01-09 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q20_docs_lang" ->
       """SELECT lang, count(*) AS doc_count,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -921,6 +967,58 @@ object SparkEntry {
         | JOIN z zb ON i.doc_b = zb.doc_id
         |WHERE CAST(n_int AS DOUBLE) / (za.n + zb.n - n_int) >= 0.8
         |ORDER BY 1, 2""".stripMargin,
+    // containment pairs: same postings-index oracle as q136 with the
+    // overlap-coefficient numerator/denominator; emits both coefficients
+    "q137_containment_pairs" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |p AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |keep AS (SELECT g FROM p GROUP BY g HAVING count(*) <= 256),
+        |kp AS (SELECT p.doc_id, p.g FROM p JOIN keep USING (g)),
+        |i AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+        | FROM kp a JOIN kp b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM s)
+        |SELECT doc_a, doc_b,
+        | round(CAST(n_int AS DOUBLE) / least(za.n, zb.n), 4) AS overlap,
+        | round(CAST(n_int AS DOUBLE) / (za.n + zb.n - n_int), 4) AS jaccard
+        |FROM i JOIN z za ON i.doc_a = za.doc_id
+        | JOIN z zb ON i.doc_b = zb.doc_id
+        |WHERE CAST(n_int AS DOUBLE) / least(za.n, zb.n) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+    // near-dup degree: the q136 pair relation unpivoted to endpoints and
+    // aggregated per doc — count of partners + strongest similarity
+    "q139_dup_degree" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |p AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |keep AS (SELECT g FROM p GROUP BY g HAVING count(*) <= 256),
+        |kp AS (SELECT p.doc_id, p.g FROM p JOIN keep USING (g)),
+        |i AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+        | FROM kp a JOIN kp b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM s),
+        |j AS (
+        | SELECT doc_a, doc_b,
+        |  CAST(n_int AS DOUBLE) / (za.n + zb.n - n_int) AS jac
+        | FROM i JOIN z za ON i.doc_a = za.doc_id
+        |  JOIN z zb ON i.doc_b = zb.doc_id
+        | WHERE CAST(n_int AS DOUBLE) / (za.n + zb.n - n_int) >= 0.8),
+        |sym AS (SELECT doc_a AS doc_id, jac FROM j
+        |        UNION ALL SELECT doc_b AS doc_id, jac FROM j)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_dups,
+        | round(max(jac), 4) AS max_jaccard
+        |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin,
     // SimHash pairs: the per-token votes are md5 bits (SimHashVotes), so
     // the oracle recomputes the FULL path — fingerprints (per-bit
     // majority votes), pigeonhole banding (4 x 16-bit slices), candidate
@@ -1892,6 +1990,51 @@ object SparkEntry {
         |       / CAST(sum(cnt) AS DOUBLE), 4) AS avg_surprisal
         |FROM bc JOIN g USING (bg) CROSS JOIN tt
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet terciles: q94 + q99's LM relations (4dp-rounded, the proven
+    // portable surface), summed (exact 4dp — no mean-rounding tie),
+    // globally ranked on (score, doc_id), tercile by pure arithmetic
+    "q141_perplexity_buckets" ->
+      """WITH tc AS (
+        | SELECT doc_id, tok, count(*) AS cnt
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents)
+        | GROUP BY 1, 2),
+        |g AS (SELECT tok, sum(cnt) AS tf FROM tc GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS corpus_tokens FROM tc),
+        |uni AS (
+        | SELECT doc_id,
+        |  round(-sum(CAST(cnt AS DOUBLE) *
+        |             log2(CAST(tf AS DOUBLE) / corpus_tokens))
+        |        / CAST(sum(cnt) AS DOUBLE), 4) AS u
+        | FROM tc JOIN g USING (tok) CROSS JOIN t GROUP BY doc_id),
+        |tt0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bc0 AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   generate_series(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1])) AS bg
+        | FROM tt0 WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bc0 GROUP BY 1, 2),
+        |gb AS (SELECT bg, sum(cnt) AS bf FROM bc GROUP BY 1),
+        |tb AS (SELECT CAST(sum(cnt) AS DOUBLE) AS corpus_bigrams FROM bc),
+        |bi AS (
+        | SELECT doc_id,
+        |  round(-sum(CAST(cnt AS DOUBLE) *
+        |             log2(CAST(bf AS DOUBLE) / corpus_bigrams))
+        |        / CAST(sum(cnt) AS DOUBLE), 4) AS b
+        | FROM bc JOIN gb USING (bg) CROSS JOIN tb GROUP BY doc_id),
+        |sc AS (
+        | SELECT uni.doc_id, u + coalesce(b, u) AS score
+        | FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id),
+        |rk AS (
+        | SELECT doc_id, score,
+        |  row_number() OVER (ORDER BY score, doc_id) AS r,
+        |  count(*) OVER () AS n
+        | FROM sc)
+        |SELECT doc_id, round(score, 4) AS score,
+        | CASE WHEN CAST(3 * (r - 1) AS DOUBLE) / n < 1 THEN 'head'
+        |      WHEN CAST(3 * (r - 1) AS DOUBLE) / n < 2 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM rk ORDER BY doc_id""".stripMargin,
     "q100_weighted_sample" ->
       """WITH m AS (SELECT CAST(max(n_chars) AS DOUBLE) AS max_chars
         |           FROM documents)
@@ -2102,6 +2245,16 @@ object SparkEntry {
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     // exhaustive IVF ≡ brute force: same oracle as q28
     "q113_ivf_exhaustive" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        | round(list_inner_product(embedding, q_emb)
+        |   / (sqrt(list_inner_product(embedding, embedding))
+        |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // exhaustive probe of the incrementally-appended layout ≡ brute
+    // force over base ∪ delta = the whole table: q113's oracle relation
+    "q140_ivf_append" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
         | round(list_inner_product(embedding, q_emb)

@@ -92,9 +92,13 @@ object CubeCatalog {
       // NB: Spark's date_trunc coerces to tz-aware TIMESTAMP; cast back to
       // NTZ (UTC session) to keep naive wall-clock semantics end-to-end.
       Level("Event Day", "fact",
-        date_trunc("day", col("ts")).cast(TimestampNTZType), TimestampNTZType),
+        date_trunc("day", col("ts")).cast(TimestampNTZType), TimestampNTZType,
+        rangePrune = Some((lo, hi) =>
+          col("ts") >= lo && col("ts") < hi + expr("INTERVAL 1 DAY"))),
       Level("Event Hour", "fact",
-        date_trunc("hour", col("ts")).cast(TimestampNTZType), TimestampNTZType),
+        date_trunc("hour", col("ts")).cast(TimestampNTZType), TimestampNTZType,
+        rangePrune = Some((lo, hi) =>
+          col("ts") >= lo && col("ts") < hi + expr("INTERVAL 1 HOUR"))),
       Level("User ID", "fact", col("user_id"), LongType),
       // props is a JSON string ({"k": 87}) — parsed, not regex-scraped
       Level("Prop K", "fact",

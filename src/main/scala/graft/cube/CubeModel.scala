@@ -57,13 +57,26 @@ case class DimJoin(
   *                    (`oec.py:31`: {'Year': '2020'})
   * @param memberLabel optional label expression for member enumeration
   *                    (`oec.py:12-25` returns (ID, Label) per level)
+  * @param rangePrune  optional companion predicate for RANGE cuts on a
+  *                    derived level: given the coerced (lo, hi) literals,
+  *                    return an extra predicate over RAW fact columns that
+  *                    is a SUPERSET of the level predicate (never
+  *                    narrower). A range cut on `date_trunc("hour", ts)`
+  *                    cannot reach the parquet scan (expression over a
+  *                    column), so calendar levels supply `ts >= lo AND
+  *                    ts < hi + step`: Catalyst pushes THAT into
+  *                    PushedFilters (row-group + partition pruning — the
+  *                    access pattern that matters on a 100 TB event
+  *                    store), while the exact level predicate still
+  *                    applies on top. Plan-asserted in PlanShapeSpec.
   */
 case class Level(
     name: String,
     dim: String,
     expr: Column,
     dataType: DataType,
-    memberLabel: Option[Column] = None)
+    memberLabel: Option[Column] = None,
+    rangePrune: Option[(Column, Column) => Column] = None)
 
 /** An aggregatable measure (reference `oec.py:35`, `oec.py:55`).
   *

@@ -102,8 +102,11 @@ class Engine(spark: SparkSession, dir: String) {
                 else lvl.expr.isin(lits: _*))
     }
     val filtered = ranges.foldLeft(filtered0) { case (df, (lvl, (lo, hi))) =>
-      df.filter(lvl.expr.between(
-        lit(coerce(lo, lvl.dataType)), lit(coerce(hi, lvl.dataType))))
+      val (loL, hiL) = (lit(coerce(lo, lvl.dataType)), lit(coerce(hi, lvl.dataType)))
+      val exact = df.filter(lvl.expr.between(loL, hiL))
+      // derived levels add their superset raw-column predicate so the
+      // scan prunes row groups/partitions (see Level.rangePrune)
+      lvl.rangePrune.fold(exact)(p => exact.filter(p(loL, hiL)))
     }
 
     val keyCols: Seq[Column] = dds.map(l => l.expr.as(l.name))

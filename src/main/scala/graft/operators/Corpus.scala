@@ -448,6 +448,51 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing: score every document with an
+    * n-gram language-model surprisal, rank the corpus, and cut it into
+    * head / middle / tail terciles — the classic quality-stratification
+    * pass (CCNet trains KenLM on Wikipedia and keeps the low-perplexity
+    * head; this engine's LM is the corpus' own unigram+bigram model, the
+    * score being the SUM of the two per-doc average surprisals — the sum,
+    * not the mean, deliberately: both components are 4dp-rounded (the
+    * q94/q99 hash-portable surface), so the sum is again an exact 4dp
+    * quantity while a mean could land on a .00005 rounding tie where
+    * engines' double-rounding conventions diverge; for ranking the two
+    * are order-identical — with bigram falling back to unigram for
+    * sub-2-token docs (counted twice, keeping the fallback on the same
+    * scale as the two-component score). The bucket —
+    * not the raw score — is the USEFUL artifact: mixture recipes say
+    * "2 parts head, 1 part middle, drop tail", robust to the absolute
+    * scale of whichever LM scored the corpus.
+    *
+    * Scale shape: the two LM passes are the proven q94/q99 aggregations
+    * (one materialized counts frame each, vocab-keyed shuffles); the
+    * tercile needs a GLOBAL rank, which runs through
+    * [[Ranks.globalRowNumber]] — range partition + positional ids +
+    * broadcast offsets, one exchange of the (doc_id, score) frame, never
+    * a single-partition window. Bucket = floor(3·(rank−1)/n): pure
+    * arithmetic on (rank, n), portable, and exactly balanced regardless
+    * of score distribution. Ranks order by the 4dp-rounded component
+    * scores (hash-stable across engines, q94/q99-proven) with doc_id as
+    * the tie-break, so the cut is deterministic everywhere.
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val uni = unigramSurprisal(docs)
+      .select(col("doc_id"), col("avg_surprisal").as("__u"))
+    val bi = bigramSurprisal(docs)
+      .select(col("doc_id"), col("avg_surprisal").as("__b"))
+    val scored = uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("__u") + coalesce(col("__b"), col("__u"))).as("score"))
+    Ranks.globalRowNumber(scored, Seq(col("score"), col("doc_id")),
+        rankCol = "__rank", totalCol = Some("__n"))
+      .select(col("doc_id"), round(col("score"), 4).as("score"),
+        when(lit(3) * (col("__rank") - 1) / col("__n") < 1, "head")
+          .when(lit(3) * (col("__rank") - 1) / col("__n") < 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Length-weighted deterministic sampler: each doc kept with
     * probability proportional to its size share (n_chars / max n_chars,
     * scaled by `rate`), decided by the same multiplicative-hash

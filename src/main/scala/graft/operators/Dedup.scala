@@ -282,6 +282,36 @@ object Dedup {
           (col("__na") + col("__nb") - col("__i")), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Per-document near-duplicate DEGREE: for every doc with at least one
+    * exact-Jaccard partner at `threshold`, how many partners it has and
+    * the strongest similarity. Degree is the density signal pair lists
+    * bury: a doc with 40 near-dups is boilerplate (a template, a license
+    * page, syndicated chrome) and a curation pass drops or down-weights
+    * the whole neighborhood, where a doc with one partner is an ordinary
+    * duplicate handled by the keep-list. The MADLAD/RefinedWeb-style
+    * "too many near-dups → not content" filter needs exactly this frame.
+    *
+    * Plan: the id-ordered pair frame from [[pairIntersections]] (shared
+    * with [[jaccardPairs]]/[[containmentPairs]], same `maxDf` hot-key
+    * bound), thresholded unrounded, then unpivoted to one row per
+    * (pair, endpoint) and aggregated by doc — the union doubles a frame
+    * that is already tiny next to the corpus, and the degree agg is a
+    * bounded-key groupBy on doc_id.
+    */
+  def dupDegree(docs: DataFrame, shingleN: Int = 3,
+      threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    val pairs = pairIntersections(docs, shingleN, maxDf)
+      .withColumn("__j", col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")))
+      .filter(col("__j") >= threshold)
+    pairs.select(col("doc_a").as("doc_id"), col("__j"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"), col("__j")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_dups"),
+        round(max(col("__j")), 4).as("max_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One side of the bipartite near-dup join, pre-keyed: the checkpointed
     * shingle frame and its exploded (id, band, sig) band-hash frame, plus
     * the banding parameters they were built with (a probe MUST use the

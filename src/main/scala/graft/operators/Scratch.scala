@@ -19,6 +19,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * near-dup pair memos, the ANN index layouts — are deliberately NOT
   * scratch: they have their own invalidation entry points
   * ([[Dedup.invalidateSharedPairs]], [[Similarity.invalidateIndexes]]).
+  *
+  * LOCAL vs RELIABLE checkpoints — the decision, made once here: every
+  * engine checkpoint is `localCheckpoint` (executor-local MEMORY_AND_DISK
+  * blocks, no replication). The frames involved are (a) short-lived —
+  * scratch dies at the query boundary, iteration barriers
+  * (label propagation, PageRank) die with the loop — and (b) cheap to
+  * recompute relative to the reliable alternative's cost: `checkpoint()`
+  * writes every block to the cluster-wide checkpoint dir and reads it
+  * back, i.e. a full extra write+read of a multi-TB intermediate per
+  * barrier at the 100 TB scale point, paid ALWAYS, versus re-running one
+  * query's lineage in the rare event an executor dies mid-query. Losing
+  * a localCheckpoint block fails the query, not the session (memos
+  * recompute on next use; Verify/Bench rerun the query). A deployment on
+  * preemptible/spot executors — where mid-query executor loss is the
+  * NORM, not the tail — inverts that trade: swap sites to
+  * `df.checkpoint()` with `sparkContext.setCheckpointDir` on shared
+  * storage (same call shape; see `Ranks.globalRowNumber`'s note), and
+  * this registry still applies — release then deletes checkpoint files
+  * instead of unpersisting blocks.
   */
 object Scratch {
   // The registry records RDD IDs, never object references: a strong

@@ -480,9 +480,17 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       iters: Int = 5,
-      datasetKey: String): DataFrame = {
-    val idx = ivfIndex(emb, datasetKey, nlist, iters)
-    val qRows = emb.filter(col("vec_id") === queryId).collect()
+      datasetKey: String): DataFrame =
+    ivfProbeTopK(ivfIndex(emb, datasetKey, nlist, iters), emb, queryId, k, nprobe)
+
+  /** Single-query probe against an already-built [[IvfIndex]] — the
+    * shared probe path of [[ivfTopK]] and [[ivfIncrementalTopK]]. The
+    * `lookup` frame only supplies the query vector (one filtered
+    * collect); all scored data comes off the cid-partitioned layout.
+    */
+  private def ivfProbeTopK(idx: IvfIndex, lookup: DataFrame,
+      queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val qRows = lookup.filter(col("vec_id") === queryId).collect()
     require(qRows.nonEmpty, s"ivfTopK: query vec_id=$queryId not found")
     val q = qRows.head
     val qv = q.getSeq[Float](q.fieldIndex("embedding")).map(_.toDouble).toArray
@@ -491,13 +499,67 @@ object Similarity {
       cid -> d2
     }.sortBy(_._2).take(nprobe).map(_._1).toSet
     val qLit = array(qv.map(lit).toIndexedSeq: _*)
-    emb.sparkSession.read.parquet(idx.path)
+    lookup.sparkSession.read.parquet(idx.path)
       .filter(col("cid").isInCollection(probes) && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), qLit), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** INCREMENTAL index maintenance: fold a delta of new vectors into an
+    * existing IVF layout without retraining or rewriting it. At 100 TB an
+    * index rebuild is a full-corpus write; a daily ingest delta is not a
+    * rebuild-sized event. The coarse quantizer is FROZEN — delta vectors
+    * are assigned to the nearest EXISTING centroid (pure map, k dot
+    * products per row) and appended into that cell's directory; probes
+    * see base ∪ delta through the unchanged partition-pruned read path,
+    * and the centroid model (the driver-side state) is byte-identical.
+    *
+    * The trade — the standard IVF one (Faiss `add` vs `train`) — is that
+    * cells drift as the delta's distribution diverges from the base's:
+    * appended mass lands in cells whose centroids were not trained on
+    * it, degrading probe recall at nprobe < nlist, never correctness of
+    * the exhaustive regime. Re-train on the quantizer's own schedule
+    * (e.g. when [[embeddingHealth]]-style drift audits trip), not per
+    * ingest.
+    *
+    * Memoized like [[ivfIndex]] under a derived dataset key, so a
+    * session appends the delta exactly once; after
+    * [[invalidateIndexes]] the base build's Overwrite write clears the
+    * layout before the append re-runs — the on-disk state converges to
+    * base ∪ delta no matter how the memo and the files interleave.
+    * (That truncation relies on the default STATIC
+    * `spark.sql.sources.partitionOverwriteMode`; a session flipped to
+    * dynamic would only overwrite cells the rebuild touches — which is
+    * all of them for a full base rebuild, so the contract degrades only
+    * if a cell goes EMPTY between generations, a vanishing edge at any
+    * real corpus size. Idempotence is spec-pinned either way.)
+    */
+  def ivfIndexIncremental(base: DataFrame, delta: DataFrame,
+      datasetKey: String, nlist: Int = 16, iters: Int = 5): IvfIndex =
+    // derived keys use '_' (never '#'/':' — dataset keys feed path
+    // basenames, and URI-fragment parsing would silently collide the
+    // base layout with the plain index of the same dataset)
+    ivfMemo.getOrElseUpdate((base.sparkSession, s"${datasetKey}_incr", nlist, iters), {
+      val idx = ivfIndex(base, s"${datasetKey}_incrbase", nlist, iters)
+      assignToCentroids(delta, idx.centroids)
+        .repartition(col("cid"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("cid").parquet(idx.path)
+      idx
+    })
+
+  /** Top-k probe through the incrementally-appended layout
+    * ([[ivfIndexIncremental]]). At nprobe = nlist this is provably the
+    * exact top-k over base ∪ delta — the append machinery sits on the
+    * oracle surface (q140) exactly as q113 gates the probe machinery.
+    */
+  def ivfIncrementalTopK(base: DataFrame, delta: DataFrame,
+      queryId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 5, datasetKey: String): DataFrame =
+    ivfProbeTopK(ivfIndexIncremental(base, delta, datasetKey, nlist, iters),
+      base.unionByName(delta), queryId, k, nprobe)
 
   /** Pick the query-side join regime for the indexed ANN joins. A
     * mining/retrieval BATCH of queries broadcasts (each corpus partition

@@ -495,4 +495,37 @@ class CorpusPipelineSpec extends SparkFunSuite {
       Scratch.releaseAll(spark)
     }
   }
+
+  test("perplexityBuckets cuts balanced terciles ordered by score, dropping no doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Corpus.perplexityBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val n = docs.count()
+    assert(out.length == n, "every doc gets a bucket")
+    val counts = out.groupBy(_._3).view.mapValues(_.length).toMap
+    Seq("head", "middle", "tail").foreach { b =>
+      val c = counts.getOrElse(b, 0)
+      assert(math.abs(c - n / 3.0) <= 1.0, s"$b holds $c of $n — terciles must balance")
+    }
+    def scores(b: String) = out.filter(_._3 == b).map(_._2)
+    assert(scores("head").max <= scores("middle").min,
+      "head must score at or below middle")
+    assert(scores("middle").max <= scores("tail").min,
+      "middle must score at or below tail")
+  }
+
+  test("perplexityBuckets falls back to unigram-only for sub-2-token docs") {
+    val docs = Seq(
+      (1L, "aa"), (2L, "aa bb"), (3L, "aa bb cc"), (4L, "bb cc"),
+      (5L, "cc dd ee"), (6L, "dd ee ff gg")
+    ).toDF("doc_id", "text")
+    val out = Corpus.perplexityBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "the bigram-less doc must not be dropped by the left join")
+    // doc 1 has no bigram: its score doubles the unigram component
+    val uni = Corpus.unigramSurprisal(docs)
+      .filter(col("doc_id") === 1L).collect()(0).getDouble(2)
+    assert(math.abs(out.head._2 - 2 * uni) < 1e-9)
+  }
 }

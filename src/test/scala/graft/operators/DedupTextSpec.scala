@@ -353,4 +353,21 @@ class DedupTextSpec extends SparkFunSuite {
     // hello|world|,|it|'|s|42|degrees|! = 9
     assert(r.getInt(1) == 9)
   }
+
+  test("dupDegree is exactly the endpoint histogram of jaccardPairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.jaccardPairs(docs, maxDf = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    val expected = (pairs.map(p => p._1 -> p._3) ++ pairs.map(p => p._2 -> p._3))
+      .groupBy(_._1)
+      .map { case (id, xs) => (id, xs.length, xs.map(_._2).max) }
+      .toSet
+    val got = Dedup.dupDegree(docs, maxDf = 256).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // max over per-pair ROUNDED jaccards equals round(max(unrounded)):
+    // rounding is monotonic, so the two orders of max/round agree
+    assert(got.toSet == expected)
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq, "ordered by doc_id")
+  }
 }

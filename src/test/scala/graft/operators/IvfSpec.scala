@@ -319,4 +319,51 @@ class IvfSpec extends SparkFunSuite {
       assert(sampled == (frames + 3) / 4)
     }
   }
+
+  test("incremental append: exhaustive probe equals brute force over base ∪ delta") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val bf = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val inc = Similarity.ivfIncrementalTopK(base, delta, 0L, 10,
+      nlist = 8, nprobe = 8, datasetKey = "ivfspec-incr")
+      .collect().map(_.getLong(0)).toSeq
+    assert(inc == bf)
+  }
+
+  test("incremental append: layout converges to base ∪ delta, idempotently, on frozen centroids") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val n = emb.count()
+    val idx = Similarity.ivfIndexIncremental(base, delta,
+      datasetKey = "ivfspec-incr2", nlist = 4)
+    assert(spark.read.parquet(idx.path).count() == n)
+    // a second call under a live memo must not double-append
+    Similarity.ivfIndexIncremental(base, delta,
+      datasetKey = "ivfspec-incr2", nlist = 4)
+    assert(spark.read.parquet(idx.path).count() == n)
+    // after invalidation the base rebuild Overwrites, then the append
+    // re-runs: the on-disk state converges to base ∪ delta either way
+    Similarity.invalidateIndexes(spark)
+    val idx2 = Similarity.ivfIndexIncremental(base, delta,
+      datasetKey = "ivfspec-incr2", nlist = 4)
+    assert(spark.read.parquet(idx2.path).count() == n)
+    // every delta row sits in the cell its FROZEN-centroid assignment
+    // dictates (ties to the lowest cid, like assignToCentroids)
+    val laidDelta = spark.read.parquet(idx2.path)
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"), col("cid").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    delta.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val best = idx2.centroids.minBy { case (cid, c) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }._1
+      assert(laidDelta(id) == best,
+        s"delta vec $id landed in cell ${laidDelta(id)}, nearest frozen centroid is $best")
+    }
+  }
 }

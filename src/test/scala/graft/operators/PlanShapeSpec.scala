@@ -304,4 +304,21 @@ class PlanShapeSpec extends SparkFunSuite {
         && l.contains("PushedFilters"))
     assert(pushedToScan, "cut predicate did not reach the parquet scan")
   }
+
+  test("events time-range cut pushes raw-ts bounds into the parquet scan under NTZ") {
+    // A range cut on the DERIVED calendar level (date_trunc over ts) is
+    // not scan-pushable by itself; Level.rangePrune supplies the superset
+    // raw-ts bounds. On a 100 TB event store this is the difference
+    // between scanning everything and reading only the window's row
+    // groups/partitions — assert the bounds actually reach PushedFilters
+    // now that ts scans as TIMESTAMP_NTZ.
+    val df = graft.SparkEntry.queries("q138_events_window")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("PushedFilters") &&
+        l.contains("GreaterThanOrEqual(ts,") && l.contains("LessThan(ts,"))
+    assert(pushed, s"raw-ts range bounds did not reach the parquet scan:\n${
+      plan.linesIterator.filter(_.contains("FileScan")).mkString("\n")}")
+  }
 }

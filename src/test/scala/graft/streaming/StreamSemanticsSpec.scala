@@ -362,6 +362,67 @@ class StreamSemanticsSpec extends SparkFunSuite {
     q.stop()
   }
 
+  test("fixture-driven hourly rollup matches the batch plan with absolute window counts") {
+    // the round-9 silent failure: a unit-scale ts misread (micros read as
+    // nanos) compressed all event time 1000x, collapsing the hour windows
+    // to 10 buckets — every test still passed because none asserted
+    // ABSOLUTE counts from the real fixture. This one does, three ways:
+    //  1. the streamed rollup must equal the batch groupBy row-for-row
+    //     (catches stream-vs-batch divergence, the exact r09 mode);
+    //  2. the fixture's events must span many distinct hours (a 1000x
+    //     compression leaves < 10 — floor catches both paths agreeing on
+    //     a wrong unit);
+    //  3. total event_count must equal the raw fixture row count (no
+    //     window may drop or duplicate events).
+    val streamed = EventsStream.hourlyRollup(spark, sf)
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0).toString,
+        r.getString(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val events = new graft.cube.Engine(spark, sf).table("events")
+    val batch = events
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("event_hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"), round(sum(col("value")), 2).as("total_value"))
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0).toString,
+        r.getString(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(streamed == batch)
+    val nHours = streamed.map(_._1).distinct.size
+    assert(nHours >= 24, s"fixture spans many hours; got $nHours — unit-scale ts error?")
+    assert(streamed.map(_._3).sum == events.count())
+  }
+
+  test("fixture-driven interval join matches the batch join cardinality exactly") {
+    // q54's r09 failure signature: 1000x-compressed timestamps put every
+    // purchase within an hour of every click, so the join matched nearly
+    // everything (13,432 rows vs 29). Pin the streamed join to the exact
+    // batch interval join — cardinality AND rows — so a time-unit error
+    // cannot hide behind schema/ordering checks.
+    val streamed = EventsStream.purchaseAttribution(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toString,
+        r.getAs[java.time.LocalDateTime](3).toString, r.getDouble(4))).sorted.toSeq
+    val events = new graft.cube.Engine(spark, sf).table("events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toString,
+        r.getAs[java.time.LocalDateTime](3).toString, r.getDouble(4))).sorted.toSeq
+    assert(streamed == batch)
+    // the degenerate regime is structurally impossible at a sane time
+    // unit: matches must be well below clicks x purchases-per-user
+    val nClicks = clicks.count(); val nPurch = purchases.count()
+    assert(streamed.size < nClicks * nPurch / 10,
+      s"join matched ${streamed.size} of ${nClicks * nPurch} possible pairs — time-unit error?")
+  }
+
   test("transformWithState accumulates across triggers in RocksDB value state") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
