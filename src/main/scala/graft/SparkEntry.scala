@@ -188,6 +188,22 @@ object SparkEntry {
       val docs = eng(s, d).table("documents")
       Dedup.keepList(docs, Dedup.minhashPairsShared(docs, d))
     }),
+    // merit keep-list: keep the highest-QUALITY member of each near-dup
+    // cluster (canonical-document selection) instead of q42's id-min
+    // accident; same shared pair frame, top-1-per-cluster window
+    "q142_keep_best" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+      Dedup.keepBestPerCluster(docs, Dedup.minhashPairsShared(docs, d),
+        graft.functions.TextAnalysis.qualityScore(col("text")))
+    }),
+    // curriculum epochs: merit-ordered token prefix sum cut into
+    // fixed-token epochs — epoch 0 is the cleanest 4096 tokens
+    "q143_curriculum" -> ((s, d) =>
+      Corpus.curriculumEpochs(eng(s, d).table("documents"),
+        epochTokens = 4096L)),
+    // metastore-bucketed co-located join roundtrip (write -> read ->
+    // exchange-free join -> rollup); plan shape asserted in specs
+    "q144_bucketed_rollup" -> Relational.bucketedSegmentRollup _,
     "q43_sliding_window" -> EventsStream.slidingTraffic _,
     "q44_running_totals" -> EventsStream.runningDailyTotals _,
     "q45_chars_percentiles" -> ((s, d) => eng(s, d).table("documents")
@@ -1293,6 +1309,79 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
         |ORDER BY doc_id""".stripMargin,
+    // merit keep-list: q42's component relation + the bit-portable
+    // quality score; per-cluster argmax (qs DESC, doc_id tie-break),
+    // unclustered docs keep themselves
+    "q142_keep_best" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | WITH RECURSIVE r(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        | SELECT * FROM r),
+        |comp AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        | FROM reach GROUP BY src),
+        |q AS (
+        | SELECT doc_id,
+        |  0.4 * least(len(string_split(text, ' ')) / 64.0, 1.0)
+        |   + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / len(string_split(text, ' ')))
+        |   + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |       / length(text)) AS qs
+        | FROM documents),
+        |best AS (
+        | SELECT comp.doc_id,
+        |  row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY qs DESC, comp.doc_id) AS rn
+        | FROM comp JOIN q USING (doc_id))
+        |SELECT doc_id FROM best WHERE rn = 1
+        |UNION ALL
+        |SELECT doc_id FROM documents
+        | WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+        |ORDER BY doc_id""".stripMargin,
+    // curriculum epochs: merit-ordered exclusive prefix sum (qs DESC,
+    // doc_id) over the q62 token counts, epoch = offset div 4096
+    "q143_curriculum" ->
+      """WITH q AS (
+        | SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  0.4 * least(len(string_split(text, ' ')) / 64.0, 1.0)
+        |   + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / len(string_split(text, ' ')))
+        |   + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |       / length(text)) AS qs
+        | FROM documents),
+        |o AS (
+        | SELECT doc_id, n_tokens, qs,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY qs DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS off
+        | FROM q)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        | CAST(off // 4096 AS INTEGER) AS epoch
+        |FROM o ORDER BY doc_id""".stripMargin,
+    // bucketed roundtrip: the layout cannot change the answer — plain
+    // join-rollup SQL is the oracle
+    "q144_bucketed_rollup" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+        | CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q43_sliding_window" ->
       """SELECT ws AS window_start, event_type,
         | count(*) AS event_count, round(sum(value), 2) AS total_value

@@ -253,12 +253,34 @@ object Corpus {
       col("doc_id"),
       graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
       pmod(docHash(col("doc_id")), lit(1000000007L)).as("__key"))
+    tokenPrefixSum(sized, Seq(col("__key"), col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"))
+      .withColumn("bin", expr(s"tok_offset div $budget"))
+      .withColumn("bin_offset", pmod(col("tok_offset"), lit(budget.toLong)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The distributed EXCLUSIVE prefix sum over `n_tokens` under the total
+    * order `order` — the engine's one prefix-sum implementation, shared
+    * by [[packSequences]] (hash order) and [[curriculumEpochs]] (merit
+    * order). Range-repartition by the order key, an intra-partition
+    * running sum (parallel window per partition), then a per-partition-
+    * totals exclusive cumsum (one tiny row per partition) broadcast
+    * back. Offsets depend only on the total order — which MUST be
+    * deterministic (include a tie-break key) — not on where partitions
+    * were cut, so the result is identical on any cluster size. The
+    * ranged frame is localCheckpoint'ed because range boundaries are
+    * sampled per materialization, and both consumers (rows and totals)
+    * must observe the SAME partitioning. Returns the input columns plus
+    * `tok_offset`.
+    */
+  private def tokenPrefixSum(sized: DataFrame, order: Seq[Column]): DataFrame = {
     val ranged = Scratch.register(sized
-      .repartitionByRange(col("__key"), col("doc_id"))
+      .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint())
     val wRow = Window.partitionBy(col("__pid"))
-      .orderBy(col("__key"), col("doc_id"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wPart = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -270,10 +292,36 @@ object Corpus {
       .withColumn("__local",
         coalesce(sum(col("n_tokens")).over(wRow).cast("long"), lit(0L)))
       .join(broadcast(partOffsets), "__pid")
+      .withColumn("tok_offset", col("__local") + col("__poff"))
+      .drop("__pid", "__local", "__poff")
+  }
+
+  /** Curriculum epoch assignment: order the corpus by MERIT (the
+    * bit-portable quality score, best first), run the token prefix sum,
+    * and cut epochs of `epochTokens` each — so epoch 0 is the highest-
+    * quality `epochTokens` tokens, epoch 1 the next band, and a
+    * quality-curriculum trainer (clean-data-first schedules; anneal or
+    * drop the tail) consumes the corpus in epoch order. The merit-order
+    * twin of [[packSequences]]' hash-order layout, riding the same
+    * distributed prefix sum ([[tokenPrefixSum]]) — ordering 100 TB by
+    * quality costs one range exchange, never a global sort to one node.
+    * Ties break to the lowest doc_id; the negated score keys the
+    * ascending range partitioner, so best-quality rows land first.
+    */
+  def curriculumEpochs(docs: DataFrame, epochTokens: Long = 65536L): DataFrame = {
+    val sized = docs.select(
+      col("doc_id"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      (-graft.functions.TextAnalysis.qualityScore(col("text"))).as("__negq"))
+    tokenPrefixSum(sized, Seq(col("__negq"), col("doc_id")))
+      // the score itself stays OFF the output surface deliberately: the
+      // ORDER consumes the unrounded, bit-portable double (identical on
+      // any ANSI engine), but a rounded score column would sit on the
+      // .xxxx5 half-tie boundary where engines' double-rounding
+      // conventions diverge (observed: 0.4862 vs 0.4863 at 4dp on one
+      // fixture doc). The epoch assignment pins the merit order exactly.
       .select(col("doc_id"), col("n_tokens"),
-        (col("__local") + col("__poff")).as("tok_offset"))
-      .withColumn("bin", expr(s"tok_offset div $budget"))
-      .withColumn("bin_offset", pmod(col("tok_offset"), lit(budget.toLong)))
+        expr(s"tok_offset div $epochTokens").cast("int").as("epoch"))
       .orderBy(col("doc_id"))
   }
 

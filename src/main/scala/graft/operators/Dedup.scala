@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 
@@ -538,6 +539,42 @@ object Dedup {
     docs.select(col("doc_id"))
       .join(drop, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
+  }
+
+  /** MERIT keep-list: keep the best-scoring member of every near-dup
+    * cluster instead of [[keepList]]'s id-min representative. The id-min
+    * pick is an accident of crawl order — when a page is syndicated
+    * across mirrors the copy you keep should be the cleanest one, which
+    * is what a curation pass actually wants (the canonical-document
+    * selection step in dedup pipelines; [[Similarity.semanticKeepList]]
+    * is the embedding-space cousin that keeps the centroid-closest).
+    * `score` is any deterministic per-doc merit column (default callers
+    * use [[graft.functions.TextAnalysis.qualityScore]] — unrounded,
+    * bit-portable); ties break to the lowest doc_id, so the pick is
+    * reproducible everywhere.
+    *
+    * Plan: [[clusters]] labels only docs that appear in a pair; the best
+    * member per cluster is a top-1-per-key window (rank 1 over
+    * (score desc, doc_id)) that Spark executes as WindowGroupLimit —
+    * per-cluster state is one row map-side, never a sort of the corpus.
+    * Unclustered docs keep themselves via a left-anti join. Text never
+    * shuffles: the score is computed in the scan stage and only
+    * (doc_id, cluster_id, score) moves.
+    */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame,
+      score: Column): DataFrame = {
+    val scored = docs.select(col("doc_id"), score.as("__q"))
+    val comp = clusters(pairs)
+    val best = scored.join(comp, "doc_id")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("__q").desc, col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"))
+    val loners = scored
+      .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    best.unionAll(loners).orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found by the

@@ -120,6 +120,40 @@ object Relational {
       .orderBy(col("nation"))
   }
 
+  /** Metastore-bucketed co-located join on the data path: both fact and
+    * dim are written `bucketBy` their join key into the session catalog,
+    * re-read, joined, and rolled up — the write→read→join ROUNDTRIP of
+    * the bucketed layout (q91/q93 cover the partitioned and z-ordered
+    * sinks; this puts the bucketed one on the oracle surface). With
+    * matching bucket counts the join needs NO exchange on either side —
+    * the layout is the shuffle, paid once at write time and amortized
+    * over every subsequent join on that key; the exchange-free plan
+    * shape is asserted in SkewSinkSpec/PlanShapeSpec with broadcast
+    * disabled (at fixture scale Spark rightly prefers broadcasting the
+    * dim — both plans read the same bucketed data).
+    */
+  def bucketedSegmentRollup(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    // clear catalog entry AND any orphaned location from a prior JVM
+    // (the warehouse dir outlives the in-memory catalog)
+    graft.sources.Sink.dropManaged(spark, "graft_bkt_orders")
+    graft.sources.Sink.dropManaged(spark, "graft_bkt_customer")
+    graft.sources.Sink.writeBucketed(
+      en.table("orders").select(col("o_custkey"), col("o_totalprice")),
+      "graft_bkt_orders", "o_custkey", 8)
+    graft.sources.Sink.writeBucketed(
+      en.table("customer").select(col("c_custkey"), col("c_mktsegment")),
+      "graft_bkt_customer", "c_custkey", 8)
+    spark.table("graft_bkt_orders")
+      .join(spark.table("graft_bkt_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("segment"))
+  }
+
   /** Mergeable-sketch pre-aggregation: per-(type, day) HLL user sketches
     * built once, then UNIONED per type — re-aggregating the small sketch
     * table instead of rescanning events. At 100 TB this is the pattern

@@ -61,6 +61,24 @@ object Sink {
       .sortBy(keyCol)
       .saveAsTable(table)
 
+  /** Drop a managed table AND clear an orphaned warehouse location. The
+    * two can disagree: a managed table written by another JVM leaves its
+    * directory under the (shared) warehouse while THIS session's
+    * in-memory catalog has no entry for it — `DROP TABLE IF EXISTS` is
+    * then a no-op and the next `saveAsTable` fails with
+    * LOCATION_ALREADY_EXISTS. Callers that rewrite a managed table from
+    * a fresh session (Verify/Bench run one JVM per invocation) clear
+    * both sides first. Hadoop FileSystem API, same discipline as the
+    * index layouts.
+    */
+  def dropManaged(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   /** Training-shard writer: exactly `shards` equal-weight output files,
     * membership decided by the deterministic multiplicative hash of
     * `idCol` (reproducible across runs and cluster sizes — a re-run

@@ -528,4 +528,28 @@ class CorpusPipelineSpec extends SparkFunSuite {
       .filter(col("doc_id") === 1L).collect()(0).getDouble(2)
     assert(math.abs(out.head._2 - 2 * uni) < 1e-9)
   }
+
+  test("curriculumEpochs is the exclusive merit-order prefix sum cut at the epoch budget") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Corpus.curriculumEpochs(docs, epochTokens = 1024L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // reconstruct locally: sort by (quality desc, doc_id), exclusive cumsum
+    val scored = docs.select(col("doc_id"),
+      graft.functions.TextAnalysis.tokenCount(col("text")).as("n"),
+      graft.functions.TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    var off = 0L
+    val expected = scored.sortBy { case (id, _, q) => (-q, id) }.map { case (id, n, _) =>
+      val row = (id, n, (off / 1024L).toInt)
+      off += n
+      row
+    }.sortBy(_._1).toSeq
+    assert(got.toSeq == expected,
+      "epoch assignment must equal the local merit-order prefix sum")
+    // best-quality docs land in epoch 0; epochs are contiguous from 0
+    val epochs = got.map(_._3).distinct.sorted.toSeq
+    assert(epochs.head == 0 && epochs == (0 to epochs.max))
+    val topDoc = scored.minBy { case (id, _, q) => (-q, id) }._1
+    assert(got.find(_._1 == topDoc).get._3 == 0)
+  }
 }

@@ -370,4 +370,30 @@ class DedupTextSpec extends SparkFunSuite {
     assert(got.toSet == expected)
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq, "ordered by doc_id")
   }
+
+  test("keepBestPerCluster keeps exactly one member per cluster — the max-quality one") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.minhashPairsShared(docs, sf)
+    val comp = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.nonEmpty, "fixture must contain clusters")
+    val quality = docs.select(col("doc_id"),
+      graft.functions.TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kept = Dedup.keepBestPerCluster(docs, pairs,
+      graft.functions.TextAnalysis.qualityScore(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    // same cardinality contract as the id-min keep-list: one survivor
+    // per cluster plus every unclustered doc
+    val keptMin = Dedup.keepList(docs, pairs).collect().map(_.getLong(0)).toSet
+    assert(kept.size == keptMin.size)
+    // per cluster: the survivor is the max-quality member (doc_id ties low)
+    comp.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.map(_._1)
+      val best = ids.minBy(id => (-quality(id), id))
+      assert(kept.contains(best), s"cluster of ${ids.toSeq.sorted} must keep $best")
+      ids.filterNot(_ == best).foreach(id =>
+        assert(!kept.contains(id), s"non-best member $id must be dropped"))
+    }
+  }
 }

@@ -305,6 +305,26 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(pushedToScan, "cut predicate did not reach the parquet scan")
   }
 
+  test("bucketed rollup tables join with no exchange on the join keys") {
+    // q144's layout contract: after the bucketed write, a join on the
+    // bucket keys reads both sides pre-shuffled — the exchange was paid
+    // once at write time. Broadcast disabled so the tiny fixture dim
+    // cannot hide a missing bucket join behind BroadcastHashJoin.
+    withAutoBroadcastDisabled {
+      graft.SparkEntry.queries("q144_bucketed_rollup")(spark, sf).collect()
+      val j = spark.table("graft_bkt_orders")
+        .join(spark.table("graft_bkt_customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"bucketed join must be a shuffle-family join:\n${plan.take(1200)}")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not re-shuffle either side:\n${plan.take(1200)}")
+    }
+  }
+
   test("events time-range cut pushes raw-ts bounds into the parquet scan under NTZ") {
     // A range cut on the DERIVED calendar level (date_trunc over ts) is
     // not scan-pushable by itself; Level.rangePrune supplies the superset
