@@ -609,6 +609,17 @@ object SparkEntry {
         (2L, Seq("sort", "merge", "shuffle"))).toDF("query_id", "terms")
       Corpus.bm25Retrieval(eng(s, d).table("documents"), queries, topK = 5)
     }),
+    // RAG chunk retrieval: q115's BM25 at q71's chunk granularity —
+    // passage scoring over 32-token chunks, chunk text never built
+    "q145_chunk_retrieval" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, Seq("spark", "query", "join")),
+        (1L, Seq("stream", "window", "batch")),
+        (2L, Seq("sort", "merge", "shuffle"))).toDF("query_id", "terms")
+      Corpus.chunkRetrieval(eng(s, d).table("documents"), queries,
+        chunkTokens = 32, topK = 5)
+    }),
     // Corpus-level duplicated-span removal (C4/RefinedWeb boilerplate
     // cut at 3-token-block granularity): drop every block occurring in
     // more than one document, reassemble survivors in order
@@ -2426,6 +2437,57 @@ object SparkEntry {
         |    ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rk
         | FROM scored)
         |SELECT query_id, rk, doc_id, bm25, n_terms FROM r WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    // chunk retrieval: q115's BM25 relations re-keyed at the chunk grain
+    // — zipped unnest gives token positions, (pos-1)//32 the chunk id;
+    // chunk lengths and counts are arithmetic over per-doc token counts
+    "q145_chunk_retrieval" ->
+      """WITH queries AS (
+        | SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), ['spark', 'query', 'join']),
+        |  (CAST(1 AS BIGINT), ['stream', 'window', 'batch']),
+        |  (CAST(2 AS BIGINT), ['sort', 'merge', 'shuffle'])) q(query_id, terms)),
+        |qterms AS (SELECT DISTINCT query_id, unnest(terms) AS tok FROM queries),
+        |d0 AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        | FROM documents),
+        |lens AS (
+        | SELECT doc_id, chunk_idx,
+        |  CAST(least(32, n - chunk_idx * 32) AS DOUBLE) AS dl
+        | FROM (SELECT doc_id, n,
+        |   unnest(generate_series(0, (n + 31) // 32 - 1)) AS chunk_idx
+        |  FROM d0)),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_chunks, avg(dl) AS avgdl
+        |       FROM lens),
+        |toks AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |  unnest(generate_series(1, len(string_split_regex(trim(text), '\s+'))))
+        |    AS pos
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, (pos - 1) // 32 AS chunk_idx, tok,
+        |  CAST(count(*) AS DOUBLE) AS cnt
+        | FROM toks WHERE tok IN (SELECT tok FROM qterms)
+        | GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        | SELECT q.query_id, t.doc_id, t.chunk_idx,
+        |  round(sum(ln(1.0 + (st.n_chunks - d.df + 0.5) / (d.df + 0.5))
+        |    * (t.cnt * (1.2 + 1.0))
+        |    / (t.cnt + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))), 4) AS bm25,
+        |  CAST(count(*) AS INTEGER) AS n_terms
+        | FROM tf t JOIN dfreq d USING (tok)
+        |      JOIN lens l USING (doc_id, chunk_idx)
+        |      JOIN qterms q USING (tok), st
+        | GROUP BY 1, 2, 3),
+        |r AS (SELECT query_id, doc_id, chunk_idx, bm25, n_terms,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY bm25 DESC, doc_id, chunk_idx) AS INTEGER) AS rk
+        | FROM scored)
+        |SELECT query_id, rk, doc_id, chunk_idx, bm25, n_terms
+        |FROM r WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
     // packing report: q62's prefix-sum layout aggregated to the one-row
     // audit; density divides token mass by allocated capacity (docs can

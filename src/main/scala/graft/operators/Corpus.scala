@@ -667,6 +667,67 @@ object Corpus {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** RAG-style CHUNK retrieval: BM25 top-k over fixed-size token chunks
+    * instead of whole documents — the retrieval granularity a context
+    * window actually consumes (a 50k-token doc that mentions the query
+    * once should not outrank a chunk that is ABOUT the query; passage
+    * scoring is how retrieval corpora are served to RAG systems). The
+    * chunk grid is [[chunkSpans]]' (q71); the scoring is [[bm25Retrieval]]'s
+    * (q115) with the chunk collection as the corpus: idf over N_chunks,
+    * length norm over chunk dl.
+    *
+    * Scale shape: chunk TEXT is never materialized — tokens posexplode
+    * once and `pos div chunkTokens` is the chunk key, so chunking is
+    * free on top of the tokenize scan; the term prune (broadcast
+    * semi-join against the union of query terms) sits BELOW the
+    * (doc, chunk, tok) aggregation exactly as in q115, so the shuffle
+    * carries only query-term rows. Chunk lengths and counts are
+    * arithmetic over per-doc token counts (one tiny frame), never a
+    * second corpus pass. Per-query fan-out and the top-k window are
+    * q115's bounded shapes.
+    */
+  def chunkRetrieval(docs: DataFrame, queries: DataFrame,
+      chunkTokens: Int = 32, k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 5): DataFrame = {
+    val toksArr = graft.functions.TextAnalysis.tokens(col("text"))
+    val qterms = queries
+      .select(col("query_id"), explode(col("terms")).as("tok")).distinct()
+    // chunk grid + lengths: pure arithmetic over per-doc token counts
+    val lens = docs
+      .select(col("doc_id"), size(toksArr).cast("long").as("__n"))
+      .select(col("doc_id"), col("__n"),
+        explode(sequence(lit(0L),
+          expr(s"(__n + ${chunkTokens - 1}) div $chunkTokens") - 1))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkTokens.toLong),
+          col("__n") - col("chunk_idx") * chunkTokens).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // tf at chunk grain: positional token index keys the chunk
+    val tf = Scratch.register(docs
+      .select(col("doc_id"), posexplode(toksArr).as(Seq("pos", "tok")))
+      .withColumn("chunk_idx", expr(s"pos div $chunkTokens").cast("long"))
+      .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"), "left_semi")
+      .groupBy(col("doc_id"), col("chunk_idx"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint())
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfreq), "tok")
+      .join(lens, Seq("doc_id", "chunk_idx"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "tok")
+      .groupBy(col("query_id"), col("doc_id"), col("chunk_idx"))
+      .agg(round(sum(bm25Score(k1, b)), 4).as("bm25"),
+        count(lit(1)).cast("int").as("n_terms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id"), col("chunk_idx"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("chunk_idx"),
+        col("bm25"), col("n_terms"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (RRF) — the standard
     * two-tower fuse of a LEXICAL ranking ([[bm25TopDocs]]) and a
     * SEMANTIC ranking ([[Similarity.bruteForceTopK]] / its indexed

@@ -529,6 +529,44 @@ class CorpusPipelineSpec extends SparkFunSuite {
     assert(math.abs(out.head._2 - 2 * uni) < 1e-9)
   }
 
+  test("chunkRetrieval degenerates to document BM25 when chunks cover whole docs") {
+    // chunkTokens >= every doc length -> one chunk per doc, chunk dl =
+    // doc dl, N_chunks = N_docs: the chunk scorer must reproduce the
+    // document scorer EXACTLY (same bm25, same ranking), pinning the
+    // chunk-grain idf/length-norm bookkeeping to the proven q115 path
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val queries = Seq(
+      (0L, Seq("spark", "query", "join")),
+      (1L, Seq("sort", "merge", "shuffle"))).toDF("query_id", "terms")
+    val maxLen = docs.select(max(size(
+      graft.functions.TextAnalysis.tokens(col("text"))))).collect()(0).getInt(0)
+    val chunked = Corpus.chunkRetrieval(docs, queries,
+      chunkTokens = maxLen, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    val whole = Corpus.bm25Retrieval(docs, queries, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(chunked.forall(_._4 == 0L), "every doc must be a single chunk")
+    assert(chunked.map(t => (t._1, t._2, t._3, t._5, t._6)).toSeq ==
+      whole.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq)
+  }
+
+  test("chunkRetrieval chunk ids stay inside each doc's chunk grid") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val queries = Seq((0L, Seq("spark", "query", "join"))).toDF("query_id", "terms")
+    val nChunks = docs.select(col("doc_id"),
+      ceil(size(graft.functions.TextAnalysis.tokens(col("text")))
+        .cast("double") / 8.0).cast("long").as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Corpus.chunkRetrieval(docs, queries, chunkTokens = 8, topK = 20)
+      .collect().foreach { r =>
+        val (doc, idx) = (r.getLong(2), r.getLong(3))
+        assert(idx >= 0 && idx < nChunks(doc),
+          s"chunk $idx out of range for doc $doc (${nChunks(doc)} chunks)")
+      }
+  }
+
   test("curriculumEpochs is the exclusive merit-order prefix sum cut at the epoch budget") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val got = Corpus.curriculumEpochs(docs, epochTokens = 1024L).collect()
