@@ -50,6 +50,12 @@ object SparkEntry {
     "q01_year_nation" -> ((s, d) => eng(s, d).getData(CubeQuery(
       "trade", Seq("Year", "Nation"), Seq("Trade Value"),
       Map("Year" -> Seq("1995"))))),
+    // multi-query shared scan: three dashboard drilldowns ({Year,Nation},
+    // {Nation}, grand total) in ONE fact pass via GROUPING SETS, rows
+    // tagged by grouping_id — N tiles for one 100 TB scan
+    "q146_shared_scan" -> ((s, d) => eng(s, d).getDataMulti(
+      CubeQuery("trade", Nil, Seq("Trade Value", "Line Count")),
+      Seq(Seq("Year", "Nation"), Seq("Nation"), Seq()))),
     "q04_multi_cut" -> ((s, d) => eng(s, d).getData(CubeQuery(
       "trade", Seq("Year", "Region"), Seq("Trade Value", "Quantity"),
       Map("Year" -> Seq("1995", "1996"), "Region" -> Seq("ASIA", "EUROPE"))))),
@@ -454,6 +460,11 @@ object SparkEntry {
     // recipes consume; global rank via the distributed Ranks machinery
     "q141_perplexity_buckets" -> ((s, d) =>
       Corpus.perplexityBuckets(eng(s, d).table("documents"))),
+    // PMI collocations: adjacent pairs co-occurring beyond what unigram
+    // frequencies predict, hapax-floored — the MWE/stop-phrase miner
+    "q147_collocations" -> ((s, d) =>
+      Corpus.collocations(eng(s, d).table("documents"),
+        minCount = 5, topK = 20)),
     "q100_weighted_sample" -> ((s, d) =>
       Corpus.weightedSample(eng(s, d).table("documents"))),
     // Indexed batch ANN join, exhaustive regime: nprobe = nlist makes the
@@ -765,6 +776,28 @@ object SparkEntry {
         | JOIN nation ON c_nationkey = n_nationkey
         |WHERE year(o_orderdate) = 1995
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // shared scan: one branch per grouping set, tagged with the same
+    // listed-order grouping_id bits Spark emits ({Y,N}=0, {N}=2, {}=3)
+    "q146_shared_scan" ->
+      """WITH j AS (
+        | SELECT year(o_orderdate) AS yr, n_name, l_extendedprice
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT CAST(0 AS INTEGER) AS gid, CAST(yr AS INTEGER) AS year,
+        | n_name AS nation, round(sum(l_extendedprice), 2) AS trade_value,
+        | CAST(count(*) AS BIGINT) AS line_count
+        |FROM j GROUP BY 2, 3
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), CAST(NULL AS INTEGER), n_name,
+        | round(sum(l_extendedprice), 2), CAST(count(*) AS BIGINT)
+        |FROM j GROUP BY 3
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), CAST(NULL AS INTEGER),
+        | CAST(NULL AS VARCHAR), round(sum(l_extendedprice), 2),
+        | CAST(count(*) AS BIGINT)
+        |FROM j
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q04_multi_cut" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS year, r_name AS region,
         | round(sum(l_extendedprice), 2) AS trade_value,
@@ -2135,6 +2168,39 @@ object SparkEntry {
         |      WHEN CAST(3 * (r - 1) AS DOUBLE) / n < 2 THEN 'middle'
         |      ELSE 'tail' END AS bucket
         |FROM rk ORDER BY doc_id""".stripMargin,
+    // PMI collocations: q99's bigram counts + q94's unigram counts,
+    // identical division/log2 op order, count floor replicated
+    "q147_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |bc0 AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   generate_series(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1])) AS bg
+        | FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bc0 GROUP BY 1, 2),
+        |bf AS (SELECT bg, CAST(sum(cnt) AS BIGINT) AS n FROM bc GROUP BY 1),
+        |totb AS (SELECT CAST(sum(n) AS DOUBLE) AS tb FROM bf),
+        |tc AS (
+        | SELECT doc_id, tok, count(*) AS cnt
+        | FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        | GROUP BY 1, 2),
+        |tf AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS tf FROM tc GROUP BY 1),
+        |tott AS (SELECT CAST(sum(tf) AS DOUBLE) AS tt FROM tf),
+        |p AS (
+        | SELECT b.bg, b.n,
+        |  log2((CAST(b.n AS DOUBLE) / totb.tb) /
+        |   ((CAST(ta.tf AS DOUBLE) / tott.tt) *
+        |    (CAST(tb2.tf AS DOUBLE) / tott.tt))) AS pmi
+        | FROM bf b
+        |  JOIN tf ta ON ta.tok = string_split(b.bg, ' ')[1]
+        |  JOIN tf tb2 ON tb2.tok = string_split(b.bg, ' ')[2]
+        |  , totb, tott
+        | WHERE b.n >= 5),
+        |r AS (SELECT bg, n, pmi,
+        |  row_number() OVER (ORDER BY pmi DESC, bg) AS rk FROM p)
+        |SELECT bg AS bigram, n, round(pmi, 4) AS pmi
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q100_weighted_sample" ->
       """WITH m AS (SELECT CAST(max(n_chars) AS DOUBLE) AS max_chars
         |           FROM documents)

@@ -1,7 +1,7 @@
 package graft.cube
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr, lit, timestamp_micros}
+import org.apache.spark.sql.functions.{broadcast, col, expr, grouping_id, lit, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Spark-native evaluation of the reference's OLAP query surface.
@@ -118,6 +118,56 @@ class Engine(spark: SparkSession, dir: String) {
     val normalized = Normalize(grouped)
     val orderKeys = q.drilldowns.map(n => col(Normalize.norm(n)))
     if (orderKeys.isEmpty) normalized else normalized.orderBy(orderKeys: _*)
+  }
+
+  /** Evaluate SEVERAL drilldown sets of one cube query in ONE pass — the
+    * multi-query shared-scan form of [[getData]]. A dashboard issuing
+    * {Year,Nation}, {Nation}, and the grand total as three [[getData]]
+    * calls scans and joins the fact three times; expressed as GROUPING
+    * SETS the engine scans ONCE, aggregates once per distinct group-set
+    * member (Spark expands sets inside the aggregate — one shuffle), and
+    * tags each output row with `gid` = [[grouping_id]] over the UNION of
+    * drilldown columns (bit i set ⟺ union column i is aggregated away
+    * in that row's set; listed-order bits, so callers can dispatch rows
+    * back to their originating query). At 100 TB the scan is the cost —
+    * N dashboard tiles for one fact pass is the point. Cuts, range cuts
+    * (with their [[Level.rangePrune]] scan predicates), and measure
+    * semantics are exactly [[getData]]'s; rollup/cube (q16/q37) are the
+    * lattice special cases of this general form.
+    */
+  def getDataMulti(q: CubeQuery, drilldownSets: Seq[Seq[String]]): DataFrame = {
+    val cube = CubeCatalog(q.cube)
+    val unionNames = drilldownSets.flatten.distinct
+    val dds = unionNames.map(cube.level)
+    val cuts = q.cuts.map { case (l, vs) => cube.level(l) -> vs }
+    val ranges = q.rangeCuts.map { case (l, b) => cube.level(l) -> b }
+    val msrs = q.measures.map(cube.measure)
+
+    val roots = (dds.map(_.dim) ++ cuts.keys.map(_.dim) ++
+      ranges.keys.map(_.dim) ++ msrs.flatMap(_.dims)).toSet
+    val star = joined(cube, roots)
+    val filtered0 = cuts.foldLeft(star) { case (df, (lvl, vs)) =>
+      val lits = vs.map(v => lit(coerce(v, lvl.dataType)))
+      df.filter(if (lits.size == 1) lvl.expr === lits.head
+                else lvl.expr.isin(lits: _*))
+    }
+    val filtered = ranges.foldLeft(filtered0) { case (df, (lvl, (lo, hi))) =>
+      val (loL, hiL) = (lit(coerce(lo, lvl.dataType)), lit(coerce(hi, lvl.dataType)))
+      val exact = df.filter(lvl.expr.between(loL, hiL))
+      lvl.rangePrune.fold(exact)(p => exact.filter(p(loL, hiL)))
+    }
+
+    // grouping expressions must be stable COLUMNS for set expansion:
+    // project each level expression under its name once, group on names
+    val withKeys = dds.foldLeft(filtered)((df, l) => df.withColumn(l.name, l.expr))
+    val unionCols = unionNames.map(col)
+    val sets = drilldownSets.map(_.map(n => col(cube.level(n).name)))
+    val aggCols = msrs.map(m => m.agg.as(m.name)) :+
+      grouping_id().cast("int").as("gid")
+    val grouped = withKeys.groupingSets(sets, unionCols: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val normalized = Normalize(grouped)
+    normalized.orderBy(col("gid") +: unionNames.map(n => col(Normalize.norm(n))): _*)
   }
 
   /** Enumerate distinct members of a level — the analog of

@@ -541,6 +541,47 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Collocation mining by pointwise mutual information: which adjacent
+    * token pairs co-occur far more than their unigram frequencies
+    * predict — the multi-word-expression detector ("new york", "machine
+    * learning") that feeds tokenizer merge rules, stop-phrase lists, and
+    * the boilerplate lexicons span-dedup keys on. PMI(a,b) =
+    * log2( p(ab) / (p(a)·p(b)) ) over the corpus bigram/unigram models
+    * (the same count frames as q94/q99). `minCount` floors the bigram
+    * frequency — PMI's known pathology is that hapax pairs score
+    * highest, so rare pairs are excluded rather than smoothed, keeping
+    * the score exact on the oracle surface.
+    *
+    * Scale shape: two counted-explode scans (shared with the surprisal
+    * family's materialization discipline), vocab-keyed joins of the
+    * bigram frame against the unigram frame on each component, and a
+    * bounded global top-k (TakeOrderedAndProject) — the candidate set
+    * after the count floor is vocabulary-sized, not corpus-sized.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+      topK: Int = 20): DataFrame = {
+    val bc = Scratch.register(bigramCounts(Par.ensure(docs)).localCheckpoint())
+    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).localCheckpoint())
+    val bf = bc.groupBy(col("bg")).agg(sum(col("cnt")).as("n"))
+    val totB = bc.agg(sum(col("cnt")).cast("double").as("tb"))
+    val tf = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
+    val totT = tc.agg(sum(col("cnt")).cast("double").as("tt"))
+    bf.filter(col("n") >= minCount)
+      .withColumn("__a", element_at(split(col("bg"), " "), 1))
+      .withColumn("__b", element_at(split(col("bg"), " "), 2))
+      .join(tf.select(col("tok").as("__a"), col("tf").as("__tfa")), "__a")
+      .join(tf.select(col("tok").as("__b"), col("tf").as("__tfb")), "__b")
+      .crossJoin(broadcast(totB))
+      .crossJoin(broadcast(totT))
+      .withColumn("__pmi",
+        log2((col("n").cast("double") / col("tb")) /
+          ((col("__tfa").cast("double") / col("tt")) *
+            (col("__tfb").cast("double") / col("tt")))))
+      .orderBy(col("__pmi").desc, col("bg"))
+      .limit(topK)
+      .select(col("bg").as("bigram"), col("n"), round(col("__pmi"), 4).as("pmi"))
+  }
+
   /** Length-weighted deterministic sampler: each doc kept with
     * probability proportional to its size share (n_chars / max n_chars,
     * scaled by `rate`), decided by the same multiplicative-hash

@@ -76,6 +76,42 @@ class EngineSpec extends SparkFunSuite {
     assert(m.head.schema.fieldNames.toSeq == Seq("id", "label"))
   }
 
+  test("getDataMulti equals the per-set getData results, row for row") {
+    val measures = Seq("Trade Value", "Line Count")
+    val sets = Seq(Seq("Year", "Nation"), Seq("Nation"), Seq.empty[String])
+    val multi = engine.getDataMulti(
+      CubeQuery("trade", Nil, measures), sets).collect()
+      .map(r => (r.getAs[Int]("gid"),
+        Option(r.getAs[Any]("year")), Option(r.getAs[Any]("nation")),
+        r.getAs[Double]("trade_value"), r.getAs[Long]("line_count")))
+    // listed-order grouping_id over (Year, Nation): bit set = aggregated
+    val expectedGid = Map(0 -> Seq("Year", "Nation"), 2 -> Seq("Nation"), 3 -> Nil)
+    assert(multi.map(_._1).toSet == expectedGid.keySet)
+    expectedGid.foreach { case (gid, dd) =>
+      val single = engine.getData(CubeQuery("trade", dd, measures)).collect()
+        .map { r =>
+          val year = if (dd.contains("Year")) Option(r.getAs[Any]("year")) else None
+          val nation = if (dd.contains("Nation")) Option(r.getAs[Any]("nation")) else None
+          (gid, year, nation,
+            r.getAs[Double]("trade_value"), r.getAs[Long]("line_count"))
+        }
+      assert(multi.filter(_._1 == gid).toSet == single.toSet,
+        s"grouping set $dd (gid $gid) must match its standalone query")
+    }
+  }
+
+  test("getDataMulti scans the fact once, not once per set") {
+    val multi = engine.getDataMulti(
+      CubeQuery("trade", Nil, Seq("Quantity")),
+      Seq(Seq("Year"), Seq("Nation"), Seq()))
+    val plan = multi.queryExecution.executedPlan.toString
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans == 1, s"expected one lineitem scan, plan:\n$plan")
+    // Spark expands the sets via a single Expand node feeding one agg
+    assert(plan.contains("Expand"), "grouping sets should plan as Expand")
+  }
+
   test("unknown cube/level fail fast with helpful messages") {
     val e1 = intercept[IllegalArgumentException](engine.getData(
       CubeQuery("nope", Seq("Year"), Seq("Trade Value"))))

@@ -567,6 +567,23 @@ class CorpusPipelineSpec extends SparkFunSuite {
       }
   }
 
+  test("collocations rank a planted always-together pair top and floor rare pairs") {
+    // "new york": 6 joint occurrences. Every other adjacent pair uses
+    // per-doc-unique filler tokens, so it occurs exactly once and falls
+    // under the minCount floor — only the planted pair survives
+    val docs = (0 until 6).map(i =>
+      (i.toLong, s"new york w${i}a w${i}b w${i}c")) :+
+      (99L, "rare gem w99a w99b")
+    val out = Corpus.collocations(docs.toDF("doc_id", "text"),
+      minCount = 5, topK = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq("new york"),
+      s"only the planted collocation survives the floor, got ${out.toSeq}")
+    assert(out.head._2 == 6L)
+    // PMI is positive: the pair co-occurs far beyond independence
+    assert(out.head._3 > 0.0)
+  }
+
   test("curriculumEpochs is the exclusive merit-order prefix sum cut at the epoch budget") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val got = Corpus.curriculumEpochs(docs, epochTokens = 1024L).collect()
