@@ -465,6 +465,22 @@ object SparkEntry {
     "q147_collocations" -> ((s, d) =>
       Corpus.collocations(eng(s, d).table("documents"),
         minCount = 5, topK = 20)),
+    // equi-DEPTH histogram of order totals: rank-balanced bins with
+    // observed bounds — the optimizer-stats artifact (q67 = equi-width)
+    "q148_equidepth_hist" -> ((s, d) =>
+      Relational.equiDepthHistogram(s, d, buckets = 10)),
+    // vocabulary coverage curve: corpus token mass covered by the top-k
+    // types at k in {10,20,50,100} — the vocab-budget knee finder
+    "q149_vocab_coverage" -> ((s, d) =>
+      Corpus.vocabCoverage(eng(s, d).table("documents"))),
+    // langid eval: labeled lang vs q24's predicted lang, the confusion
+    // matrix of the heuristic classifier
+    "q150_langid_confusion" -> ((s, d) => eng(s, d).table("documents")
+      .select(col("lang"),
+        graft.functions.TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))),
     "q100_weighted_sample" -> ((s, d) =>
       Corpus.weightedSample(eng(s, d).table("documents"))),
     // Indexed batch ANN join, exhaustive regime: nprobe = nlist makes the
@@ -2201,6 +2217,65 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY pmi DESC, bg) AS rk FROM p)
         |SELECT bg AS bigram, n, round(pmi, 4) AS pmi
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // equi-depth: the same integer-div bucket arithmetic over the same
+    // (value, key) rank order — `//` here, `div` in the engine (a double
+    // divide + int cast would diverge: Spark truncates, DuckDB rounds)
+    "q148_equidepth_hist" ->
+      """WITH r AS (
+        | SELECT o_totalprice AS v,
+        |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank,
+        |  count(*) OVER () AS n
+        | FROM orders)
+        |SELECT CAST(((rank - 1) * 10) // n AS INTEGER) AS bucket,
+        | min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // coverage curve: rank by (freq desc, tok), running mass window,
+    // probe ks via scalar subquery; k beyond vocab covers everything
+    "q149_vocab_coverage" ->
+      """WITH tc AS (
+        | SELECT doc_id, tok, count(*) AS cnt
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents)
+        | GROUP BY 1, 2),
+        |tf AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS f FROM tc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(f) AS DOUBLE) AS tt FROM tf),
+        |r AS (SELECT tok, f,
+        |  row_number() OVER (ORDER BY f DESC, tok) AS rank FROM tf),
+        |c AS (SELECT rank,
+        |  sum(f) OVER (ORDER BY rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM r),
+        |ks AS (SELECT unnest([10, 20, 50, 100]) AS vocab_k)
+        |SELECT vocab_k,
+        | round(coalesce(
+        |   (SELECT CAST(cum AS DOUBLE) FROM c WHERE rank = vocab_k), tt)
+        |  / tt, 4) AS coverage
+        |FROM ks, tot ORDER BY vocab_k""".stripMargin,
+    // confusion matrix over q24's oracle-replicated langid heuristic
+    "q150_langid_confusion" ->
+      """WITH scored AS (
+        | SELECT doc_id, lang,
+        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('le','la','et','les','des','un','une','est','dans','que'))) AS s_fr,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('el','la','de','que','y','los','las','es','en','un'))) AS s_es,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    t -> t IN ('der','die','und','das','ist','ein','eine','nicht','mit','den'))) AS s_de
+        | FROM documents),
+        |pred AS (
+        | SELECT lang,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+        |       WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+        |       ELSE 'de' END AS predicted
+        | FROM scored)
+        |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q100_weighted_sample" ->
       """WITH m AS (SELECT CAST(max(n_chars) AS DOUBLE) AS max_chars
         |           FROM documents)

@@ -541,6 +541,42 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary coverage curve: for each probe size k, the fraction of
+    * ALL corpus token occurrences covered by the top-k most frequent
+    * types — the tokenizer-design artifact (how big must a vocabulary be
+    * before OOV mass is negligible; the curve's knee prices the vocab
+    * budget, and [[oovRate]] is its per-document companion at one fixed
+    * k). Frequency rank uses the distributed [[Ranks.globalRowNumber]];
+    * the running mass is a window over rows already FILTERED to
+    * rank ≤ max(ks) — bounded by the probe parameter, not by vocabulary
+    * size, so the one single-partition window is over ≤ max(ks) rows by
+    * construction. A probe k beyond the vocabulary covers everything
+    * (coverage 1.0 via the null-join coalesce).
+    */
+  def vocabCoverage(docs: DataFrame,
+      ks: Seq[Int] = Seq(10, 20, 50, 100)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "vocabCoverage needs positive probes")
+    import docs.sparkSession.implicits._
+    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).localCheckpoint())
+    val tf = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("f"))
+    val total = tc.agg(sum(col("cnt")).cast("double").as("tt"))
+    val ranked = Ranks.globalRowNumber(
+      tf.withColumn("__negf", -col("f")),
+      Seq(col("__negf"), col("tok")), "rank")
+    val cum = ranked.filter(col("rank") <= ks.max)
+      .withColumn("cum", sum(col("f")).over(
+        Window.orderBy(col("rank"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    ks.toDF("vocab_k")
+      .join(cum.select(col("rank"), col("cum")),
+        col("rank") === col("vocab_k"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("vocab_k"),
+        round(coalesce(col("cum").cast("double"), col("tt")) / col("tt"), 4)
+          .as("coverage"))
+      .orderBy(col("vocab_k"))
+  }
+
   /** Collocation mining by pointwise mutual information: which adjacent
     * token pairs co-occur far more than their unigram frequencies
     * predict — the multi-word-expression detector ("new york", "machine

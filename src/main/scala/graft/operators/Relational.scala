@@ -120,6 +120,32 @@ object Relational {
       .orderBy(col("nation"))
   }
 
+  /** Equi-DEPTH histogram: `buckets` bins each holding ~n/buckets rows,
+    * with observed [lo, hi] bounds and exact counts — the optimizer-
+    * statistics / data-profiling artifact (q67 is the equi-WIDTH twin;
+    * equi-depth is what range-partition planners and NDV estimators
+    * consume, because it adapts bin edges to skew). Bucket = floor of
+    * ((rank−1)·buckets / n) over the distributed global rank
+    * ([[Ranks.globalRowNumber]] — positional ids, one exchange, never a
+    * single-partition sort); integer `div` on BOTH engines (a double
+    * divide then int cast would diverge: Spark truncates, DuckDB
+    * rounds). Exactly balanced bucket sizes regardless of value skew;
+    * duplicate values may span adjacent buckets (rank order inside a
+    * tie is the deterministic key tie-break).
+    */
+  def equiDepthHistogram(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    val vals = e(spark, dir).table("orders")
+      .select(col("o_totalprice").as("v"), col("o_orderkey").as("k"))
+    graft.operators.Ranks
+      .globalRowNumber(vals, Seq(col("v"), col("k")), "rank", Some("n"))
+      .withColumn("bucket", expr(s"((rank - 1) * $buckets) div n").cast("int"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("bucket"))
+  }
+
   /** Metastore-bucketed co-located join on the data path: both fact and
     * dim are written `bucketBy` their join key into the session catalog,
     * re-read, joined, and rolled up — the write→read→join ROUNDTRIP of

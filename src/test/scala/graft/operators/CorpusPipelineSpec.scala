@@ -567,6 +567,35 @@ class CorpusPipelineSpec extends SparkFunSuite {
       }
   }
 
+  test("equiDepthHistogram balances bucket sizes and keeps bounds ordered") {
+    val out = Relational.equiDepthHistogram(spark, sf, buckets = 10).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(out.map(_._1).toSeq == (0 until 10), "all buckets present, in order")
+    assert(out.map(_._4).sum == n, "buckets partition the rows")
+    out.foreach { case (b, lo, hi, rows) =>
+      assert(lo <= hi)
+      assert(math.abs(rows - n / 10.0) <= 1.0, s"bucket $b holds $rows of $n")
+    }
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"bucket ${a._1} hi must not exceed bucket ${b._1} lo")
+    case _ => }
+  }
+
+  test("vocabCoverage is monotone in k and saturates at 1.0 beyond the vocabulary") {
+    val docs = Seq(
+      (1L, "a a a a b b c"), (2L, "a b b d"), (3L, "a c d e")).toDF("doc_id", "text")
+    val out = Corpus.vocabCoverage(docs, ks = Seq(1, 2, 5, 100)).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    // counts: a=6, b=4, c=2, d=2, e=1 (15 total); rank: a, b, c, d, e
+    assert(out.map(_._1).toSeq == Seq(1, 2, 5, 100))
+    assert(out(0)._2 == math.rint(6.0 / 15.0 * 10000) / 10000)
+    assert(out(1)._2 == math.rint(10.0 / 15.0 * 10000) / 10000)
+    assert(out(2)._2 == 1.0, "k = vocab size covers everything")
+    assert(out(3)._2 == 1.0, "k beyond the vocabulary still reports 1.0")
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq, "monotone in k")
+  }
+
   test("collocations rank a planted always-together pair top and floor rare pairs") {
     // "new york": 6 joint occurrences. Every other adjacent pair uses
     // per-doc-unique filler tokens, so it occurs exactly once and falls
