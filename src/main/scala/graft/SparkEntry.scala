@@ -156,6 +156,16 @@ object SparkEntry {
     "q29_embed_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(eng(s, d).table("embeddings"), queryId = 0L, k = 10,
         datasetKey = d)),
+    // incremental LSH append: 4/5 of the corpus builds the layout, the
+    // fifth appends (banding keys are pure functions — no model drift,
+    // append ≡ rebuild); probe = q29's relation over the whole corpus
+    "q151_lsh_append" -> ((s, d) => {
+      val emb = eng(s, d).table("embeddings")
+      Similarity.lshIncrementalTopK(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        queryId = 0L, k = 10, datasetKey = d)
+    }),
     "q30_embed_neardup" -> ((s, d) =>
       Similarity.lshNearDupPairsShared(eng(s, d).table("embeddings"), d,
         threshold = 0.3)),
@@ -1158,37 +1168,11 @@ object SparkEntry {
     // S-curve recall caveat this is a documented contract of the oracle
     // pair, not an engine defect. Data engineered to land dots at ±1
     // ulp of 0 would need a tolerance-banded comparison instead.
-    "q29_embed_lsh_topk" ->
-      """WITH planes AS (
-        | SELECT p, d,
-        |  CASE WHEN (CAST(concat('0x', substr(md5(p || ',' || d), 1, 16))
-        |    AS UBIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END AS c
-        | FROM range(0, 32) t1(p), range(0, 64) t2(d)),
-        |dots AS (
-        | SELECT e.vec_id, p.p // 8 AS tbl, p.p % 8 AS bit,
-        |  sum(e.embedding[p.d + 1] * p.c) AS dp
-        | FROM embeddings e, planes p GROUP BY 1, 2, 3),
-        |buckets AS (
-        | SELECT vec_id, tbl,
-        |  sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bucket
-        | FROM dots GROUP BY 1, 2),
-        |qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
-        |probes AS (
-        | SELECT DISTINCT qb.tbl,
-        |  xor(qb.bucket, CASE WHEN f.f = 0 THEN 0
-        |    ELSE CAST(1 AS BIGINT) << (f.f - 1) END) AS bucket
-        | FROM qb, range(0, 9) f(f)),
-        |cand AS (
-        | SELECT DISTINCT b.vec_id
-        | FROM buckets b JOIN probes pr ON b.tbl = pr.tbl AND b.bucket = pr.bucket
-        | WHERE b.vec_id <> 0),
-        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id, e.label,
-        | round(list_inner_product(e.embedding, q_emb)
-        |   / (sqrt(list_inner_product(e.embedding, e.embedding))
-        |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
-        |FROM embeddings e JOIN cand USING (vec_id), q
-        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q29_embed_lsh_topk" -> lshTopkOracle,
+    // appended LSH layout ≡ rebuilt layout (keys are pure functions of
+    // the vector), so the probe is q29's relation over base ∪ delta =
+    // the whole table: same oracle
+    "q151_lsh_append" -> lshTopkOracle,
     // Embedding near-dup: same portable plane families (4 tables x 6
     // bits), bucket equi-join candidates, exact-cosine verify on the
     // UNROUNDED ratio — the whole data path recomputed by the oracle
@@ -3012,6 +2996,43 @@ object SparkEntry {
   /** Shared exact-kNN-join oracle (q97 exact path; q101 indexed path in
     * its exhaustive regime — both must produce THIS relation).
     */
+  /** q29's full LSH probe recomputation (portable md5-bit planes, 4
+    * tables × 8 bits, Hamming-1 multiprobe, exact-cosine re-rank) —
+    * shared by q29 (built layout) and q151 (appended layout): the two
+    * layouts are identical relations, so one oracle gates both.
+    */
+  private val lshTopkOracle: String =
+    """WITH planes AS (
+      | SELECT p, d,
+      |  CASE WHEN (CAST(concat('0x', substr(md5(p || ',' || d), 1, 16))
+      |    AS UBIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END AS c
+      | FROM range(0, 32) t1(p), range(0, 64) t2(d)),
+      |dots AS (
+      | SELECT e.vec_id, p.p // 8 AS tbl, p.p % 8 AS bit,
+      |  sum(e.embedding[p.d + 1] * p.c) AS dp
+      | FROM embeddings e, planes p GROUP BY 1, 2, 3),
+      |buckets AS (
+      | SELECT vec_id, tbl,
+      |  sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bucket
+      | FROM dots GROUP BY 1, 2),
+      |qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
+      |probes AS (
+      | SELECT DISTINCT qb.tbl,
+      |  xor(qb.bucket, CASE WHEN f.f = 0 THEN 0
+      |    ELSE CAST(1 AS BIGINT) << (f.f - 1) END) AS bucket
+      | FROM qb, range(0, 9) f(f)),
+      |cand AS (
+      | SELECT DISTINCT b.vec_id
+      | FROM buckets b JOIN probes pr ON b.tbl = pr.tbl AND b.bucket = pr.bucket
+      | WHERE b.vec_id <> 0),
+      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id, e.label,
+      | round(list_inner_product(e.embedding, q_emb)
+      |   / (sqrt(list_inner_product(e.embedding, e.embedding))
+      |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
+      |FROM embeddings e JOIN cand USING (vec_id), q
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   private val knnJoinOracle: String =
     """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
       |           FROM embeddings WHERE vec_id < 5),

@@ -285,23 +285,64 @@ object Similarity {
       planes: Int = 8, dim: Int = 64, tables: Int = DefaultLshTables): String =
     lshMemo.getOrElseUpdate((emb.sparkSession, datasetKey, tables, planes, dim), {
       val path = indexPath(emb.sparkSession, s"lsh${tables}t${planes}x$dim", datasetKey)
-      val keys = array((0 until tables).map { t =>
-        struct(lit(t).as("tbl"),
-          lshKeyOffset(col("embedding"), t * planes, planes, dim).as("bucket"))
-      }: _*)
-      // repartition by (tbl, bucket) before the partitioned write: without
-      // it every task writes one file per directory it happens to hold
-      // (tasks × tables × buckets tiny files); with it each directory gets
-      // one writer set and AQE coalesces the small shuffle
       graft.sources.Sink.writePartitioned(
-        emb.select(col("vec_id"), col("label"), col("embedding"),
-          explode(keys).as("k"))
-          .select(col("vec_id"), col("label"), col("embedding"),
-            col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
-          .repartition(col("tbl"), col("bucket")),
-        path, Seq("tbl", "bucket"))
+        lshLayoutRows(emb, planes, dim, tables), path, Seq("tbl", "bucket"))
       path
     })
+
+  /** The banded layout relation both the build and the incremental
+    * append write: every vector exploded into its `tables` (tbl, bucket)
+    * keys, repartitioned by the partition columns — without that, every
+    * task writes one file per directory it happens to hold
+    * (tasks × tables × buckets tiny files); with it each directory gets
+    * one writer set and AQE coalesces the small shuffle.
+    */
+  private def lshLayoutRows(emb: DataFrame, planes: Int, dim: Int,
+      tables: Int): DataFrame = {
+    val keys = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshKeyOffset(col("embedding"), t * planes, planes, dim).as("bucket"))
+    }: _*)
+    emb.select(col("vec_id"), col("label"), col("embedding"),
+      explode(keys).as("k"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+      .repartition(col("tbl"), col("bucket"))
+  }
+
+  /** Incremental LSH index maintenance — the bucketed-layout twin of
+    * [[ivfIndexIncremental]], and the EASIER of the two: LSH keys are
+    * pure functions of the vector (no trained model to freeze or drift),
+    * so an append is definitionally exact — the appended layout is
+    * byte-for-byte the layout a full rebuild over base ∪ delta would
+    * produce, and probe recall is untouched (no quantizer staleness
+    * caveat at all). Delta rows band with the SAME key expressions and
+    * append into their (tbl, bucket) directories; memoized under a
+    * derived key, converging across memo/file interleavings exactly as
+    * the IVF form does.
+    */
+  def lshIndexIncremental(base: DataFrame, delta: DataFrame,
+      datasetKey: String, planes: Int = 8, dim: Int = 64,
+      tables: Int = DefaultLshTables): String =
+    lshMemo.getOrElseUpdate(
+      (base.sparkSession, s"${datasetKey}_incr", tables, planes, dim), {
+        val path = lshIndex(base, s"${datasetKey}_incrbase", planes, dim, tables)
+        lshLayoutRows(delta, planes, dim, tables)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("tbl", "bucket").parquet(path)
+        path
+      })
+
+  /** Top-k probe through the incrementally-appended LSH layout: exactly
+    * [[lshTopK]]'s multi-probe read against the appended path. Because
+    * the appended layout equals the rebuilt one, this is q29's relation
+    * over base ∪ delta — the same oracle gates both (q151).
+    */
+  def lshIncrementalTopK(base: DataFrame, delta: DataFrame, queryId: Long,
+      k: Int, planes: Int = 8, dim: Int = 64,
+      tables: Int = DefaultLshTables, datasetKey: String): DataFrame =
+    lshProbeTopK(lshIndexIncremental(base, delta, datasetKey, planes, dim, tables),
+      base.unionByName(delta), queryId, k, planes, dim, tables)
 
   /** Bucketed ANN top-k through the multi-table LSH index: in EACH table
     * the query's bucket plus all Hamming-1 neighbors (multi-probe) become
@@ -317,8 +358,17 @@ object Similarity {
       planes: Int = 8,
       dim: Int = 64,
       tables: Int = DefaultLshTables,
-      datasetKey: String): DataFrame = {
-    val path = lshIndex(emb, datasetKey, planes, dim, tables)
+      datasetKey: String): DataFrame =
+    lshProbeTopK(lshIndex(emb, datasetKey, planes, dim, tables),
+      emb, queryId, k, planes, dim, tables)
+
+  /** Multi-probe read against an already-built LSH layout — the shared
+    * probe path of [[lshTopK]] and [[lshIncrementalTopK]]. `lookup` only
+    * supplies the query vector and its buckets (1-row driver fetch).
+    */
+  private def lshProbeTopK(path: String, lookup: DataFrame, queryId: Long,
+      k: Int, planes: Int, dim: Int, tables: Int): DataFrame = {
+    val emb = lookup
     // 1-row driver fetch: the query vector and its per-table buckets
     // (computed by the SAME column expressions the index used)
     val keyCols = (0 until tables).map(t =>

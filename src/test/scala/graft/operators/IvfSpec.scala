@@ -332,6 +332,25 @@ class IvfSpec extends SparkFunSuite {
     assert(inc == bf)
   }
 
+  test("incremental LSH append: appended layout probes exactly like a full rebuild") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val full = Similarity.lshTopK(emb, 0L, 10, datasetKey = "lshspec-full")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val inc = Similarity.lshIncrementalTopK(base, delta, 0L, 10,
+      datasetKey = "lshspec-incr")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // banding keys are pure functions of the vector, so append ≡ rebuild
+    assert(inc == full)
+    // layout holds tables × corpus rows, and re-calls never double-append
+    val path = Similarity.lshIndexIncremental(base, delta, "lshspec-incr")
+    val n = emb.count() * 4
+    assert(spark.read.parquet(path).count() == n)
+    Similarity.lshIndexIncremental(base, delta, "lshspec-incr")
+    assert(spark.read.parquet(path).count() == n)
+  }
+
   test("incremental append: layout converges to base ∪ delta, idempotently, on frozen centroids") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
