@@ -475,6 +475,10 @@ object SparkEntry {
     "q147_collocations" -> ((s, d) =>
       Corpus.collocations(eng(s, d).table("documents"),
         minCount = 5, topK = 20)),
+    // point-in-time enrichment: purchases joined to the SCD2 state
+    // valid AT event time via the single-shuffle as-of — the
+    // leak-free historical feature join
+    "q152_pit_join" -> Relational.pointInTimeEnrichment _,
     // equi-DEPTH histogram of order totals: rank-balanced bins with
     // observed bounds — the optimizer-stats artifact (q67 = equi-width)
     "q148_equidepth_hist" -> ((s, d) =>
@@ -1756,6 +1760,31 @@ object SparkEntry {
         | lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |   AS is_current
         |FROM f ORDER BY user_id, valid_from""".stripMargin,
+    // PIT join: q70's version relation interval-joined to purchases —
+    // [valid_from, valid_to) semantics; the engine's as-of form picks
+    // the same version (right side sorts first on ts ties)
+    "q152_pit_join" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, value,
+        |  date_trunc('microsecond', ts) AS ts FROM events),
+        |c AS (
+        | SELECT user_id, event_id, event_type, ts,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type
+        | FROM e),
+        |f AS (SELECT * FROM c
+        |      WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (
+        | SELECT user_id, event_type AS state, ts AS valid_from,
+        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to
+        | FROM f)
+        |SELECT p.event_id, p.user_id, p.ts, p.value, v.state, v.valid_from
+        |FROM e p JOIN v ON p.user_id = v.user_id
+        | AND p.ts >= v.valid_from
+        | AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
     "q71_chunk_spans" ->
       """WITH t AS (
         | SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -403,6 +403,30 @@ object Relational {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** Point-in-time (PIT) enrichment: each purchase joined to the SCD2
+    * state version valid AT its event time — the temporally-correct
+    * feature join (training a model on "state at purchase" with a plain
+    * latest-snapshot join leaks the future; the PIT join is how feature
+    * stores serve historical features). Composition, not new machinery:
+    * [[scd2]]'s version starts feed [[AsOf.asofJoin]] keyed by user —
+    * the single-shuffle union+window carry-forward — so there is no
+    * interval theta-join anywhere in the plan, and an event at exactly
+    * `valid_from` lands in the NEW version (the as-of window sorts the
+    * right side first on ties), matching the [valid_from, valid_to)
+    * interval contract the oracle checks.
+    */
+  def pointInTimeEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val versions = scd2(spark, dir)
+      .select(col("user_id"), col("valid_from").as("ts"), col("state"))
+    val purchases = e(spark, dir).table("events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsOf.asofJoin(purchases, versions, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("r_state").as("state"), col("r_ts").as("valid_from"))
+      .orderBy(col("event_id"))
+  }
+
   /** Day-over-day purchase deltas: daily rollup + lag analytics. The
     * delta and pct_change are deliberately UNROUNDED — both operands are
     * already rounded daily sums, and identical FP op order keeps the

@@ -124,4 +124,27 @@ class CorpusAsOfSpec extends SparkFunSuite {
     // 'y' appears in every doc (idf=0); doc-unique terms win
     assert(top == Map(1L -> "x", 2L -> "y", 3L -> "z"))
   }
+
+  test("point-in-time enrichment assigns each purchase its valid-interval version, leak-free") {
+    val out = Relational.pointInTimeEnrichment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getDouble(3),
+        r.getString(4), r.getAs[java.time.LocalDateTime](5)))
+    val events = new graft.cube.Engine(spark, sf).table("events")
+    val nPurchases = events.filter(col("event_type") === "purchase").count()
+    assert(out.length == nPurchases, "every purchase enriched exactly once")
+    // reconstruct intervals and check containment: the joined version
+    // must be valid AT the event time — never a future version (leak)
+    val versions = Relational.scd2(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getAs[java.time.LocalDateTime](2)),
+        (r.getString(1), Option(r.getAs[java.time.LocalDateTime](3)))))
+      .toMap
+    out.foreach { case (eid, user, ts, _, state, from) =>
+      val (vState, vTo) = versions((user, from))
+      assert(vState == state, s"event $eid: state mismatch")
+      assert(!from.isAfter(ts), s"event $eid: joined a FUTURE version")
+      vTo.foreach(to => assert(ts.isBefore(to),
+        s"event $eid: ts $ts outside [$from, $to)"))
+    }
+  }
 }
