@@ -424,6 +424,19 @@ object SparkEntry {
     // and answer a two-dimensional rectangle query — parity with direct
     // SQL proves the clustered write/read preserves the data while the
     // layout's file-skipping benefit stays plan-asserted in SkewSinkSpec.
+    // small-file compaction roundtrip: fragment documents into 64 tiny
+    // files, compact by OBSERVED bytes, and return the full relation —
+    // the oracle is identity (compaction may never change the data);
+    // the file-count bound is spec-asserted
+    "q153_compaction" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val frag = tmpPath(s, "graft_frag", d)
+      val compacted = tmpPath(s, "graft_compact", d)
+      docs.repartition(64).write.mode("overwrite").parquet(frag)
+      graft.sources.Sink.compact(s, frag, compacted, targetBytes = 512L * 1024)
+      s.read.parquet(compacted).orderBy(col("doc_id"))
+    }),
     "q93_zorder_roundtrip" -> ((s, d) => {
       val orders = eng(s, d).table("orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -610,6 +623,26 @@ object SparkEntry {
       // pair (distinct (tbl, vec_id) == n_vecs x tables, total ==
       // distinct) does: the first says every table covers every vector,
       // the second that no (tbl, vec_id) appears twice.
+      s.read.parquet(path)
+        .agg(count(when(col("tbl") === 0, lit(1))).as("n_vecs"),
+          sum(when(col("tbl") === 0, col("vec_id"))).as("sum_ids"),
+          count(lit(1)).as("__total"),
+          countDistinct(col("tbl"), col("vec_id")).as("__distinct"))
+        .select(col("n_vecs"), col("sum_ids"),
+          (col("__distinct") === col("n_vecs") * Similarity.DefaultLshTables &&
+            col("__total") === col("__distinct"))
+            .as("all_tables_complete"))
+    }),
+    // q151's layout as its own timed build entry (the q106-q108
+    // discipline: builds run FIRST each bench pass and are counted in
+    // builds_total, so q151 measures PROBE latency against the warm
+    // appended layout, not build+probe conflated). The completeness
+    // check is q106's per-table pair, over base ∪ delta.
+    "q154_lshincr_index_build" -> ((s, d) => {
+      val emb = eng(s, d).table("embeddings")
+      val path = Similarity.lshIndexIncremental(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), datasetKey = d)
       s.read.parquet(path)
         .agg(count(when(col("tbl") === 0, lit(1))).as("n_vecs"),
           sum(when(col("tbl") === 0, col("vec_id"))).as("sum_ids"),
@@ -2101,6 +2134,10 @@ object SparkEntry {
         | min(o_orderkey) AS min_key
         |FROM orders
         |WHERE o_custkey < 1000 AND o_totalprice > 150000.0""".stripMargin,
+    // compaction is a physical rewrite: the relation must be untouched
+    "q153_compaction" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q94_unigram_surprisal" ->
       """WITH tc AS (
         | SELECT doc_id, tok, count(*) AS cnt
@@ -2469,6 +2506,12 @@ object SparkEntry {
     // corpus; completeness/cell-contract booleans are deterministically
     // TRUE (the q38/q59/q76 contract pattern)
     "q106_lsh_index_build" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+        | TRUE AS all_tables_complete
+        |FROM embeddings""".stripMargin,
+    // appended layout covers base ∪ delta = the whole table, per table
+    "q154_lshincr_index_build" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
         | CAST(sum(vec_id) AS BIGINT) AS sum_ids,
         | TRUE AS all_tables_complete

@@ -165,4 +165,33 @@ object Sink {
       .drop("__z")
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files — the operational answer to the
+    * small-files problem (a streaming sink or over-parallel writer
+    * leaves thousands of KB-sized files; every later scan then pays a
+    * task and an open per file, and the NameNode/listing pays the
+    * metadata). Sizing is by OBSERVED on-disk bytes via the Hadoop
+    * FileSystem API (works on HDFS/S3 roots too), not file count — a
+    * directory of many tiny files and one of few big files both land on
+    * the byte-targeted layout. The rewrite is a plain scan →
+    * round-robin repartition → write: one pass, no shuffle key, rows
+    * preserved exactly (roundtrip identity is q153's oracle). Returns
+    * (files_before, bytes_total, files_after).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long): (Int, Long, Int) = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(p).filter(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet"))
+    val bytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, bytes, after)
+  }
 }

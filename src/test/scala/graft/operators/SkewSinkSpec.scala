@@ -175,4 +175,26 @@ class SkewSinkSpec extends SparkFunSuite {
     // and the z-write is lossless
     assert(spark.read.parquet(s"$dir/z").count() == 65536)
   }
+
+  test("compact rewrites a fragmented directory to the byte-targeted file count, losslessly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    docs.repartition(64).write.mode("overwrite").parquet(s"$dir/frag")
+    val (before, bytes, after) =
+      Sink.compact(spark, s"$dir/frag", s"$dir/out", targetBytes = 256L * 1024)
+    assert(before == 64, "fragmented input has one file per partition")
+    val expected = math.max(1L, (bytes + 256L * 1024 - 1) / (256L * 1024)).toInt
+    assert(after == expected, s"byte-targeted count: $after vs $expected")
+    assert(after < before, "compaction must reduce the file count")
+    // lossless: the relation is untouched
+    val a = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val b = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(a == b)
+    // a huge target collapses to a single file
+    val (_, _, one) = Sink.compact(spark, s"$dir/frag", s"$dir/one",
+      targetBytes = Long.MaxValue)
+    assert(one == 1)
+  }
 }
