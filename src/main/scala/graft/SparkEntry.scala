@@ -195,6 +195,9 @@ object SparkEntry {
           (abs(col("approx_customers") - col("exact_customers")).cast("double") /
             col("exact_customers") <= 0.05).as("approx_ok"))),
     "q39_user_sessions" -> EventsStream.userSessions _,
+    // session-level funnel stats: duration, event count, conversion
+    // flag, value mass — q39's sessions as the analytics artifact
+    "q155_session_conversion" -> EventsStream.sessionConversion _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1333,6 +1336,33 @@ object SparkEntry {
         |SELECT user_id,
         | date_trunc('microsecond', min(ts)) AS session_start,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+    // q39's gaps-and-islands sessions, aggregated to the conversion
+    // artifact; duration via integer micros div on both engines
+    "q155_session_conversion" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, value, event_type,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        > INTERVAL 30 MINUTE OR
+        |       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |  THEN 1 ELSE 0 END AS new_session
+        | FROM events),
+        |sessions AS (
+        | SELECT user_id, ts, value, event_type,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM flagged)
+        |SELECT user_id,
+        | date_trunc('microsecond', min(ts)) AS session_start,
+        | count(*) AS n_events,
+        | CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+        |   AS duration_s,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_purchases,
+        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+        |   AS converted,
+        | round(sum(value), 2) AS session_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
     "q40_term_freq" ->

@@ -102,6 +102,35 @@ object EventsStream {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Session-level conversion stats: [[userSessions]]' 30-minute
+    * session windows aggregated to the funnel-analytics artifact —
+    * per session, how long it ran, how many events it held, whether a
+    * purchase happened inside it (the conversion flag a funnel report
+    * divides by), and its value mass. Same one-shuffle session_window
+    * plan; duration is integer micros arithmetic (`div`, not a double
+    * divide — engines' cast conventions differ) over the session's
+    * observed [first, last] event bounds, not the gap-padded window end.
+    */
+  def sessionConversion(spark: SparkSession, dir: String): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    events
+      .withColumn("tsq", col("ts").cast(TimestampType))
+      .groupBy(col("user_id"), session_window(col("tsq"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("__first"), max(col("ts")).as("__last"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("__first").as("session_start"),
+        col("n_events"),
+        expr("(unix_micros(CAST(__last AS TIMESTAMP)) - " +
+          "unix_micros(CAST(__first AS TIMESTAMP))) div 1000000")
+          .as("duration_s"),
+        col("n_purchases"), (col("n_purchases") > 0).as("converted"),
+        col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Sliding windows: 2-hour windows advancing hourly — every event lands
     * in exactly two windows. Same plan runs under readStream with a
     * watermark for online use.

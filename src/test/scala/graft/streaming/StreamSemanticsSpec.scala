@@ -423,6 +423,23 @@ class StreamSemanticsSpec extends SparkFunSuite {
       s"join matched ${streamed.size} of ${nClicks * nPurch} possible pairs — time-unit error?")
   }
 
+  test("sessionConversion aggregates exactly q39's sessions with sound conversion flags") {
+    val stats = EventsStream.sessionConversion(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getAs[java.time.LocalDateTime](1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+    val base = EventsStream.userSessions(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getAs[java.time.LocalDateTime](1)), r.getLong(2)))
+    // same session set, same per-session event counts
+    assert(stats.map(_._1).toSeq.sorted == base.map(_._1).toSeq.sorted)
+    val counts = stats.map { case (k, v) => k -> v._1 }.toMap
+    base.foreach { case (k, n) => assert(counts(k) == n, s"session $k") }
+    stats.foreach { case (k, (n, dur, purch, conv)) =>
+      assert(dur >= 0 && purch >= 0 && purch <= n, s"session $k bounds")
+      assert(conv == (purch > 0), s"session $k conversion flag")
+      if (n == 1) assert(dur == 0, s"singleton session $k must have zero duration")
+    }
+  }
+
   test("transformWithState accumulates across triggers in RocksDB value state") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
