@@ -198,6 +198,23 @@ object SparkEntry {
     // session-level funnel stats: duration, event count, conversion
     // flag, value mass — q39's sessions as the analytics artifact
     "q155_session_conversion" -> EventsStream.sessionConversion _,
+    // 2-D skyline (max spend, min orders) via the two-stage
+    // partition/merge sorted scan — the dominance self-join never exists
+    "q156_pareto_front" -> ((s, d) => Relational.paretoCustomers(s, d)),
+    // gaps-and-islands interval coalescing: 7-day order windows merged
+    // into maximal per-customer activity islands, one shuffle + two
+    // window passes over one ordering
+    "q157_order_islands" -> Relational.orderIslands _,
+    // per-nation argmax as a map-side-combinable max_by(struct) — the
+    // exchange carries one struct per nation, not the customer rollup
+    "q158_top_customer" -> Relational.nationTopCustomer _,
+    // per-source language mixture: dominant share + Shannon entropy via
+    // the sum-friendly identity H = ln(N) - sum(n ln n)/N
+    "q159_source_lang_mix" -> ((s, d) =>
+      Corpus.sourceLangMix(eng(s, d).table("documents"))),
+    // trailing 7-day actives: windowed COUNT(DISTINCT) rewritten as a
+    // 7x contribution expansion over collapsed user-days
+    "q160_active_7d" -> EventAnalytics.rollingActiveUsers _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1365,6 +1382,77 @@ object SparkEntry {
         | round(sum(value), 2) AS session_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    // same single-sorted-scan dominance formulation as the engine's
+    // global merge stage (the oracle needs no bucketed local stage)
+    "q156_pareto_front" ->
+      """WITH pc AS (
+        | SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+        |  count(*) AS n_orders
+        | FROM orders GROUP BY 1),
+        |pts AS (
+        | SELECT total_spend, n_orders, count(*) AS n_customers
+        | FROM pc GROUP BY 1, 2)
+        |SELECT total_spend, CAST(n_orders AS BIGINT) AS n_orders,
+        | CAST(n_customers AS BIGINT) AS n_customers
+        |FROM (
+        | SELECT *, min(n_orders) OVER (
+        |   ORDER BY total_spend DESC, n_orders
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS minprev
+        | FROM pts)
+        |WHERE minprev IS NULL OR n_orders < minprev
+        |ORDER BY total_spend DESC""".stripMargin,
+    "q157_order_islands" ->
+      """WITH iv AS (
+        | SELECT o_custkey, o_orderdate AS start_ts,
+        |  o_orderdate + INTERVAL 7 DAY AS end_ts FROM orders),
+        |m AS (
+        | SELECT *, max(end_ts) OVER (
+        |   PARTITION BY o_custkey ORDER BY start_ts, end_ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxend
+        | FROM iv),
+        |s AS (
+        | SELECT *, sum(CASE WHEN maxend IS NULL OR start_ts > maxend
+        |   THEN 1 ELSE 0 END) OVER (
+        |   PARTITION BY o_custkey ORDER BY start_ts, end_ts
+        |   ROWS UNBOUNDED PRECEDING) AS island
+        | FROM m)
+        |SELECT o_custkey, CAST(island AS BIGINT) AS island,
+        | min(start_ts) AS island_start, max(end_ts) AS island_end,
+        | count(*) AS n_orders
+        |FROM s GROUP BY o_custkey, island
+        |ORDER BY o_custkey, island""".stripMargin,
+    // row_number formulation — rn=1 under (spend DESC, custkey DESC) is
+    // exactly max_by's lexicographic (spend, custkey) struct max
+    "q158_top_customer" ->
+      """WITH spend AS (
+        | SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        | FROM orders GROUP BY 1),
+        |ranked AS (
+        | SELECT n_name AS nation, c_custkey, spend,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY spend DESC, c_custkey DESC) AS rn
+        | FROM spend
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT nation, c_custkey AS best_custkey, spend AS best_spend
+        |FROM ranked WHERE rn = 1 ORDER BY nation""".stripMargin,
+    "q159_source_lang_mix" ->
+      """WITH c AS (
+        | SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        | count(*) AS n_langs,
+        | round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS dominant_share,
+        | round(ln(CAST(sum(n) AS DOUBLE)) -
+        |   sum(n * ln(CAST(n AS DOUBLE))) / sum(n), 3) AS lang_entropy
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "q160_active_7d" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |x AS (
+        | SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |   INTERVAL 1 DAY)) AS win_day FROM ud)
+        |SELECT win_day, count(DISTINCT user_id) AS active_7d
+        |FROM x GROUP BY win_day ORDER BY win_day""".stripMargin,
     "q40_term_freq" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM (
         | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token

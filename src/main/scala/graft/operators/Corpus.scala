@@ -1272,4 +1272,32 @@ object Corpus {
           (count(lit(1)) * contextLen), 4).as("efficiency"))
       .orderBy(col("bin"))
   }
+
+  /** Per-source language-mixture report: how many languages each crawl
+    * source emits, the dominant language's share, and the Shannon entropy
+    * (nats) of the mix. The curation dashboard's "is this source really
+    * monolingual?" probe — a source whose entropy drifts up between
+    * snapshots started leaking another language (template change, domain
+    * takeover) and needs its langid gate re-run.
+    *
+    * Entropy uses the aggregation-friendly identity
+    * H = ln(N) - (1/N) * sum(n_i * ln(n_i)) so the inner term is a plain
+    * map-side-combinable SUM over (source, lang) counts — no ratio inside
+    * the aggregate, no second pass. Two hash aggregations total, both
+    * partial-combined; the wide text column never shuffles.
+    */
+  def sourceLangMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(max(col("n")).cast("double") / sum(col("n")), 4)
+          .as("dominant_share"),
+        round(log(sum(col("n")).cast("double")) -
+          sum(col("n") * log(col("n").cast("double"))) / sum(col("n")), 3)
+          .as("lang_entropy"))
+      .orderBy(col("source"))
+  }
 }

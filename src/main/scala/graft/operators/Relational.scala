@@ -575,4 +575,111 @@ object Relational {
         round(sum(col("total")), 2).as("total_revenue"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** 2-D skyline (pareto front) of customers: maximize total spend while
+    * minimizing order count ("big spenders with few orders"). A point is
+    * on the front iff no other point has >= spend AND <= orders with at
+    * least one strict. The naive formulation is an all-pairs dominance
+    * anti-join (quadratic — dead at corpus scale); for two dimensions the
+    * front is instead a SINGLE SORTED SCAN: order by (spend desc, orders
+    * asc) and keep a row iff its order count is strictly below the
+    * running minimum of every earlier row — an earlier row has >= spend
+    * by the sort, so "not strictly fewer orders than all of them" is
+    * exactly dominance. Duplicate (spend, orders) points are collapsed
+    * first (neither dominates the other; the window trick would
+    * arbitrarily keep one), so the scan runs on distinct points with a
+    * customer count carried along.
+    *
+    * Scale shape: TWO-STAGE. Stage 1 computes a LOCAL front per hash
+    * bucket (window partitioned by the bucket — a parallel sorted scan;
+    * dominance within a bucket implies global dominance, so survivors are
+    * a superset of the true front but orders of magnitude smaller than
+    * the point set). Stage 2 runs the same scan globally over only the
+    * survivors, whose count is bounded by buckets x front-size — the
+    * single-partition window never sees the raw point set. This is the
+    * standard partition/merge skyline; the quadratic dominance anti-join
+    * never appears.
+    */
+  def paretoCustomers(spark: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
+    val perCust = e(spark, dir).table("orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+    val points = perCust.groupBy(col("total_spend"), col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+    def front(df: DataFrame, parts: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val w = Window.partitionBy(parts: _*)
+        .orderBy(col("total_spend").desc, col("n_orders"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("__minprev", min(col("n_orders")).over(w))
+        .filter(col("__minprev").isNull || col("n_orders") < col("__minprev"))
+        .drop("__minprev")
+    }
+    val local = front(
+      points.withColumn("__b", pmod(hash(col("total_spend"), col("n_orders")), lit(buckets))),
+      Seq(col("__b"))).drop("__b")
+    front(local, Seq.empty)
+      .select(col("total_spend"), col("n_orders"), col("n_customers"))
+      .orderBy(col("total_spend").desc)
+  }
+
+  /** Interval coalescing (gaps-and-islands): each order opens a 7-day
+    * activity window [orderdate, orderdate+7d); overlapping/touching
+    * windows of one customer merge into maximal contiguous "activity
+    * islands". Classic streaming-compaction shape for entitlement
+    * periods, session stitching, uptime intervals.
+    *
+    * Plan: one shuffle on the partition key, then two window passes over
+    * the SAME ordering (running max of prior interval ends -> island
+    * break flag -> running sum = island id) and a final group-by that
+    * reuses the customer-hash partitioning. No self-join: the quadratic
+    * "overlap EXISTS" formulation is replaced by the sorted scan, which
+    * is the only shape that survives a per-key history of millions of
+    * intervals.
+    */
+  def orderIslands(spark: SparkSession, dir: String): DataFrame = {
+    val iv = e(spark, dir).table("orders")
+      .select(col("o_custkey"), col("o_orderdate").as("start_ts"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("end_ts"))
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("start_ts"), col("end_ts"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    iv
+      .withColumn("__maxend", max(col("end_ts")).over(wPrev))
+      .withColumn("__newisl",
+        when(col("__maxend").isNull || col("start_ts") > col("__maxend"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("__newisl")).over(wOrd))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(min(col("start_ts")).as("island_start"),
+        max(col("end_ts")).as("island_end"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"), col("island"))
+  }
+
+  /** Per-nation best customer via ARGMAX AS AN AGGREGATE (`max_by` over a
+    * lexicographic (spend, key) struct) rather than a window row_number.
+    * Same answer, different physics: the window plan must shuffle EVERY
+    * per-customer row to its nation partition and sort it; the max_by
+    * plan folds to a single struct per nation in the map-side partial
+    * combine, so the exchange carries 25 structs instead of the whole
+    * customer rollup. The struct's trailing custkey makes ties
+    * deterministic (max key wins among equal spends).
+    */
+  def nationTopCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val spend = en.table("orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    spend
+      .join(en.table("customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(max_by(struct(col("spend"), col("c_custkey")),
+        struct(col("spend"), col("c_custkey"))).as("best"))
+      .join(broadcast(en.table("nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        col("best.c_custkey").as("best_custkey"),
+        col("best.spend").as("best_spend"))
+      .orderBy(col("nation"))
+  }
 }
