@@ -215,6 +215,16 @@ object SparkEntry {
     // trailing 7-day actives: windowed COUNT(DISTINCT) rewritten as a
     // 7x contribution expansion over collapsed user-days
     "q160_active_7d" -> EventAnalytics.rollingActiveUsers _,
+    // last-touch attribution: ignore-nulls last() over a (ts, type)
+    // struct — one window pass instead of a per-purchase lateral join
+    "q161_attribution" -> ((s, d) =>
+      EventAnalytics.lastTouchAttribution(s, d)),
+    // robust outliers: median/MAD with broadcast-back passes; swap
+    // percentile for the KLL sketch at 100 TB (same shape)
+    "q162_mad_outliers" -> ((s, d) => Relational.madOutliers(s, d)),
+    // streaming twin of q160: stream holds (window, user) dedup state,
+    // batch side counts — same oracle
+    "q163_stream_wau" -> EventsStream.slidingActiveUsers _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1446,6 +1456,46 @@ object SparkEntry {
         |   sum(n * ln(CAST(n AS DOUBLE))) / sum(n), 3) AS lang_entropy
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q160_active_7d" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |x AS (
+        | SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |   INTERVAL 1 DAY)) AS win_day FROM ud)
+        |SELECT win_day, count(DISTINCT user_id) AS active_7d
+        |FROM x GROUP BY win_day ORDER BY win_day""".stripMargin,
+    "q161_attribution" ->
+      """WITH touched AS (
+        | SELECT user_id, ts, event_type, value,
+        |  last_value(CASE WHEN event_type <> 'purchase'
+        |     THEN struct_pack(t := ts, ch := event_type) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        | FROM events)
+        |SELECT CASE WHEN touch IS NULL OR touch.t < ts - INTERVAL 7 DAY
+        |        THEN 'none' ELSE touch.ch END AS channel,
+        | count(*) AS n_purchases, round(sum(value), 2) AS attributed_value
+        |FROM touched WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q162_mad_outliers" ->
+      """WITH med AS (
+        | SELECT event_type, quantile_cont(value, 0.5) AS med
+        | FROM events GROUP BY 1),
+        |dev AS (
+        | SELECT e.event_type, med.med, abs(e.value - med.med) AS absdev
+        | FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        | SELECT event_type, max(med) AS med,
+        |  quantile_cont(absdev, 0.5) AS mad
+        | FROM dev GROUP BY 1)
+        |SELECT dev.event_type, round(mad.med, 4) AS med,
+        | round(mad.mad, 4) AS mad, count(*) AS n_events,
+        | CAST(sum(CASE WHEN absdev > 3.0 * 1.4826 * mad.mad
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // identical semantics to the batch expansion — the stream's sliding
+    // 7d/1d windows with >=1 event are exactly the trailing win_days
+    "q163_stream_wau" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
         |x AS (

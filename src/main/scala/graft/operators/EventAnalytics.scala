@@ -171,6 +171,40 @@ object EventAnalytics {
     * per-day rescan; cost is linear in user-days, independent of how hot
     * a user's event stream is.
     */
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent preceding NON-purchase event (its type = the channel) if it
+    * happened within the horizon, else to 'none'. The naive shape is a
+    * per-purchase lateral "latest touch before me" self-join — quadratic
+    * in a hot user's history; here it is one window pass: an
+    * ignore-nulls `last` over a (ts, type) struct carries the latest
+    * touch forward, so the plan is one shuffle on user_id, one sort, and
+    * a tiny channel rollup. Same single-partitioning discipline as
+    * [[funnel]].
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String,
+      horizonDays: Int = 7): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("lt", last(
+        when(col("event_type") =!= "purchase",
+          struct(col("ts").as("t"), col("event_type").as("ch"))),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("lt").isNull ||
+          col("lt.t") < col("ts") - expr(s"INTERVAL $horizonDays DAYS"),
+          lit("none")).otherwise(col("lt.ch")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
   def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
     val events = new graft.cube.Engine(spark, dir).table("events")
     val userDays = events

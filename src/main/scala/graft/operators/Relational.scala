@@ -576,6 +576,42 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Robust outlier report via MAD (median absolute deviation) — the
+    * q79 z-score's robust sibling: a fat-tailed value column inflates the
+    * stddev until real outliers hide inside 3 sigma, while the median and
+    * MAD are 50%-breakdown estimators. Per event type: median, MAD,
+    * outlier count at |v - med| > k * 1.4826 * MAD (1.4826 scales MAD to
+    * sigma under normality).
+    *
+    * Scale shape: MAD is inherently two-pass (the deviation needs the
+    * median first); each pass is one hash aggregation over events with
+    * the per-type medians/MADs broadcast back — the fact shuffles ZERO
+    * times (percentile partials combine map-side... they do not: exact
+    * percentile shuffles per-group values; at 100 TB swap both
+    * `percentile` calls for approx_percentile's KLL-style sketch, which
+    * DOES combine map-side — same code shape, tolerance-gated like q59).
+    */
+  def madOutliers(spark: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+    val ev = e(spark, dir).table("events")
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"),
+        expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad.select(col("event_type"), col("mad"))), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("absdev") > lit(k) * lit(1.4826) * col("mad"), lit(1)))
+          .as("n_outliers"))
+      .join(broadcast(mad), "event_type")
+      .select(col("event_type"), round(col("med"), 4).as("med"),
+        round(col("mad"), 4).as("mad"), col("n_events"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** 2-D skyline (pareto front) of customers: maximize total spend while
     * minimizing order count ("big spenders with few orders"). A point is
     * on the front iff no other point has >= spend AND <= orders with at

@@ -76,6 +76,30 @@ object EventsStream {
       .orderBy(col("event_hour"), col("event_type"))
   }
 
+  /** Streaming trailing-7-day active users — the online twin of the batch
+    * q160 expansion (same oracle SQL). Distinct-count is split into its
+    * two phases across the stream/batch boundary: the STREAM holds the
+    * heavy state — one row per (sliding 7d/1d window, user) via a
+    * windowed group-by, which is exactly the dedup state a distinct needs
+    * and is bounded by watermark eviction at scale — and the per-window
+    * COUNT of those rows (cheap, one row per window-day) runs batch-side
+    * on the sink table. Epoch-aligned 1-day slides make the stream's
+    * window starts coincide with the batch day-truncation, so
+    * win_day = window.start + 6d is the batch query's trailing-window
+    * label exactly.
+    */
+  def slidingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val perUserWin = streamingEvents(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("__n"))
+    runToMemory(perUserWin, "graft_stream_wau", OutputMode.Complete())
+      .groupBy((col("w.start") + expr("INTERVAL 6 DAYS"))
+        .cast(TimestampNTZType).as("win_day"))
+      .agg(count(lit(1)).as("active_7d"))
+      .orderBy(col("win_day"))
+  }
+
   // NB: public — encoder codegen cannot access private case classes
   case class Ev(user_id: Long, tsMicros: Long, event_type: String,
       value: Double)
