@@ -225,6 +225,28 @@ object SparkEntry {
     // streaming twin of q160: stream holds (window, user) dedup state,
     // batch side counts — same oracle
     "q163_stream_wau" -> EventsStream.slidingActiveUsers _,
+    // trailing-28d mean/std anomaly flags over the PRE-ROUNDED daily
+    // series (q74's convention) — the window never sees raw events
+    "q164_anomaly_days" -> ((s, d) => EventAnalytics.dailyAnomalies(s, d)),
+    // time-to-convert p50/p90/mean over q72's strict funnel stage times;
+    // integer micros div for latency
+    "q165_funnel_timing" -> EventAnalytics.funnelTiming _,
+    // smoothed-IDF drift between the doc_id-parity snapshot halves —
+    // full-outer df join + TakeOrderedAndProject top-k movers
+    "q166_idf_drift" -> ((s, d) =>
+      Corpus.idfDrift(eng(s, d).table("documents"))),
+    // GDPR purge dry-run: broadcast key-set semi cascade, one scan and
+    // one flag-counting agg per table
+    "q167_purge_audit" -> ((s, d) => Relational.purgeAudit(s, d)),
+    // PSI drift between user-parity cohorts: fixed floor() bins,
+    // Laplace-smoothed shares, per-bin (p-q)ln(p/q)
+    "q168_psi_drift" -> ((s, d) => Quality.psiReport(s, d)),
+    // pre-join fanout forecast: per-side key histograms full-outer
+    // joined, top-k keys by n_events x n_orders — skew triage input
+    "q169_join_fanout" -> ((s, d) => Relational.joinFanoutReport(s, d)),
+    // CDC apply: log collapsed to latest op per key, tombstones delete,
+    // upserts win wholesale — q81's merge with delete semantics
+    "q170_cdc_apply" -> ((s, d) => Merge.cdcApply(s, d)),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1493,6 +1515,157 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev JOIN mad USING (event_type)
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q167_purge_audit" ->
+      """WITH forget AS (
+        | SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |po AS (
+        | SELECT o_orderkey FROM orders
+        | WHERE o_custkey IN (SELECT c_custkey FROM forget))
+        |SELECT * FROM (
+        | SELECT 'customer' AS table_name,
+        |  CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purged,
+        |  CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_retained
+        | FROM customer
+        | UNION ALL
+        | SELECT 'events',
+        |  CAST(sum(CASE WHEN user_id IN (SELECT c_custkey FROM forget)
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN user_id IN (SELECT c_custkey FROM forget)
+        |    THEN 0 ELSE 1 END) AS BIGINT)
+        | FROM events
+        | UNION ALL
+        | SELECT 'orders',
+        |  CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM forget)
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM forget)
+        |    THEN 0 ELSE 1 END) AS BIGINT)
+        | FROM orders
+        | UNION ALL
+        | SELECT 'lineitem',
+        |  CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM po)
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM po)
+        |    THEN 0 ELSE 1 END) AS BIGINT)
+        | FROM lineitem)
+        |ORDER BY table_name""".stripMargin,
+    "q168_psi_drift" ->
+      """WITH binned AS (
+        | SELECT CAST(least(greatest(floor(value / 10.0), 0.0), 9.0)
+        |   AS BIGINT) AS bin,
+        |  user_id % 2 = 0 AS half_a FROM events),
+        |counts AS (
+        | SELECT bin,
+        |  CAST(sum(CASE WHEN half_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN NOT half_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        | FROM binned GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(CASE WHEN half_a THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+        |  CAST(sum(CASE WHEN NOT half_a THEN 1 ELSE 0 END) AS BIGINT) AS tb
+        | FROM binned)
+        |SELECT bin, n_a, n_b,
+        | round((CAST(n_a + 1 AS DOUBLE) / (ta + 10) -
+        |        CAST(n_b + 1 AS DOUBLE) / (tb + 10)) *
+        |   ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10)) /
+        |      (CAST(n_b + 1 AS DOUBLE) / (tb + 10))), 6) AS psi_term
+        |FROM counts CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q170_cdc_apply" ->
+      """WITH before AS (
+        | SELECT user_id, event_type AS last_type, value AS last_value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |snap AS (SELECT user_id, last_type, last_value FROM before WHERE rn = 1),
+        |logx AS (
+        | SELECT user_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |op AS (SELECT user_id, event_type, value, event_type = 'error' AS del
+        |       FROM logx WHERE rn = 1)
+        |SELECT COALESCE(s.user_id, o.user_id) AS user_id,
+        | CASE WHEN o.user_id IS NOT NULL THEN o.event_type
+        |      ELSE s.last_type END AS last_type,
+        | CASE WHEN o.user_id IS NOT NULL THEN o.value
+        |      ELSE s.last_value END AS last_value
+        |FROM snap s FULL OUTER JOIN op o ON s.user_id = o.user_id
+        |WHERE NOT COALESCE(o.del, false)
+        |ORDER BY user_id""".stripMargin,
+    "q169_join_fanout" ->
+      """WITH le AS (
+        | SELECT user_id AS key, count(*) AS n_events FROM events GROUP BY 1),
+        |ri AS (
+        | SELECT o_custkey AS key, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT key,
+        | CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+        | CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+        | CAST(COALESCE(n_events, 0) * COALESCE(n_orders, 0) AS BIGINT)
+        |   AS fanout
+        |FROM le FULL OUTER JOIN ri USING (key)
+        |ORDER BY fanout DESC, key LIMIT 10""".stripMargin,
+    "q164_anomaly_days" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', ts) AS day, round(sum(value), 2) AS total,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS day_num
+        | FROM events GROUP BY 1)
+        |SELECT day, total,
+        | round(avg(total) OVER w, 6) AS mean28,
+        | count(*) OVER w AS n_days_in_window,
+        | (stddev_samp(total) OVER w IS NOT NULL AND
+        |  abs(total - avg(total) OVER w) > 2.0 * stddev_samp(total) OVER w)
+        |   AS is_anomaly
+        |FROM daily
+        |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    "q165_funnel_timing" ->
+      """WITH staged AS (
+        | SELECT user_id, ts, event_type,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1
+        | FROM events),
+        |s2 AS (
+        | SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t2
+        | FROM staged),
+        |s3 AS (
+        | SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t3
+        | FROM s2),
+        |conv AS (
+        | SELECT user_id, max(t1) AS t1, max(t3) AS t3 FROM s3 GROUP BY 1),
+        |mins AS (
+        | SELECT (epoch_us(t3) - epoch_us(t1)) // 60000000 AS minutes
+        | FROM conv WHERE t3 IS NOT NULL)
+        |SELECT count(*) AS n_converted,
+        | round(quantile_cont(minutes, 0.5), 4) AS p50_minutes,
+        | round(quantile_cont(minutes, 0.9), 4) AS p90_minutes,
+        | round(avg(minutes), 4) AS mean_minutes
+        |FROM mins""".stripMargin,
+    "q166_idf_drift" ->
+      """WITH toks AS (
+        | SELECT doc_id, doc_id % 2 = 0 AS half_a,
+        |  unnest(list_distinct(string_split(text, ' '))) AS token
+        | FROM documents),
+        |df AS (
+        | SELECT token,
+        |  CAST(sum(CASE WHEN half_a THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+        |  CAST(sum(CASE WHEN NOT half_a THEN 1 ELSE 0 END) AS BIGINT) AS df_b
+        | FROM toks GROUP BY 1),
+        |n AS (
+        | SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_a,
+        |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_b
+        | FROM documents)
+        |SELECT token, df_a, df_b,
+        | round(ln(CAST(n_a + 1 AS DOUBLE) / (df_a + 1)), 4) AS idf_a,
+        | round(ln(CAST(n_b + 1 AS DOUBLE) / (df_b + 1)), 4) AS idf_b,
+        | round(abs(ln(CAST(n_a + 1 AS DOUBLE) / (df_a + 1)) -
+        |           ln(CAST(n_b + 1 AS DOUBLE) / (df_b + 1))), 4) AS abs_drift
+        |FROM df CROSS JOIN n
+        |ORDER BY abs_drift DESC, token LIMIT 20""".stripMargin,
     // identical semantics to the batch expansion — the stream's sliding
     // 7d/1d windows with >=1 event are exactly the trailing win_days
     "q163_stream_wau" ->

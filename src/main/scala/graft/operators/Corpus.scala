@@ -1286,6 +1286,46 @@ object Corpus {
     * the aggregate, no second pass. Two hash aggregations total, both
     * partial-combined; the wide text column never shuffles.
     */
+  /** Vocabulary drift between two corpus snapshots (here: the doc_id
+    * parity halves, standing in for consecutive crawl snapshots): per
+    * token, the smoothed IDF ln((N+1)/(df+1)) in each half and the top-k
+    * movers by |Δidf|. The retrain-trigger monitor — a token whose IDF
+    * swings between snapshots marks a topic burst or a scraper
+    * regression; a stable vocabulary means embeddings/BM25 stats can be
+    * carried forward.
+    *
+    * Scale shape: each half collapses to per-token document frequencies
+    * (distinct (doc, token) then count — both map-side combinable), the
+    * halves FULL OUTER join on token (absent => df 0, idf ln(N+1)), and
+    * the top-k movers come out via TakeOrderedAndProject — no global
+    * sort. Doc counts ride in as a 2-row broadcast cross join.
+    */
+  def idfDrift(docs: DataFrame, k: Int = 20): DataFrame = {
+    val toks = Par.ensure(docs)
+      .select(col("doc_id"), (col("doc_id") % 2 === 0).as("half_a"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    val df = toks.groupBy(col("token"))
+      .agg(count(when(col("half_a"), lit(1))).as("df_a"),
+        count(when(!col("half_a"), lit(1))).as("df_b"))
+    val n = docs.agg(
+      count(when(col("doc_id") % 2 === 0, lit(1))).as("n_a"),
+      count(when(col("doc_id") % 2 =!= 0, lit(1))).as("n_b"))
+    df.crossJoin(broadcast(n))
+      .select(col("token"), col("df_a"), col("df_b"),
+        round(log((col("n_a") + 1).cast("double") / (col("df_a") + 1)), 4)
+          .as("idf_a"),
+        round(log((col("n_b") + 1).cast("double") / (col("df_b") + 1)), 4)
+          .as("idf_b"),
+        log((col("n_a") + 1).cast("double") / (col("df_a") + 1))
+          .minus(log((col("n_b") + 1).cast("double") / (col("df_b") + 1)))
+          .as("__drift"))
+      .withColumn("abs_drift", round(abs(col("__drift")), 4))
+      .orderBy(col("abs_drift").desc, col("token"))
+      .select(col("token"), col("df_a"), col("df_b"),
+        col("idf_a"), col("idf_b"), col("abs_drift"))
+      .limit(k)
+  }
+
   def sourceLangMix(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n"))

@@ -171,6 +171,81 @@ object EventAnalytics {
     * per-day rescan; cost is linear in user-days, independent of how hot
     * a user's event stream is.
     */
+  /** Trailing-window anomaly flags on the daily value series: a day is
+    * anomalous when its total deviates more than `sigmas` sample standard
+    * deviations from the trailing 28-day mean (window INCLUDES the
+    * current day — the usual monitoring convention, and it keeps the
+    * first day well-defined). The ops-dashboard "did ingestion break
+    * today?" probe.
+    *
+    * Scale shape: the fact collapses to one row per day FIRST (map-side
+    * combined sum), so the rolling window runs over the tiny daily frame
+    * — a RANGE frame on an integer day number, one partition-less window
+    * over ~years-of-days rows, never over raw events. (A multi-tenant
+    * variant partitions the window by tenant and stays fully parallel.)
+    */
+  def dailyAnomalies(spark: SparkSession, dir: String,
+      sigmas: Double = 2.0): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    val daily = events
+      .groupBy(date_trunc("day", col("ts"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
+      // rounded BEFORE the window (q74's convention): rolling stats run
+      // on exact 2dp values, so engines' partial-sum order can't leak
+      // ulp drift into the windowed mean/std or the flag comparison
+      .agg(round(sum(col("value")), 2).as("total"))
+      .withColumn("day_num",
+        datediff(col("day").cast("date"), lit("1970-01-01").cast("date"))
+          .cast(LongType))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-27, 0)
+    daily
+      .withColumn("mean28", avg(col("total")).over(w))
+      .withColumn("std28", stddev_samp(col("total")).over(w))
+      // 6dp, not 4: the early ramp divides an exact 2dp sum by n in
+      // {1,2,4,8,16}, whose quotient is an exact <=6-digit decimal that
+      // can SIT on a 4dp half-grid point (engines' half-up vs
+      // scaled-double rounding then diverge — seen live at n=8); at 6dp
+      // the exact value is strictly inside a cell, so an ulp of window
+      // summation drift cannot flip the rounding
+      .select(col("day"), col("total"),
+        round(col("mean28"), 6).as("mean28"),
+        count(lit(1)).over(w).as("n_days_in_window"),
+        (col("std28").isNotNull &&
+          abs(col("total") - col("mean28")) > lit(sigmas) * col("std28"))
+          .as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  /** Time-to-convert distribution for the strict [[funnel]]: per
+    * converting user, minutes from the earliest view to the earliest
+    * qualifying purchase (same chained-window stage times as q72, so
+    * "qualifying" means strictly view -> click -> purchase ordered), then
+    * the population's p50/p90 and mean. Latency is integer micros
+    * arithmetic (`div` on both engines — cast conventions differ on
+    * double divides); the percentile interpolation runs on those exact
+    * longs.
+    */
+  def funnelTiming(spark: SparkSession, dir: String): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = events
+      .withColumn("t1", min(when(col("event_type") === stages(0), col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === stages(1) && col("ts") > col("t1"),
+        col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === stages(2) && col("ts") > col("t2"),
+        col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t3")).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(expr("(unix_micros(CAST(t3 AS TIMESTAMP)) - " +
+        "unix_micros(CAST(t1 AS TIMESTAMP))) div 60000000").as("minutes"))
+    perUser.agg(
+      count(lit(1)).as("n_converted"),
+      round(expr("percentile(minutes, 0.5)"), 4).as("p50_minutes"),
+      round(expr("percentile(minutes, 0.9)"), 4).as("p90_minutes"),
+      round(avg(col("minutes")), 4).as("mean_minutes"))
+  }
+
   /** Last-touch attribution: each purchase is credited to the user's most
     * recent preceding NON-purchase event (its type = the channel) if it
     * happened within the horizon, else to 'none'. The naive shape is a

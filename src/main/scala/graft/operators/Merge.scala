@@ -56,17 +56,69 @@ object Merge {
     val ev = new Engine(spark, dir).table("events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ts"), col("value"))
-    def latest(df: DataFrame): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type").as("last_type"),
-          col("value").as("last_value"))
-    }
-    val snapshot = latest(ev.filter(col("ts") < lit(cutoff).cast("timestamp_ntz")))
-    val changes = latest(ev.filter(col("ts") >= lit(cutoff).cast("timestamp_ntz")))
+    val snapshot = latestState(ev.filter(col("ts") < lit(cutoff).cast("timestamp_ntz")))
+    val changes = latestState(ev.filter(col("ts") >= lit(cutoff).cast("timestamp_ntz")))
     mergeUpsert(snapshot, changes, Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Latest per-user event state of a log slice (shared by the merge and
+    * CDC paths): top-1 per user under (ts, event_id) desc.
+    */
+  private def latestState(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+  }
+
+  /** CDC apply with tombstones — the piece [[mergeUpsert]] deliberately
+    * lacks: the change LOG carries operations, not states, so the apply
+    * must (1) collapse the log to the LATEST operation per key
+    * (sequence-ordered — replaying ops out of order resurrects deleted
+    * rows), then (2) merge: a terminal upsert wins wholesale, a terminal
+    * DELETE tombstone removes the key, an untouched key keeps its
+    * snapshot row. This is the Debezium/binlog-consumer shape every
+    * warehouse ingestion runs.
+    *
+    * Fixture wiring: post-cutoff events are the log; 'error' events are
+    * the tombstones (their users closed their accounts), everything else
+    * upserts (user_id, last_type, last_value). The pre-cutoff snapshot is
+    * q69's latest-state shape.
+    *
+    * Scale shape: the log collapses FIRST (top-1-per-key WindowGroupLimit
+    * — partial rank pushed before the shuffle), so the merge join sees
+    * one row per touched key, typically ≪ snapshot; AQE broadcasts it
+    * and the snapshot never shuffles. Tombstones become a filter, not a
+    * second pass.
+    */
+  def cdcApply(spark: SparkSession, dir: String,
+      cutoff: String = "2024-01-16 00:00:00"): DataFrame = {
+    val ev = new Engine(spark, dir).table("events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+    val snapshot = latestState(
+      ev.filter(col("ts") < lit(cutoff).cast("timestamp_ntz"))).alias("t")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latestOp = ev.filter(col("ts") >= lit(cutoff).cast("timestamp_ntz"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"),
+        (col("event_type") === "error").as("__del"),
+        lit(true).as("__from_log"))
+      .alias("c")
+    snapshot.join(latestOp, col("t.user_id") <=> col("c.user_id"),
+        "full_outer")
+      .filter(!coalesce(col("c.__del"), lit(false)))
+      .select(
+        coalesce(col("t.user_id"), col("c.user_id")).as("user_id"),
+        when(col("c.__from_log").isNotNull, col("c.event_type"))
+          .otherwise(col("t.last_type")).as("last_type"),
+        when(col("c.__from_log").isNotNull, col("c.value"))
+          .otherwise(col("t.last_value")).as("last_value"))
       .orderBy(col("user_id"))
   }
 }

@@ -83,4 +83,42 @@ object Quality {
           "left_anti")))
       .orderBy(col("constraint_name"))
   }
+
+  /** Population stability index (PSI) report between two cohorts of the
+    * event value distribution (user_id parity stands in for the
+    * reference/current model-serving windows): fixed decade bins,
+    * Laplace-smoothed shares, per-bin PSI contribution
+    * (p − q)·ln(p/q). The drift gate every feature pipeline runs before
+    * refreshing a model — PSI > 0.2 on a feature means the training
+    * distribution no longer matches serving.
+    *
+    * Scale shape: one pass bins and splits (map-side combined counts per
+    * (bin)), totals ride in as a 1-row broadcast; the ln runs on shares
+    * DERIVED THE SAME WAY on both engines (integer counts → one double
+    * divide each) so IEEE rounding stays in lockstep. floor() — not an
+    * int cast — buckets the double (cast truncation conventions differ
+    * between engines; floor is defined identically).
+    */
+  def psiReport(spark: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val ev = new Engine(spark, dir).table("events")
+      .select(col("user_id"), col("value"))
+    val binned = ev
+      .withColumn("bin",
+        least(greatest(floor(col("value") / 10.0), lit(0.0)),
+          lit((bins - 1).toDouble)).cast("long"))
+      .withColumn("half_a", col("user_id") % 2 === 0)
+    val counts = binned.groupBy(col("bin"))
+      .agg(count(when(col("half_a"), lit(1))).as("n_a"),
+        count(when(!col("half_a"), lit(1))).as("n_b"))
+    val tot = binned.agg(
+      count(when(col("half_a"), lit(1))).as("ta"),
+      count(when(!col("half_a"), lit(1))).as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", (col("n_a") + 1).cast("double") / (col("ta") + bins))
+      .withColumn("q", (col("n_b") + 1).cast("double") / (col("tb") + bins))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+          .as("psi_term"))
+      .orderBy(col("bin"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.cube.Engine
@@ -574,6 +574,68 @@ object Relational {
       .agg(sum(col("n_orders")).as("n_orders"),
         round(sum(col("total")), 2).as("total_revenue"))
       .orderBy(col("c_nationkey"))
+  }
+
+  /** Right-to-erasure (GDPR) purge audit: given a forget-set of
+    * customers, report per table how many rows the cascade would purge
+    * and retain — events by user key, orders by customer key, lineitem
+    * transitively through its purged orders, and the customer rows
+    * themselves. The compliance dry-run every data platform runs before
+    * the actual delete job.
+    *
+    * Scale shape: the forget KEY SET (tiny — keys only, no payload)
+    * broadcasts into semi-join counts against each fact; the lineitem
+    * cascade semi-joins against the purged ORDER KEYS (still key-only).
+    * Nothing wide shuffles; each table is scanned once, and at 100 TB
+    * each count is a metadata-light scan the actual delete (an anti-join
+    * rewrite, `Merge`-style) would then mirror.
+    */
+  def purgeAudit(spark: SparkSession, dir: String, modulus: Int = 97): DataFrame = {
+    val en = e(spark, dir)
+    val forget = en.table("customer")
+      .filter(col("c_custkey") % modulus === 0)
+      .select(col("c_custkey").as("__fk"))
+    // one scan per table: broadcast left join against the (unique) key
+    // set, flag-count both sides of the verdict in a single aggregation
+    def audit(name: String, df: DataFrame, key: Column,
+        keys: DataFrame): DataFrame =
+      df.join(broadcast(keys), key === col("__fk"), "left")
+        .agg(count(col("__fk")).as("n_purged"),
+          (count(lit(1)) - count(col("__fk"))).as("n_retained"))
+        .select(lit(name).as("table_name"), col("n_purged"),
+          col("n_retained"))
+    val purgedOrders = en.table("orders")
+      .join(broadcast(forget), col("o_custkey") === col("__fk"), "left_semi")
+      .select(col("o_orderkey").as("__fk"))
+    audit("customer", en.table("customer"), col("c_custkey"), forget)
+      .unionByName(audit("events", en.table("events"), col("user_id"), forget))
+      .unionByName(audit("orders", en.table("orders"), col("o_custkey"), forget))
+      .unionByName(audit("lineitem", en.table("lineitem"), col("l_orderkey"),
+        purgedOrders))
+      .orderBy(col("table_name"))
+  }
+
+  /** Pre-join cardinality / skew forecast: for a planned events ⋈ orders
+    * join on user = customer key, the top-k hottest keys by OUTPUT
+    * fanout (n_events × n_orders) — the join-explosion detector run
+    * BEFORE the join, from per-side key histograms that are each a
+    * map-side-combined aggregation orders of magnitude smaller than the
+    * join output they forecast. The figure that decides between plain
+    * shuffle join, broadcast, and [[graft.operators.Skew]] salting.
+    */
+  def joinFanoutReport(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val en = e(spark, dir)
+    val le = en.table("events").groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n_events"))
+    val ri = en.table("orders").groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("n_orders"))
+    le.join(ri, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .withColumn("fanout", col("n_events") * col("n_orders"))
+      .orderBy(col("fanout").desc, col("key"))
+      .limit(k)
   }
 
   /** Robust outlier report via MAD (median absolute deviation) — the
