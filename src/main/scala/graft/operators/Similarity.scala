@@ -307,8 +307,24 @@ object Similarity {
       explode(keys).as("k"))
       .select(col("vec_id"), col("label"), col("embedding"),
         col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
-      .repartition(col("tbl"), col("bucket"))
+      // EXPLICIT partition count: a column-only repartition is an
+      // AQE-coalescible shuffle, and the layout frame is small in BYTES
+      // while fanning out to tables × 2^planes directories — AQE merges
+      // it to ~one partition and a single task then writes every
+      // directory's file serially (measured 9.5s -> 3.4s at sf0.1 for
+      // the delta append when pinned). The count pins one writer SET per
+      // directory (hash clustering is by the partition cols either way);
+      // file count is unchanged.
+      .repartition(layoutParallelism(emb), col("tbl"), col("bucket"))
   }
+
+  /** Writer parallelism for layout builds: the session's shuffle
+    * parallelism — partition dirs spread across that many concurrent
+    * writer tasks instead of whatever AQE coalesces a small-byte shuffle
+    * down to.
+    */
+  private def layoutParallelism(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
 
   /** Incremental LSH index maintenance — the bucketed-layout twin of
     * [[ivfIndexIncremental]], and the EASIER of the two: LSH keys are
@@ -509,9 +525,11 @@ object Similarity {
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       val path = indexPath(emb.sparkSession, s"ivf${nlist}i$iters", datasetKey)
       // repartition by cell: one writer set per cell directory (see
-      // lshIndex) instead of tasks × cells tiny files
+      // lshIndex) instead of tasks × cells tiny files; explicit count so
+      // AQE cannot coalesce the writers serial (see lshLayoutRows)
       graft.sources.Sink.writePartitioned(
-        assignToCentroids(emb, centroids).repartition(col("cid")),
+        assignToCentroids(emb, centroids)
+          .repartition(layoutParallelism(emb), col("cid")),
         path, Seq("cid"))
       IvfIndex(path, centroids)
     })
@@ -594,7 +612,7 @@ object Similarity {
     ivfMemo.getOrElseUpdate((base.sparkSession, s"${datasetKey}_incr", nlist, iters), {
       val idx = ivfIndex(base, s"${datasetKey}_incrbase", nlist, iters)
       assignToCentroids(delta, idx.centroids)
-        .repartition(col("cid"))
+        .repartition(layoutParallelism(delta), col("cid"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("cid").parquet(idx.path)
       idx
