@@ -247,6 +247,21 @@ object SparkEntry {
     // CDC apply: log collapsed to latest op per key, tombstones delete,
     // upserts win wholesale — q81's merge with delete semantics
     "q170_cdc_apply" -> ((s, d) => Merge.cdcApply(s, d)),
+    // token-mass Gini per source via the integer sorted-rank identity —
+    // both engines reach the same doubles through the same divisions
+    "q171_token_gini" -> ((s, d) =>
+      Corpus.tokenGini(eng(s, d).table("documents"))),
+    // template boilerplate: first-k-token prefix clusters (prefix built
+    // in the scan projection, no explode)
+    "q172_template_prefixes" -> ((s, d) =>
+      Corpus.templatePrefixes(eng(s, d).table("documents"))),
+    // two-stage multimodal dedup: prefix-digest candidates + distinct
+    // full digests, all hashed in the scan — the payload never shuffles
+    "q173_asset_dedup" -> ((s, d) =>
+      Multimodal.assetDedup(eng(s, d).table("documents"))),
+    // q72's strict funnel segmented by acquisition channel (ordered
+    // first() + conditional mins over ONE user exchange)
+    "q174_funnel_channel" -> EventAnalytics.funnelByChannel _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1570,6 +1585,59 @@ object SparkEntry {
         |   ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10)) /
         |      (CAST(n_b + 1 AS DOUBLE) / (tb + 10))), 6) AS psi_term
         |FROM counts CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q171_token_gini" ->
+      """WITH d AS (
+        | SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |r AS (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY n_tok, doc_id) AS BIGINT) AS i
+        | FROM d)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        | round(2.0 * CAST(sum(i * n_tok) AS DOUBLE) /
+        |   (CAST(count(*) AS DOUBLE) * CAST(sum(n_tok) AS DOUBLE)) -
+        |   (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q172_template_prefixes" ->
+      """SELECT array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+        |   AS prefix,
+        | count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+        | min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 HAVING count(*) >= 3
+        |ORDER BY n_docs DESC, prefix""".stripMargin,
+    // substr is byte-sliced on the Spark side (binary) and char-sliced
+    // here — identical on this ASCII fixture, and the digest keeps the
+    // comparison honest either way
+    "q173_asset_dedup" ->
+      """SELECT sha256(substr(text, 1, 80)) AS digest, count(*) AS n_copies,
+        | min(doc_id) AS keeper,
+        | count(DISTINCT sha256(text)) AS n_distinct_full
+        |FROM documents GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY keeper""".stripMargin,
+    "q174_funnel_channel" ->
+      """WITH st AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  first_value(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS channel,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1
+        | FROM events),
+        |s2 AS (
+        | SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t2 FROM st),
+        |s3 AS (
+        | SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |pu AS (
+        | SELECT user_id, max(channel) AS channel, max(t1) AS t1,
+        |  max(t2) AS t2, max(t3) AS t3 FROM s3 GROUP BY 1)
+        |SELECT channel, count(*) AS n_users, count(t1) AS viewed,
+        | count(t2) AS clicked, count(t3) AS converted
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
     "q170_cdc_apply" ->
       """WITH before AS (
         | SELECT user_id, event_type AS last_type, value AS last_value,

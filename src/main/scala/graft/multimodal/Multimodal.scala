@@ -85,4 +85,31 @@ object Multimodal {
       .select(col("doc_id"), col("format"), col("f.n_bytes"),
         col("f.feat_norm"), col("f.top_bin"))
       .orderBy(col("doc_id"))
+
+  /** Two-stage exact asset dedup by content digest — the "same asset
+    * re-uploaded under ten names" cut that runs BEFORE any perceptual
+    * hashing. Stage 1 groups by a digest of the payload's first
+    * `prefixBytes` bytes (the thumbnail/header region — cheap, catches
+    * every exact-duplicate candidate since equal payloads have equal
+    * prefixes); stage 2 counts DISTINCT full-payload digests inside each
+    * candidate group, so `n_copies == n_distinct_full` exposes prefix
+    * collisions that are not whole-asset duplicates. Emits one row per
+    * candidate group with its keeper (min doc_id).
+    *
+    * Scale shape: both digests are computed IN THE SCAN (sha2 is a
+    * built-in over the binary column); only 32-byte digests + ids
+    * shuffle, never the payload — at 100 TB of assets the exchange
+    * carries gigabytes, not the corpus. The same plan dedups any opaque
+    * modality.
+    */
+  def assetDedup(docs: DataFrame, prefixBytes: Int = 80): DataFrame =
+    withAssets(docs)
+      .select(col("doc_id"),
+        sha2(expr(s"substring(payload, 1, $prefixBytes)"), 256).as("digest"),
+        sha2(col("payload"), 256).as("full_digest"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"),
+        countDistinct(col("full_digest")).as("n_distinct_full"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("keeper"))
 }

@@ -1273,6 +1273,61 @@ object Corpus {
       .orderBy(col("bin"))
   }
 
+  /** Token-mass inequality per source (Gini coefficient over per-doc
+    * token counts): the curation dashboard's "is this source a few mega
+    * documents or many small ones?" probe — a high-Gini source packs its
+    * token budget into few documents, which skews sequence packing and
+    * dedup cluster sizes downstream. Uses the sorted-rank identity
+    * G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n, whose inputs are ALL integers
+    * (rank, token counts), so both engines reach the same doubles
+    * through the same two divisions — no accumulation-order drift.
+    *
+    * Scale shape: one tokenize pass collapses each doc to an integer
+    * (text never shuffles); the rank window runs per source — the only
+    * sort, over (source)-partitioned integer pairs; one aggregation
+    * ends it.
+    */
+  def tokenGini(docs: DataFrame): DataFrame = {
+    val d = Par.ensure(docs).select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_tok"), col("doc_id"))
+    d.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("i") * col("n_tok")).as("__a"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(lit(2.0) * col("__a") /
+            (col("n_docs").cast("double") * col("total_tokens")) -
+          (col("n_docs") + lit(1.0)) / col("n_docs"), 6).as("gini"))
+      .orderBy(col("source"))
+  }
+
+  /** Template-prefix detector: documents opening with the same first-k
+    * tokens in bulk are generated boilerplate (mail-merge pages, scraped
+    * listings, license headers) — the PREFIX-clustering complement to
+    * [[dedupSpans]]' span-content cut, catching templates whose bodies
+    * diverge after a shared opening. Emits prefixes shared by at least
+    * `minDocs` documents with their spread across sources.
+    *
+    * Scale shape: each doc reduces to its k-token prefix in the scan
+    * projection (one slice, no explode — the full token array never
+    * materializes past the expression), then one aggregation on the
+    * prefix string; bounded output via the minDocs filter.
+    */
+  def templatePrefixes(docs: DataFrame, k: Int = 5,
+      minDocs: Int = 3): DataFrame =
+    Par.ensure(docs)
+      .select(array_join(slice(split(col("text"), " "), 1, k), " ")
+        .as("prefix"), col("doc_id"), col("source"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("prefix"))
+
   /** Per-source language-mixture report: how many languages each crawl
     * source emits, the dominant language's share, and the Shannon entropy
     * (nats) of the mix. The curation dashboard's "is this source really

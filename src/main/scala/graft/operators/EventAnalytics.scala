@@ -171,6 +171,36 @@ object EventAnalytics {
     * per-day rescan; cost is linear in user-days, independent of how hot
     * a user's event stream is.
     */
+  /** [[funnel]] segmented by acquisition channel — the user's FIRST
+    * event type, the standard "which front door converts?" cut. The
+    * channel (an ordered `first` over (ts, event_id)) and the strict
+    * stage times (unordered conditional `min`s) are windows over the
+    * SAME user partitioning, so Catalyst still plans one exchange for
+    * the whole per-user stage; the rollup then shuffles only
+    * (channel, 3-counters) rows.
+    */
+  def funnelByChannel(spark: SparkSession, dir: String): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    val w = Window.partitionBy(col("user_id"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = events
+      .withColumn("channel", first(col("event_type")).over(wOrd))
+      .withColumn("t1", min(when(col("event_type") === stages(0), col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === stages(1) && col("ts") > col("t1"),
+        col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === stages(2) && col("ts") > col("t2"),
+        col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("channel")).as("channel"), max(col("t1")).as("t1"),
+        max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+    staged.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_users"), count(col("t1")).as("viewed"),
+        count(col("t2")).as("clicked"), count(col("t3")).as("converted"))
+      .orderBy(col("channel"))
+  }
+
   /** Trailing-window anomaly flags on the daily value series: a day is
     * anomalous when its total deviates more than `sigmas` sample standard
     * deviations from the trailing 28-day mean (window INCLUDES the
