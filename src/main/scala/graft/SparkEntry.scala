@@ -262,6 +262,12 @@ object SparkEntry {
     // q72's strict funnel segmented by acquisition channel (ordered
     // first() + conditional mins over ONE user exchange)
     "q174_funnel_channel" -> EventAnalytics.funnelByChannel _,
+    // streaming CDC twin of q170: stream keeps latest-op-per-key via
+    // max_by, snapshot merge runs through the SAME applyLatestOps
+    "q175_stream_cdc" -> ((s, d) => EventsStream.cdcStream(s, d)),
+    // top opening event paths per 30-min session — ordered
+    // collect+slice in one session_window pass
+    "q176_session_paths" -> ((s, d) => EventsStream.topSessionPaths(s, d)),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1585,6 +1591,49 @@ object SparkEntry {
         |   ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10)) /
         |      (CAST(n_b + 1 AS DOUBLE) / (tb + 10))), 6) AS psi_term
         |FROM counts CROSS JOIN tot ORDER BY bin""".stripMargin,
+    // identical to q170's oracle — the stream collapses the same log to
+    // the same latest ops and merges through the same code path
+    "q175_stream_cdc" ->
+      """WITH before AS (
+        | SELECT user_id, event_type AS last_type, value AS last_value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |snap AS (SELECT user_id, last_type, last_value FROM before WHERE rn = 1),
+        |logx AS (
+        | SELECT user_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |op AS (SELECT user_id, event_type, value, event_type = 'error' AS del
+        |       FROM logx WHERE rn = 1)
+        |SELECT COALESCE(s.user_id, o.user_id) AS user_id,
+        | CASE WHEN o.user_id IS NOT NULL THEN o.event_type
+        |      ELSE s.last_type END AS last_type,
+        | CASE WHEN o.user_id IS NOT NULL THEN o.value
+        |      ELSE s.last_value END AS last_value
+        |FROM snap s FULL OUTER JOIN op o ON s.user_id = o.user_id
+        |WHERE NOT COALESCE(o.del, false)
+        |ORDER BY user_id""".stripMargin,
+    "q176_session_paths" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        > INTERVAL 30 MINUTE OR
+        |       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |  THEN 1 ELSE 0 END AS new_session
+        | FROM events),
+        |sessions AS (
+        | SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM flagged),
+        |paths AS (
+        | SELECT user_id, session_id,
+        |  array_to_string(list_slice(
+        |    list(event_type ORDER BY ts, event_id), 1, 3), ' > ') AS path
+        | FROM sessions GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 5""".stripMargin,
     "q171_token_gini" ->
       """WITH d AS (
         | SELECT source, doc_id,

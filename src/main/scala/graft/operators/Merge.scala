@@ -65,7 +65,7 @@ object Merge {
   /** Latest per-user event state of a log slice (shared by the merge and
     * CDC paths): top-1 per user under (ts, event_id) desc.
     */
-  private def latestState(df: DataFrame): DataFrame = {
+  private[graft] def latestState(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
@@ -100,18 +100,30 @@ object Merge {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ts"), col("value"))
     val snapshot = latestState(
-      ev.filter(col("ts") < lit(cutoff).cast("timestamp_ntz"))).alias("t")
+      ev.filter(col("ts") < lit(cutoff).cast("timestamp_ntz")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
     val latestOp = ev.filter(col("ts") >= lit(cutoff).cast("timestamp_ntz"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"))
+    applyLatestOps(snapshot, latestOp)
+  }
+
+  /** Merge a collapsed latest-op frame (user_id, event_type, value — one
+    * row per touched key; 'error' = tombstone) onto the snapshot. Shared
+    * by the batch [[cdcApply]] and the streaming CDC twin, so both paths
+    * provably apply identical semantics.
+    */
+  private[graft] def applyLatestOps(snapshot: DataFrame,
+      latestOp: DataFrame): DataFrame = {
+    val t = snapshot.alias("t")
+    val c = latestOp
       .select(col("user_id"), col("event_type"), col("value"),
         (col("event_type") === "error").as("__del"),
         lit(true).as("__from_log"))
       .alias("c")
-    snapshot.join(latestOp, col("t.user_id") <=> col("c.user_id"),
-        "full_outer")
+    t.join(c, col("t.user_id") <=> col("c.user_id"), "full_outer")
       .filter(!coalesce(col("c.__del"), lit(false)))
       .select(
         coalesce(col("t.user_id"), col("c.user_id")).as("user_id"),

@@ -100,6 +100,62 @@ object EventsStream {
       .orderBy(col("win_day"))
   }
 
+  /** Streaming CDC consumer — the online twin of the batch
+    * `Merge.cdcApply` (q170, same oracle): the change log arrives as a
+    * stream, the STREAM holds exactly the state a CDC consumer needs —
+    * the latest operation per key, maintained by a `max_by` aggregate
+    * over the (ts, event_id) sequence struct (one row per touched key,
+    * bounded by key cardinality, no raw-log retention) — and the
+    * snapshot merge runs batch-side on the drained latest-op table
+    * through the SAME `Merge.applyLatestOps` the batch path uses, so the
+    * two paths cannot diverge semantically. At scale the memory sink is
+    * the state-store changelog and the merge is the periodic snapshot
+    * publish.
+    */
+  def cdcStream(spark: SparkSession, dir: String,
+      cutoff: String = "2024-01-16 00:00:00"): DataFrame = {
+    val ev = new graft.cube.Engine(spark, dir).table("events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+    val snapshot = graft.operators.Merge.latestState(
+      ev.filter(col("ts") < lit(cutoff).cast("timestamp_ntz")))
+    val log = streamingEvents(spark, dir)
+      .filter(col("ts") >= lit(cutoff).cast("timestamp"))
+    val latestOp = log.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("op"))
+    val drained = runToMemory(latestOp, "graft_stream_cdc",
+      OutputMode.Complete())
+      .select(col("user_id"), col("op.event_type").as("event_type"),
+        col("op.value").as("value"))
+    graft.operators.Merge.applyLatestOps(snapshot, drained)
+  }
+
+  /** Session path mining: the top-k opening event-type sequences (first
+    * `prefixLen` events, in time order) across q39's 30-minute session
+    * windows — the "how do journeys start?" product probe. One
+    * session_window aggregation assembles ordered paths (struct-sorted
+    * collect_list, so ordering never needs a second shuffle), one count
+    * ranks them, TakeOrderedAndProject bounds the answer.
+    */
+  def topSessionPaths(spark: SparkSession, dir: String, k: Int = 5,
+      prefixLen: Int = 3): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    events
+      .withColumn("tsq", col("ts").cast(TimestampType))
+      .groupBy(col("user_id"), session_window(col("tsq"), "30 minutes"))
+      .agg(array_join(
+        slice(transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type")), 1, prefixLen), " > ").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   // NB: public — encoder codegen cannot access private case classes
   case class Ev(user_id: Long, tsMicros: Long, event_type: String,
       value: Double)

@@ -473,4 +473,25 @@ class StreamSemanticsSpec extends SparkFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("streaming CDC equals the batch apply row-for-row") {
+    val stream = graft.streaming.EventsStream.cdcStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val batch = graft.operators.Merge.cdcApply(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
+  test("session paths: every path has at most 3 hops and counts sum to sessions") {
+    val paths = graft.streaming.EventsStream.topSessionPaths(spark, sf)
+      .collect()
+    assert(paths.nonEmpty && paths.length <= 5)
+    paths.foreach { r =>
+      assert(r.getString(0).split(" > ").length <= 3)
+    }
+    // ranked desc
+    val counts = paths.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse)
+  }
 }
