@@ -27,9 +27,15 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
+    // explicit partition count: a column-only repartition is an
+    // AQE-coalescible shuffle, and a small edge list would cache as ~one
+    // partition — serializing every iteration's probe side (same trap as
+    // the index layout writers, see Similarity.lshLayoutRows)
+    val parallelism = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-      .repartition(col("src"))
+      .repartition(parallelism, col("src"))
       .cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().cache()
