@@ -268,6 +268,13 @@ object SparkEntry {
     // top opening event paths per 30-min session — ordered
     // collect+slice in one session_window pass
     "q176_session_paths" -> ((s, d) => EventsStream.topSessionPaths(s, d)),
+    // forward as-of: next purchase at/after each click + minutes-to —
+    // same single-shuffle tag-union plan as q51, mirrored
+    "q177_asof_forward" -> AsOf.clickNextPurchase _,
+    // pairwise source vocabulary Jaccard — the cheap triage before
+    // cross-corpus document dedup; fanout bounded by sources², never docs
+    "q178_vocab_overlap" -> ((s, d) =>
+      Corpus.sourceVocabOverlap(eng(s, d).table("documents"))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1591,6 +1598,37 @@ object SparkEntry {
         |   ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10)) /
         |      (CAST(n_b + 1 AS DOUBLE) / (tb + 10))), 6) AS psi_term
         |FROM counts CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q177_asof_forward" ->
+      """WITH clicks AS (
+        | SELECT user_id, ts, event_id, value FROM events
+        | WHERE event_type = 'click'),
+        |purchases AS (
+        | SELECT user_id, ts, value AS purchase_value FROM events
+        | WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts,
+        | p.ts AS purchase_ts, p.purchase_value,
+        | (epoch_us(p.ts) - epoch_us(c.ts)) // 60000000
+        |   AS minutes_to_purchase
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        | ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q178_vocab_overlap" ->
+      """WITH st0 AS (
+        | SELECT source, unnest(list_distinct(string_split(text, ' ')))
+        |   AS token FROM documents),
+        |st AS (SELECT DISTINCT source, token FROM st0),
+        |sizes AS (SELECT source, count(*) AS vocab FROM st GROUP BY 1),
+        |inter AS (
+        | SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        | FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+        | round(CAST(n_shared AS DOUBLE) /
+        |   (sa.vocab + sb.vocab - n_shared), 6) AS jaccard
+        |FROM inter
+        | JOIN sizes sa ON sa.source = inter.src_a
+        | JOIN sizes sb ON sb.source = inter.src_b
+        |ORDER BY jaccard DESC, src_a, src_b LIMIT 20""".stripMargin,
     // identical to q170's oracle — the stream collapses the same log to
     // the same latest ops and merges through the same code path
     "q175_stream_cdc" ->

@@ -53,6 +53,59 @@ object AsOf {
           rPay.map(c => col("_rff." + c).as("r_" + c))): _*)
   }
 
+  /** Forward as-of join — for each left row, the EARLIEST right row with
+    * the same key and right.time >= left.time ("what happens next"):
+    * time-to-conversion, next-quote, next-maintenance-window joins. The
+    * mirror of [[asofJoin]] with the same single-shuffle shape: tag and
+    * union, window by key ordered by (time, side) with the LEFT side
+    * sorting first on ties (an equal-time right row qualifies under >=),
+    * and pull the right payload BACKWARD with first(_, ignoreNulls) over
+    * the [current, unbounded following] frame. Equivalent to DuckDB's
+    * `ASOF LEFT JOIN ... ON l.t <= r.t`, which gates it.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      key: String, time: String): DataFrame = {
+    for (df <- Seq(left, right); c <- Seq(key, time))
+      require(df.columns.contains(c),
+        s"asofJoinForward: column '$c' missing from one side")
+    val lPay = left.columns.filterNot(c => c == key || c == time).toSeq
+    val rPay = (time +: right.columns.filterNot(c => c == key || c == time)).toSeq
+    val lType = StructType(lPay.map(left.schema(_)))
+    val rType = StructType(rPay.map(right.schema(_)))
+    val lu = left.select(col(key), col(time), lit(0).as("_side"),
+      struct(lPay.map(col): _*).as("_l"), lit(null).cast(rType).as("_r"))
+    val ru = right.select(col(key), col(time), lit(1).as("_side"),
+      lit(null).cast(lType).as("_l"), struct(rPay.map(col): _*).as("_r"))
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lu.unionByName(ru)
+      .withColumn("_rff", first(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(col(key) +: col(time) +:
+        (lPay.map(c => col("_l." + c).as(c)) ++
+          rPay.map(c => col("_rff." + c).as("r_" + c))): _*)
+  }
+
+  /** Events wiring (forward): each click annotated with the user's NEXT
+    * purchase at or after the click, plus the minutes until it — the
+    * time-to-conversion frame.
+    */
+  def clickNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = new Engine(spark, dir).table("events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    asofJoinForward(clicks, purchases, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("r_ts").as("purchase_ts"),
+        col("r_purchase_value").as("purchase_value"),
+        expr("(unix_micros(CAST(r_ts AS TIMESTAMP)) - " +
+          "unix_micros(CAST(ts AS TIMESTAMP))) div 60000000")
+          .as("minutes_to_purchase"))
+      .orderBy(col("event_id"))
+  }
+
   /** Events wiring: each click event annotated with the user's most
     * recent purchase at or before the click.
     */

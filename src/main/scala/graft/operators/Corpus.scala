@@ -1328,6 +1328,45 @@ object Corpus {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("prefix"))
 
+  /** Pairwise vocabulary overlap between sources (Jaccard over distinct
+    * token sets): the "which crawls duplicate each other's content
+    * space?" matrix — two sources with high vocabulary Jaccard are
+    * candidates for the expensive cross-corpus document-level dedup
+    * (q120), so this cheap pass triages WHICH pairs to run it on.
+    *
+    * Scale shape: the corpus collapses to distinct (source, token) pairs
+    * first (map-side combinable; bounded by sources x vocab). The
+    * token-keyed self-join then fans out at most sources²/2 rows PER
+    * TOKEN — bounded by the source count, never by document count — and
+    * the Jaccard arithmetic is single-division integer math, identical
+    * on both engines.
+    */
+  def sourceVocabOverlap(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val st = Par.ensure(docs)
+      .select(col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .distinct()
+    val sizes = st.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"))
+    val inter = st.alias("a")
+      .join(st.alias("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("vocab").as("vocab_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("vocab").as("vocab_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("n_shared")), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+      .limit(topK)
+  }
+
   /** Per-source language-mixture report: how many languages each crawl
     * source emits, the dominant language's share, and the Shannon entropy
     * (nats) of the mix. The curation dashboard's "is this source really

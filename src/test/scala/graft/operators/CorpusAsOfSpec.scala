@@ -23,6 +23,51 @@ class CorpusAsOfSpec extends SparkFunSuite {
       Seq(("c", -1L), ("a", 10L), ("b", 15L), ("d", -1L)))
   }
 
+  test("asofJoinForward carries the earliest right row at or after left time") {
+    val left = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 10L, 1.0), (1L, 15L, 2.0), (3L, 1L, 9.0)
+    ).toDF("k", "t", "rv")
+    val out = AsOf.asofJoinForward(left, right, "k", "t")
+      .orderBy(col("k"), col("t"))
+      .select(col("lv"), col("r_t"), col("r_rv")).collect()
+    // k=1,t=5: next right@10; t=10: right@10 (>= includes equal time);
+    // t=20: nothing after -> nulls; k=2: no right rows -> nulls
+    assert(out.map(r => (r.getString(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
+      Seq(("c", 10L), ("a", 10L), ("b", -1L), ("d", -1L)))
+  }
+
+  test("asofJoinForward equals the naive argmin theta join on the fixture") {
+    val en = new graft.cube.Engine(spark, sf)
+    val ev = en.table("events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val naive = clicks.join(purchases,
+        col("user_id") === col("pu") && col("pts") >= col("ts"), "left")
+      .groupBy(col("event_id")).agg(min(col("pts")).as("next_ts"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.time.LocalDateTime]("next_ts"))).toMap
+    AsOf.clickNextPurchase(spark, sf).collect().foreach { r =>
+      val got = Option(r.getAs[java.time.LocalDateTime]("purchase_ts"))
+      assert(got == naive(r.getLong(0)), s"event ${r.getLong(0)}")
+    }
+  }
+
+  test("sourceVocabOverlap: identical sources have Jaccard 1") {
+    val docs = Seq(
+      (1L, "x", "alpha beta gamma"), (2L, "y", "alpha beta gamma"),
+      (3L, "z", "delta epsilon zeta eta")).toDF("doc_id", "source", "text")
+    val rows = Corpus.sourceVocabOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(rows(("x", "y")) == 1.0)
+    assert(!rows.contains(("x", "z")) && !rows.contains(("y", "z")))
+  }
+
   test("asofJoin equals the naive argmax theta join on the fixture") {
     val banded = AsOf.clickLastPurchase(spark, sf)
       .collect()
