@@ -275,6 +275,16 @@ object SparkEntry {
     // cross-corpus document dedup; fanout bounded by sources², never docs
     "q178_vocab_overlap" -> ((s, d) =>
       Corpus.sourceVocabOverlap(eng(s, d).table("documents"))),
+    // winsorization report: P5/P95 clamp with monitorable clip rates —
+    // two-pass broadcast-back, the fact never shuffles
+    "q179_winsorize" -> ((s, d) => Quality.winsorizeReport(s, d)),
+    // RFM quartile segmentation under deterministic ntile orderings
+    "q180_rfm" -> ((s, d) => Relational.rfmSegments(s, d)),
+    // inter-arrival order gaps: lag + integer day math + exact percentiles
+    "q181_order_gaps" -> ((s, d) => Relational.orderGapStats(s, d)),
+    // binary-segmentation change point over running sums — O(days), no
+    // per-candidate rescans
+    "q182_change_point" -> ((s, d) => EventAnalytics.changePoint(s, d)),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1598,6 +1608,73 @@ object SparkEntry {
         |   ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10)) /
         |      (CAST(n_b + 1 AS DOUBLE) / (tb + 10))), 6) AS psi_term
         |FROM counts CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q179_winsorize" ->
+      """WITH b AS (
+        | SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |  quantile_cont(value, 0.95) AS hi
+        | FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        | CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clipped_low,
+        | CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clipped_high,
+        | round(max(lo), 4) AS p05, round(max(hi), 4) AS p95,
+        | round(avg(least(greatest(value, lo), hi)), 4) AS winsorized_mean
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q180_rfm" ->
+      """WITH ao AS (SELECT max(o_orderdate) AS as_of FROM orders),
+        |pc AS (
+        | SELECT o_custkey, max(o_orderdate) AS last_order,
+        |  count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+        | FROM orders GROUP BY 1),
+        |sc AS (
+        | SELECT o_custkey, monetary, frequency,
+        |  date_diff('day', CAST(last_order AS DATE), CAST(as_of AS DATE))
+        |    AS recency_days
+        | FROM pc CROSS JOIN ao),
+        |nt AS (
+        | SELECT *,
+        |  CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r,
+        |  CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f,
+        |  CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m
+        | FROM sc)
+        |SELECT r, f, m, count(*) AS n_customers,
+        | round(sum(monetary), 2) AS segment_value
+        |FROM nt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q181_order_gaps" ->
+      """WITH w AS (
+        | SELECT o_custkey, o_orderdate,
+        |  lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev
+        | FROM orders),
+        |g AS (
+        | SELECT CAST(date_diff('day', CAST(prev AS DATE),
+        |   CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        | FROM w WHERE prev IS NOT NULL)
+        |SELECT count(*) AS n_gaps,
+        | round(quantile_cont(gap_days, 0.5), 4) AS p50_days,
+        | round(quantile_cont(gap_days, 0.9), 4) AS p90_days,
+        | max(gap_days) AS max_days
+        |FROM g""".stripMargin,
+    "q182_change_point" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', ts) AS day, round(sum(value), 2) AS total
+        | FROM events GROUP BY 1),
+        |c AS (
+        | SELECT day, total,
+        |  sum(total) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+        |  CAST(count(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS i,
+        |  sum(total) OVER () AS tot,
+        |  CAST(count(*) OVER () AS BIGINT) AS n
+        | FROM daily)
+        |SELECT day AS split_after_day,
+        | round(cum / i, 6) AS mean_before,
+        | round((tot - cum) / (n - i), 6) AS mean_after,
+        | round(abs(cum / i - (tot - cum) / (n - i)), 6) AS shift
+        |FROM c WHERE i < n
+        |ORDER BY shift DESC, split_after_day LIMIT 1""".stripMargin,
     "q177_asof_forward" ->
       """WITH clicks AS (
         | SELECT user_id, ts, event_id, value FROM events

@@ -171,6 +171,43 @@ object EventAnalytics {
     * per-day rescan; cost is linear in user-days, independent of how hot
     * a user's event stream is.
     */
+  /** Single change-point detection on the daily value series: the split
+    * day maximizing |mean(before) − mean(after)| — the binary-segmentation
+    * primitive behind "when did the metric regime shift?". Means derive
+    * from ONE pair of running sums over the pre-rounded daily series
+    * (q164's convention), so the scan is O(days) — no per-candidate
+    * rescans — and both engines walk identical doubles in identical
+    * order. Emits the best split with both segment means.
+    */
+  def changePoint(spark: SparkSession, dir: String): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    val daily = events
+      .groupBy(date_trunc("day", col("ts"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
+      .agg(round(sum(col("value")), 2).as("total"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("cum", sum(col("total")).over(wCum))
+      .withColumn("i", count(lit(1)).over(wCum))
+      .withColumn("tot", sum(col("total")).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      // a split needs both sides non-empty: candidate = last day BEFORE
+      // the break, excluded for the final day
+      .filter(col("i") < col("n"))
+      .withColumn("mean_before", col("cum") / col("i"))
+      .withColumn("mean_after",
+        (col("tot") - col("cum")) / (col("n") - col("i")))
+      .select(col("day").as("split_after_day"),
+        round(col("mean_before"), 6).as("mean_before"),
+        round(col("mean_after"), 6).as("mean_after"),
+        round(abs(col("mean_before") - col("mean_after")), 6).as("shift"))
+      .orderBy(col("shift").desc, col("split_after_day"))
+      .limit(1)
+  }
+
   /** [[funnel]] segmented by acquisition channel — the user's FIRST
     * event type, the standard "which front door converts?" cut. The
     * channel (an ordered `first` over (ts, event_id)) and the strict

@@ -99,6 +99,36 @@ object Quality {
     * int cast — buckets the double (cast truncation conventions differ
     * between engines; floor is defined identically).
     */
+  /** Winsorization report: clamp the value column to its per-type
+    * [P5, P95] band and report the robust mean plus how much mass the
+    * clamp moved — the outlier-tolerant normalization every feature
+    * pipeline applies before scaling, kept as a REPORT so the clip rate
+    * itself is monitorable (a rising clip rate means the distribution
+    * moved, not the outliers).
+    *
+    * Scale shape: same two-pass broadcast-back discipline as
+    * [[Quality.psiReport]]/MAD — percentiles per type (swap for the KLL
+    * sketch at 100 TB), bounds broadcast into a single clamping
+    * aggregation; the fact never shuffles.
+    */
+  def winsorizeReport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = new Engine(spark, dir).table("events")
+      .select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("clamped", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("value") < col("lo"), lit(1))).as("n_clipped_low"),
+        count(when(col("value") > col("hi"), lit(1))).as("n_clipped_high"),
+        round(max(col("lo")), 4).as("p05"),
+        round(max(col("hi")), 4).as("p95"),
+        round(avg(col("clamped")), 4).as("winsorized_mean"))
+      .orderBy(col("event_type"))
+  }
+
   def psiReport(spark: SparkSession, dir: String, bins: Int = 10): DataFrame = {
     val ev = new Engine(spark, dir).table("events")
       .select(col("user_id"), col("value"))

@@ -638,6 +638,63 @@ object Relational {
       .limit(k)
   }
 
+  /** RFM segmentation: every customer scored into quartiles of recency
+    * (days since last order, lower = better), frequency (order count),
+    * and monetary (total spend), then rolled up to segment cells — the
+    * classic CRM cut. `ntile` runs under a fully deterministic ordering
+    * (metric + custkey tiebreak), so quartile boundaries are stable
+    * across engines and runs.
+    *
+    * Scale shape: one aggregation collapses orders to a per-customer
+    * triple; the three ntiles share ONE global sort each over that
+    * collapsed frame (already orders of magnitude below the fact); the
+    * final rollup is 64 cells. At larger-than-memory customer counts the
+    * ntile becomes the distributed-rank machinery (`Ranks`), same
+    * semantics.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val orders = e(spark, dir).table("orders")
+    val asOf = orders.agg(max(col("o_orderdate")).as("as_of"))
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("recency_days", datediff(col("as_of"), col("last_order")))
+    val byR = Window.orderBy(col("recency_days"), col("o_custkey"))
+    val byF = Window.orderBy(col("frequency").desc, col("o_custkey"))
+    val byM = Window.orderBy(col("monetary").desc, col("o_custkey"))
+    perCust
+      .withColumn("r", ntile(4).over(byR))
+      .withColumn("f", ntile(4).over(byF))
+      .withColumn("m", ntile(4).over(byM))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("monetary")), 2).as("segment_value"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+
+  /** Inter-arrival gap statistics: per-customer days between consecutive
+    * orders (lag over the customer's order history), then the population
+    * p50/p90/max and repeat-customer count — the replenishment-cycle /
+    * churn-horizon estimate. One shuffle on the customer key; the gap
+    * math is integer days.
+    */
+  def orderGapStats(spark: SparkSession, dir: String): DataFrame = {
+    val orders = e(spark, dir).table("orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("o_orderdate"), col("prev"))
+        .cast("long").as("gap_days"))
+    gaps.agg(count(lit(1)).as("n_gaps"),
+      round(expr("percentile(gap_days, 0.5)"), 4).as("p50_days"),
+      round(expr("percentile(gap_days, 0.9)"), 4).as("p90_days"),
+      max(col("gap_days")).as("max_days"))
+  }
+
   /** Robust outlier report via MAD (median absolute deviation) — the
     * q79 z-score's robust sibling: a fat-tailed value column inflates the
     * stddev until real outliers hide inside 3 sigma, while the median and
