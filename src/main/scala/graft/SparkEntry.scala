@@ -285,6 +285,20 @@ object SparkEntry {
     // binary-segmentation change point over running sums — O(days), no
     // per-candidate rescans
     "q182_change_point" -> ((s, d) => EventAnalytics.changePoint(s, d)),
+    // cohort lifetime value: retention's value twin; cohort size ships
+    // alongside instead of dividing in (rounding-trap avoidance)
+    "q183_cohort_ltv" -> EventAnalytics.cohortLtv _,
+    // market-basket pairs keyed by ORDER — fanout bounded by basket
+    // size, never catalog²; integer-derived lift
+    "q184_market_basket" -> ((s, d) => Relational.marketBasket(s, d)),
+    // supplier concentration (HHI) per part from integer counts, rolled
+    // to brand — the supply-chain-risk report
+    "q185_supplier_hhi" -> Relational.supplierConcentration _,
+    // fulfillment latency percentiles per priority; integer day math
+    "q186_ship_delay" -> Relational.shipDelayByPriority _,
+    // day-of-week chi-square vs uniform; portable (epoch+4) mod 7
+    // weekday — engine dow() numbering conventions differ
+    "q187_dow_profile" -> Relational.dowProfile _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1608,6 +1622,77 @@ object SparkEntry {
         |   ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10)) /
         |      (CAST(n_b + 1 AS DOUBLE) / (tb + 10))), 6) AS psi_term
         |FROM counts CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q183_cohort_ltv" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, value, date_trunc('day', ts) AS day
+        | FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+        |sizes AS (
+        | SELECT cohort_day, count(*) AS cohort_users FROM cohort GROUP BY 1),
+        |rev AS (
+        | SELECT cohort_day,
+        |  CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(day AS DATE))
+        |    AS BIGINT) AS age_days,
+        |  round(sum(value), 2) AS revenue
+        | FROM ev JOIN cohort USING (user_id)
+        | WHERE event_type = 'purchase'
+        | GROUP BY 1, 2)
+        |SELECT r.cohort_day, age_days, s.cohort_users, revenue,
+        | round(sum(revenue) OVER (PARTITION BY r.cohort_day ORDER BY age_days
+        |   ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+        |FROM rev r JOIN sizes s ON r.cohort_day = s.cohort_day
+        |ORDER BY 1, 2""".stripMargin,
+    "q184_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pn AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        |p AS (
+        | SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS support
+        | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+        | round(CAST(support * n_orders AS DOUBLE) / (na.n * nb.n), 4) AS lift
+        |FROM p JOIN pn na ON na.l_partkey = part_a
+        | JOIN pn nb ON nb.l_partkey = part_b
+        | CROSS JOIN no
+        |ORDER BY support DESC, part_a, part_b LIMIT 15""".stripMargin,
+    "q185_supplier_hhi" ->
+      """WITH ps AS (
+        | SELECT l_partkey, l_suppkey, count(*) AS n FROM lineitem
+        | GROUP BY 1, 2),
+        |pp AS (
+        | SELECT l_partkey,
+        |  CAST(sum(n * n) AS DOUBLE) / (sum(n) * sum(n)) AS hhi,
+        |  count(DISTINCT l_suppkey) AS n_suppliers
+        | FROM ps GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_parts, round(avg(hhi), 4) AS avg_hhi,
+        | round(avg(n_suppliers), 4) AS avg_suppliers
+        |FROM pp JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q186_ship_delay" ->
+      """WITH d AS (
+        | SELECT o_orderpriority,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_days
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_lineitems,
+        | round(quantile_cont(delay_days, 0.5), 4) AS p50_days,
+        | round(quantile_cont(delay_days, 0.9), 4) AS p90_days,
+        | max(delay_days) AS max_days
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q187_dow_profile" ->
+      """WITH o AS (
+        | SELECT (CAST(date_diff('day', DATE '1970-01-01',
+        |   CAST(o_orderdate AS DATE)) AS BIGINT) + 4) % 7 AS dow
+        | FROM orders),
+        |c AS (SELECT dow, count(*) AS n_orders FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM c)
+        |SELECT CAST(dow AS BIGINT) AS dow, n_orders,
+        | round((n_orders - total / 7.0) * (n_orders - total / 7.0) /
+        |   (total / 7.0), 6) AS chi2_term
+        |FROM c CROSS JOIN t ORDER BY dow""".stripMargin,
     "q179_winsorize" ->
       """WITH b AS (
         | SELECT event_type, quantile_cont(value, 0.05) AS lo,

@@ -171,6 +171,44 @@ object EventAnalytics {
     * per-day rescan; cost is linear in user-days, independent of how hot
     * a user's event stream is.
     */
+  /** Cohort lifetime value: users grouped by first-active day, purchase
+    * revenue accumulated by cohort age — [[cohortRetention]]'s value
+    * twin, the "how fast does a cohort pay back?" curve. Cumulative
+    * revenue is a running sum over PRE-ROUNDED per-age revenue (the
+    * q164/q74 grid-point convention), and cohort size ships alongside
+    * instead of dividing it in — a per-user LTV divide by an arbitrary
+    * cohort size is exactly the rounding trap the verify notes document,
+    * so the ratio is left to the reader.
+    *
+    * Scale shape: one aggregation pins each user's cohort day (map-side
+    * combined), the purchase stream joins that per-user frame (AQE
+    * broadcasts the smaller side), and the cumulative window runs per
+    * cohort over at most age-span rows.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = new graft.cube.Engine(spark, dir).table("events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        date_trunc("day", col("ts"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("age_days"))
+      .agg(round(sum(col("value")), 2).as("revenue"))
+    val wCum = Window.partitionBy(col("cohort_day")).orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_revenue", round(sum(col("revenue")).over(wCum), 2))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("age_days"), col("cohort_users"),
+        col("revenue"), col("cum_revenue"))
+      .orderBy(col("cohort_day"), col("age_days"))
+  }
+
   /** Single change-point detection on the daily value series: the split
     * day maximizing |mean(before) − mean(after)| — the binary-segmentation
     * primitive behind "when did the metric regime shift?". Means derive

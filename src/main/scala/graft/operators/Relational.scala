@@ -695,6 +695,108 @@ object Relational {
       max(col("gap_days")).as("max_days"))
   }
 
+  /** Market-basket mining: co-purchased part pairs within an order with
+    * support and lift — the a-priori association primitive. The pair
+    * join is keyed by the ORDER (self-join on l_orderkey), so fanout per
+    * key is C(lines-per-order, 2) — bounded by basket size, never by
+    * catalog size; the quadratic pairs-of-parts space is never formed.
+    * Lift stays integer-derived (support·N / (nₐ·n_b)) so both engines
+    * divide the same exact numerators.
+    */
+  def marketBasket(spark: SparkSession, dir: String, minSupport: Int = 3,
+      k: Int = 15): DataFrame = {
+    val li = e(spark, dir).table("lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val partN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val orders = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(broadcast(partN.select(col("l_partkey").as("part_a"),
+        col("n").as("n_a"))), "part_a")
+      .join(broadcast(partN.select(col("l_partkey").as("part_b"),
+        col("n").as("n_b"))), "part_b")
+      .crossJoin(broadcast(orders))
+      .select(col("part_a"), col("part_b"), col("support"),
+        round((col("support") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")), 4).as("lift"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
+  /** Supplier concentration per part rolled up to brand (Herfindahl
+    * index over lineitem share-of-supplier): HHI = Σ nₛ² / n², computed
+    * from INTEGER lineitem counts so the per-part index is one exact
+    * division. A brand whose parts average a high HHI is single-sourced —
+    * the supply-chain-risk report.
+    */
+  def supplierConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val perPs = en.table("lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+    val perPart = perPs.groupBy(col("l_partkey"))
+      .agg((sum(col("n") * col("n")).cast("double") /
+        (sum(col("n")) * sum(col("n")))).as("hhi"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+    perPart
+      .join(en.table("part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("hhi")), 4).as("avg_hhi"),
+        round(avg(col("n_suppliers")), 4).as("avg_suppliers"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Fulfillment latency: days from order date to each lineitem's ship
+    * date, summarized per order priority (count, exact p50/p90, max) —
+    * the SLA report. Integer day math, one join keyed on the order key.
+    */
+  def shipDelayByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    en.table("lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(en.table("orders").select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("delay_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        round(expr("percentile(delay_days, 0.5)"), 4).as("p50_days"),
+        round(expr("percentile(delay_days, 0.9)"), 4).as("p90_days"),
+        max(col("delay_days")).as("max_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Day-of-week seasonality with per-day chi-square contributions
+    * against the uniform expectation — "is volume really flat across the
+    * week?". The weekday is PORTABLE integer arithmetic
+    * ((epoch_days + 4) mod 7, 0 = Sunday) rather than an engine dow()
+    * whose numbering conventions differ (Spark 1=Sunday, DuckDB
+    * 0=Sunday).
+    */
+  def dowProfile(spark: SparkSession, dir: String): DataFrame = {
+    val orders = e(spark, dir).table("orders")
+      .select((pmod(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")) + 4, lit(7))).cast("long").as("dow"))
+    val counts = orders.groupBy(col("dow")).agg(count(lit(1)).as("n_orders"))
+    val tot = counts.agg(sum(col("n_orders")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_orders"),
+        round((col("n_orders") - col("total") / 7.0) *
+          (col("n_orders") - col("total") / 7.0) / (col("total") / 7.0), 6)
+          .as("chi2_term"))
+      .orderBy(col("dow"))
+  }
+
   /** Robust outlier report via MAD (median absolute deviation) — the
     * q79 z-score's robust sibling: a fat-tailed value column inflates the
     * stddev until real outliers hide inside 3 sigma, while the median and
