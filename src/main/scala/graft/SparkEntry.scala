@@ -299,6 +299,16 @@ object SparkEntry {
     // day-of-week chi-square vs uniform; portable (epoch+4) mod 7
     // weekday — engine dow() numbering conventions differ
     "q187_dow_profile" -> Relational.dowProfile _,
+    // weekly growth ledger: new/retained/resurrected + derived churn —
+    // one distinct user-week pass, churn from a lag over the rollup
+    "q188_growth_accounting" -> EventAnalytics.growthAccounting _,
+    // dominant-behavior drift matrix: q158's argmax-as-aggregate twice,
+    // cross-tabulated across the time halves
+    "q189_behavior_switchers" -> ((s, d) =>
+      EventAnalytics.behaviorSwitchers(s, d)),
+    // char-level entropy per language — the languageness quality signal
+    "q190_char_entropy" -> ((s, d) =>
+      Corpus.charEntropy(eng(s, d).table("documents"))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1622,6 +1632,57 @@ object SparkEntry {
         |   ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10)) /
         |      (CAST(n_b + 1 AS DOUBLE) / (tb + 10))), 6) AS psi_term
         |FROM counts CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q188_growth_accounting" ->
+      """WITH uw AS (
+        | SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events),
+        |fw AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1),
+        |cl AS (
+        | SELECT w.week, count(*) AS active,
+        |  CAST(sum(CASE WHEN f.first_week = w.week THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS retained,
+        |  CAST(sum(CASE WHEN p.user_id IS NULL AND f.first_week < w.week
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        | FROM uw w JOIN fw f USING (user_id)
+        | LEFT JOIN uw p ON p.user_id = w.user_id
+        |   AND p.week + INTERVAL 7 DAY = w.week
+        | GROUP BY 1)
+        |SELECT week, active, new_users, retained, resurrected,
+        | COALESCE(lag(active) OVER (ORDER BY week) - retained, 0) AS churned
+        |FROM cl ORDER BY week""".stripMargin,
+    "q189_behavior_switchers" ->
+      """WITH ca AS (
+        | SELECT user_id, event_type, count(*) AS n FROM events
+        | WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2),
+        |da AS (
+        | SELECT user_id, event_type AS dominant_before FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, event_type DESC) AS rn FROM ca)
+        | WHERE rn = 1),
+        |cb AS (
+        | SELECT user_id, event_type, count(*) AS n FROM events
+        | WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1, 2),
+        |db AS (
+        | SELECT user_id, event_type AS dominant_after FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, event_type DESC) AS rn FROM cb)
+        | WHERE rn = 1)
+        |SELECT dominant_before, dominant_after, count(*) AS n_users
+        |FROM da JOIN db USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q190_char_entropy" ->
+      """WITH ch AS (
+        | SELECT lang, unnest(string_split(text, '')) AS ch FROM documents),
+        |c AS (
+        | SELECT lang, ch, count(*) AS n FROM ch WHERE ch <> ''
+        | GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(n) AS BIGINT) AS n_chars,
+        | count(*) AS distinct_chars,
+        | round(ln(CAST(sum(n) AS DOUBLE)) -
+        |   sum(n * ln(CAST(n AS DOUBLE))) / sum(n), 3) AS char_entropy
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "q183_cohort_ltv" ->
       """WITH ev AS (
         | SELECT user_id, event_type, value, date_trunc('day', ts) AS day

@@ -1328,6 +1328,31 @@ object Corpus {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("prefix"))
 
+  /** Character-level Shannon entropy per language — the "does this text
+    * look like language at all?" quality signal (mojibake, base64 blobs,
+    * and markup soup sit far from natural-language char entropy). Same
+    * sum-friendly identity as [[sourceLangMix]], over the char
+    * distribution.
+    *
+    * Scale shape: the char explode is the only amplification (bounded by
+    * corpus chars); counts combine map-side and the entropy aggregation
+    * runs over (lang, char) rows — at most langs × alphabet.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = Par.ensure(docs)
+      .select(col("lang"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val counts = chars.groupBy(col("lang"), col("ch"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        round(log(sum(col("n")).cast("double")) -
+          sum(col("n") * log(col("n").cast("double"))) / sum(col("n")), 3)
+          .as("char_entropy"))
+      .orderBy(col("lang"))
+  }
+
   /** Pairwise vocabulary overlap between sources (Jaccard over distinct
     * token sets): the "which crawls duplicate each other's content
     * space?" matrix — two sources with high vocabulary Jaccard are

@@ -171,6 +171,68 @@ object EventAnalytics {
     * per-day rescan; cost is linear in user-days, independent of how hot
     * a user's event stream is.
     */
+  /** Weekly growth accounting: every active week decomposed into
+    * new / retained / resurrected users, with churn derived as
+    * last week's actives minus this week's retained — the standard
+    * growth ledger (active(w) = new + retained + resurrected;
+    * churned(w) = active(w−1) − retained(w)).
+    *
+    * Scale shape: the fact collapses to distinct (user, week) — the only
+    * pass over raw events; one self-join shifted by 7 days and one
+    * first-week frame classify every user-week, and the churn column is
+    * a lag window over the tiny weekly rollup, not another pass.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    val uw = events.select(col("user_id"),
+      date_trunc("week", col("ts"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("week"))
+      .distinct()
+    val firstW = uw.groupBy(col("user_id")).agg(min(col("week")).as("first_week"))
+    val prev = uw.select(col("user_id"),
+      (col("week") + expr("INTERVAL 7 DAYS")).as("week"),
+      lit(true).as("__prev"))
+    val classified = uw
+      .join(firstW, "user_id")
+      .join(prev, Seq("user_id", "week"), "left")
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("active"),
+        count(when(col("first_week") === col("week"), lit(1))).as("new_users"),
+        count(when(col("__prev").isNotNull, lit(1))).as("retained"),
+        count(when(col("__prev").isNull && col("first_week") < col("week"),
+          lit(1))).as("resurrected"))
+    val w = Window.orderBy(col("week"))
+    classified
+      .withColumn("churned",
+        coalesce(lag(col("active"), 1).over(w) - col("retained"), lit(0L)))
+      .orderBy(col("week"))
+  }
+
+  /** Behavioral drift matrix: each user's DOMINANT event type in the
+    * first vs second half of the window (max_by over a (count, type)
+    * struct — deterministic tie-break, the q158 argmax-as-aggregate
+    * shape twice), cross-tabulated. Off-diagonal mass = users whose
+    * primary behavior changed — the engagement-mix drift monitor.
+    */
+  def behaviorSwitchers(spark: SparkSession, dir: String,
+      cutoff: String = "2024-01-16 00:00:00"): DataFrame = {
+    val events = new graft.cube.Engine(spark, dir).table("events")
+    def dominant(df: org.apache.spark.sql.DataFrame, out: String) =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), struct(col("n"), col("event_type")))
+          .as(out))
+    val a = dominant(events.filter(col("ts") < lit(cutoff).cast("timestamp_ntz")),
+      "dominant_before")
+    val b = dominant(events.filter(col("ts") >= lit(cutoff).cast("timestamp_ntz")),
+      "dominant_after")
+    a.join(b, "user_id")
+      .groupBy(col("dominant_before"), col("dominant_after"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("dominant_before"), col("dominant_after"))
+  }
+
   /** Cohort lifetime value: users grouped by first-active day, purchase
     * revenue accumulated by cohort age — [[cohortRetention]]'s value
     * twin, the "how fast does a cohort pay back?" curve. Cumulative
