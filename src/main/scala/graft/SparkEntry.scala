@@ -309,6 +309,17 @@ object SparkEntry {
     // char-level entropy per language — the languageness quality signal
     "q190_char_entropy" -> ((s, d) =>
       Corpus.charEntropy(eng(s, d).table("documents"))),
+    // dedup threshold-tuning curve from ONE postings pass — integer
+    // counts, bit-stable across engines
+    "q191_jaccard_sweep" -> ((s, d) =>
+      Dedup.jaccardThresholdSweep(eng(s, d).table("documents"), maxDf = 256)),
+    // near-dup cluster size histogram over the shared pair frame
+    "q192_cluster_sizes" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+      Dedup.clusterSizes(Dedup.minhashPairsShared(docs, d))
+    }),
+    // (weekday, hour) activity matrix; portable integer weekday
+    "q193_activity_heatmap" -> Relational.activityHeatmap _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1632,6 +1643,69 @@ object SparkEntry {
         |   ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10)) /
         |      (CAST(n_b + 1 AS DOUBLE) / (tb + 10))), 6) AS psi_term
         |FROM counts CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q191_jaccard_sweep" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |p AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |keep AS (SELECT g FROM p GROUP BY g HAVING count(*) <= 256),
+        |kp AS (SELECT p.doc_id, p.g FROM p JOIN keep USING (g)),
+        |i AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+        | FROM kp a JOIN kp b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |z AS (SELECT doc_id, len(sh) AS n FROM s),
+        |j AS (
+        | SELECT doc_a, doc_b,
+        |  CAST(n_int AS DOUBLE) / (za.n + zb.n - n_int) AS j
+        | FROM i JOIN z za ON doc_a = za.doc_id
+        |  JOIN z zb ON doc_b = zb.doc_id),
+        |t AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+        |q AS (SELECT threshold, doc_a, doc_b FROM j CROSS JOIN t
+        |      WHERE j >= threshold),
+        |d AS (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM q)
+        |SELECT q2.threshold, q2.n_pairs, d2.n_docs
+        |FROM (SELECT threshold, count(*) AS n_pairs FROM q GROUP BY 1) q2
+        |JOIN (SELECT threshold, count(DISTINCT d) AS n_docs FROM d
+        |      GROUP BY 1) d2 USING (threshold)
+        |ORDER BY threshold""".stripMargin,
+    "q192_cluster_sizes" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | WITH RECURSIVE r(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        | SELECT * FROM r),
+        |cl AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        | FROM reach GROUP BY src),
+        |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        | count(*) AS n_clusters
+        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q193_activity_heatmap" ->
+      """SELECT (CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |   AS BIGINT) + 4) % 7 AS dow,
+        | CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

@@ -258,6 +258,43 @@ object Dedup {
       .join(sz.select(col("doc_id").as("doc_b"), col("__n").as("__nb")), "doc_b")
   }
 
+  /** Dedup threshold-tuning curve: candidate-pair and affected-document
+    * counts at a ladder of Jaccard thresholds, from ONE postings pass —
+    * the "where do we set the cut?" sweep that would otherwise re-run
+    * the pair pipeline per threshold. Counts are integers, so the curve
+    * is bit-stable across engines.
+    */
+  def jaccardThresholdSweep(docs: DataFrame, shingleN: Int = 3,
+      maxDf: Int = 1000,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val j = pairIntersections(docs, shingleN, maxDf)
+      .withColumn("__j", col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")))
+    val sweep = j
+      .withColumn("threshold",
+        explode(array(thresholds.map(lit): _*)))
+      .filter(col("__j") >= col("threshold"))
+    val nPairs = sweep.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = sweep
+      .select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    nPairs.join(nDocs, "threshold").orderBy(col("threshold"))
+  }
+
+  /** Near-dup cluster size histogram over [[clusters]]' components:
+    * size -> cluster count — the "are duplicates pairs or families?"
+    * profile that sizes the expected keep-list savings. Two tiny
+    * aggregations over the already-collapsed cluster frame.
+    */
+  def clusterSizes(pairs: DataFrame): DataFrame =
+    clusters(pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   /** Overlap-coefficient (containment) near-dup pairs:
     * |A∩B| / min(|A|, |B|) over the same inverted postings index as
     * [[jaccardPairs]]. Catches what Jaccard structurally CANNOT: a short

@@ -797,6 +797,24 @@ object Relational {
       .orderBy(col("dow"))
   }
 
+  /** Activity heatmap: event volume by (weekday, hour) — the capacity-
+    * planning / on-call staffing matrix. Weekday is the q187 portable
+    * (epoch+4) mod 7 integer; at most 7 x 24 output rows from one
+    * map-side-combined aggregation.
+    */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = e(spark, dir).table("events")
+    ev.select(
+      pmod(datediff(col("ts").cast("date"),
+        lit("1970-01-01").cast("date")) + 4, lit(7)).cast("long").as("dow"),
+      hour(col("ts")).cast("long").as("hr"),
+      col("value"))
+      .groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   /** Robust outlier report via MAD (median absolute deviation) — the
     * q79 z-score's robust sibling: a fat-tailed value column inflates the
     * stddev until real outliers hide inside 3 sigma, while the median and
