@@ -320,6 +320,23 @@ object SparkEntry {
     }),
     // (weekday, hour) activity matrix; portable integer weekday
     "q193_activity_heatmap" -> Relational.activityHeatmap _,
+    // native UNPIVOT melt of the four lineitem measures + per-measure
+    // profile — zero-shuffle fan-out, one 12-group aggregate
+    "q194_unpivot_measures" -> Relational.unpivotMeasures _,
+    // quarter-over-quarter regional revenue deltas; portable integer
+    // quarter index, subtraction of exact 2dp sums (no division)
+    "q195_qoq_growth" -> Relational.qoqGrowth _,
+    // Pearson corr from the five exact power sums — never built-in corr()
+    "q196_qty_discount_corr" -> Relational.qtyDiscountCorr _,
+    // ABC/Pareto classes with the boundary test in exact integer cents
+    "q197_abc_classes" -> Relational.abcClasses _,
+    // Flesch readability from integer word/sentence/syllable totals
+    "q198_readability" -> ((s, d) =>
+      Corpus.readability(eng(s, d).table("documents"))),
+    // mutual-kNN rate + label homophily over a bounded evaluation slice —
+    // the hubness / embedding-quality audit
+    "q199_mutual_knn" -> ((s, d) =>
+      Similarity.mutualKnn(eng(s, d).table("embeddings"))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1706,6 +1723,114 @@ object SparkEntry {
         | CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n_events,
         | round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q194_unpivot_measures" ->
+      """WITH m AS (
+        | SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+        |  FROM lineitem
+        | UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem
+        | UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+        |  FROM lineitem
+        | UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n,
+        | round(sum(val), 2) AS total, round(min(val), 2) AS min_val,
+        | round(max(val), 2) AS max_val
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q195_qoq_growth" ->
+      """WITH r AS (
+        | SELECT r_name AS region,
+        |  CAST(year(o_orderdate) * 4 + (month(o_orderdate) - 1) // 3
+        |    AS BIGINT) AS qidx,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        | FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2)
+        |SELECT region, qidx, n_orders, revenue,
+        | round(revenue - lag(revenue) OVER
+        |   (PARTITION BY region ORDER BY qidx), 2) AS qoq_delta
+        |FROM r ORDER BY region, qidx""".stripMargin,
+    "q196_qty_discount_corr" ->
+      """WITH s AS (
+        | SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |  sum(l_quantity) AS sx, sum(l_discount) AS sy,
+        |  sum(l_quantity * l_discount) AS sxy,
+        |  sum(l_quantity * l_quantity) AS sxx,
+        |  sum(l_discount * l_discount) AS syy
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        | round((n * sxy - sx * sy) /
+        |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |  AS corr_qty_discount
+        |FROM s ORDER BY 1""".stripMargin,
+    "q197_abc_classes" ->
+      """WITH b AS (
+        | SELECT p_brand,
+        |  CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS cents
+        | FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |c AS (
+        | SELECT p_brand, cents,
+        |  sum(cents) OVER (ORDER BY cents DESC, p_brand
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(cents) OVER () AS total
+        | FROM b)
+        |SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+        |  WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END AS abc_class,
+        | count(*) AS n_brands,
+        | round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS class_revenue
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q198_readability" ->
+      """WITH d AS (
+        | SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS s,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS y
+        | FROM documents),
+        |a AS (
+        | SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS tot_words,
+        |  CAST(sum(s) AS BIGINT) AS tot_sentences,
+        |  CAST(sum(y) AS BIGINT) AS tot_syllables
+        | FROM d GROUP BY 1),
+        |r AS (
+        | SELECT *,
+        |  round(CAST(tot_words AS DOUBLE) /
+        |    greatest(tot_sentences, 1), 6) AS words_per_sentence,
+        |  round(CAST(tot_syllables AS DOUBLE) /
+        |    greatest(tot_words, 1), 6) AS syllables_per_word
+        | FROM a)
+        |SELECT lang, n_docs, tot_words, tot_sentences, tot_syllables,
+        | words_per_sentence, syllables_per_word,
+        | round(206.835 - 1.015 * words_per_sentence -
+        |   84.6 * syllables_per_word, 4) AS flesch
+        |FROM r ORDER BY lang""".stripMargin,
+    "q199_mutual_knn" ->
+      """WITH sub AS (
+        | SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 256),
+        |p AS (
+        | SELECT a.vec_id AS a_id, a.label AS a_label,
+        |  b.vec_id AS b_id, b.label AS b_label,
+        |  round(list_inner_product(a.embedding, b.embedding) /
+        |   (sqrt(list_inner_product(a.embedding, a.embedding)) *
+        |    sqrt(list_inner_product(b.embedding, b.embedding))), 4) AS c
+        | FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+        |k AS (
+        | SELECT a_id, a_label, b_id, b_label
+        | FROM p QUALIFY row_number() OVER
+        |   (PARTITION BY a_id ORDER BY c DESC, b_id) <= 5),
+        |mk AS (
+        | SELECT k1.a_id, k1.a_label, k1.b_label,
+        |  CASE WHEN k2.a_id IS NULL THEN 0 ELSE 1 END AS mut,
+        |  CASE WHEN k1.a_label = k1.b_label THEN 1 ELSE 0 END AS same
+        | FROM k k1 LEFT JOIN k k2
+        |  ON k1.a_id = k2.b_id AND k1.b_id = k2.a_id)
+        |SELECT a_label AS label, count(DISTINCT a_id) AS n_vecs,
+        | count(*) AS n_edges, CAST(sum(mut) AS BIGINT) AS n_mutual,
+        | round(CAST(sum(mut) AS DOUBLE) / count(*), 6) AS mutual_rate,
+        | CAST(sum(same) AS BIGINT) AS n_same_label,
+        | round(CAST(sum(same) AS DOUBLE) / count(*), 6) AS homophily
+        |FROM mk GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

@@ -1459,4 +1459,38 @@ object Corpus {
           .as("lang_entropy"))
       .orderBy(col("source"))
   }
+
+  /** Corpus readability profile per language: Flesch reading ease from
+    * aggregate counts — words (the canonical space-split contract),
+    * sentences (terminal-punctuation marks) and syllables (vowel-group
+    * heuristic, the standard dictionary-free proxy). All three are
+    * INTEGER totals summed per language before any division, so the
+    * ratios are quotients of exact integers (identical doubles on both
+    * engines) rather than averages of per-doc floats whose accumulation
+    * order differs. One map-side-combined aggregate; counting happens in
+    * the scan projection and only (lang, 4 longs) rows shuffle.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val counted = docs.select(col("lang"),
+      size(split(col("text"), " ")).cast("long").as("w"),
+      size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0))).cast("long")
+        .as("s"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast("long").as("y"))
+    counted.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("tot_words"),
+        sum(col("s")).as("tot_sentences"),
+        sum(col("y")).as("tot_syllables"))
+      .select(col("lang"), col("n_docs"), col("tot_words"),
+        col("tot_sentences"), col("tot_syllables"),
+        round(col("tot_words").cast("double") /
+          greatest(col("tot_sentences"), lit(1L)), 6).as("words_per_sentence"),
+        round(col("tot_syllables").cast("double") /
+          greatest(col("tot_words"), lit(1L)), 6).as("syllables_per_word"))
+      .withColumn("flesch",
+        round(lit(206.835) - lit(1.015) * col("words_per_sentence") -
+          lit(84.6) * col("syllables_per_word"), 4))
+      .orderBy(col("lang"))
+  }
 }

@@ -957,4 +957,120 @@ object Relational {
         col("best.spend").as("best_spend"))
       .orderBy(col("nation"))
   }
+
+  /** Wide-to-long melt of the lineitem measure columns (`Dataset.unpivot`,
+    * Spark's native UNPIVOT plan) followed by a per-measure summary — the
+    * "profile every measure in one pass" report shape that BI layers emit.
+    * The unpivot is a zero-shuffle projection (each input row fans out to
+    * 4 rows map-side); the only exchange is the final 12-group aggregate.
+    * Sums stay hash-stable because every measure is an exact 2-decimal
+    * quantity (quantities are integral doubles).
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val li = e(spark, dir).table("lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+    li.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "val")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("val")), 2).as("total"),
+        round(min(col("val")), 2).as("min_val"),
+        round(max(col("val")), 2).as("max_val"))
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  /** Quarter-over-quarter revenue growth per region — the board-deck
+    * trend line. The quarter index is PORTABLE integer math
+    * (year*4 + (month-1) div 3) rather than an engine quarter() whose
+    * return types differ. One star rollup (all three dims broadcast),
+    * then a lag window over the ~regions x quarters aggregate (tiny);
+    * the delta is a subtraction of exact 2-decimal sums, so no division
+    * rounding can break hash parity.
+    */
+  def qoqGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val rolled = en.table("orders")
+      .select(col("o_custkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 4 +
+          expr("(month(o_orderdate) - 1) div 3")).cast("long").as("qidx"))
+      .join(broadcast(en.table("customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(en.table("nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(en.table("region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("qidx"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+    val w = Window.partitionBy(col("region")).orderBy(col("qidx"))
+    rolled
+      .withColumn("qoq_delta",
+        round(col("revenue") - lag(col("revenue"), 1).over(w), 2))
+      .orderBy(col("region"), col("qidx"))
+  }
+
+  /** Pearson correlation of quantity vs discount per return flag, computed
+    * from the five raw power sums with the textbook formula on BOTH
+    * engines (never the built-in corr(), whose internal accumulation
+    * order differs). Every sum is EXACT in a double: quantities are small
+    * integers, discounts 2-decimal, their products 2-decimal, squares
+    * 4-decimal — all far under 2^53 when scaled. Identical exact inputs
+    * plus an identical IEEE expression tree give bit-identical output,
+    * which the trailing round(, 6) then insures against ulp drift.
+    * One map-side-combined aggregate; the fact never shuffles rows.
+    */
+  def qtyDiscountCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = e(spark, dir).table("lineitem")
+      .select(col("l_returnflag"), col("l_quantity").as("x"),
+        col("l_discount").as("y"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_discount"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ABC (Pareto) inventory classification of brands by revenue:
+    * cumulative-share class A (top 80% of revenue), B (next 15%), C
+    * (tail). The class boundary test runs in EXACT INTEGER CENTS
+    * (5*cum <= 4*total for the 80% line, 20*cum <= 19*total for 95%) —
+    * a float cum/total share could sit on the boundary and round
+    * differently per engine, a scaled-integer comparison cannot. The
+    * windows run over the ~25-row brand rollup (driver-scale), never the
+    * fact; ordering ties break on brand name.
+    */
+  def abcClasses(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val brandRev = en.table("lineitem")
+      .join(broadcast(en.table("part").select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice")) * 100, 0).cast("long")
+        .as("cents"))
+    val wCum = Window.orderBy(col("cents").desc, col("p_brand"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    brandRev
+      .withColumn("cum", sum(col("cents")).over(wCum))
+      .withColumn("total", sum(col("cents")).over(wAll))
+      .withColumn("abc_class",
+        when(col("cum") * 5 <= col("total") * 4, "A")
+          .when(col("cum") * 20 <= col("total") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_brands"),
+        round(sum(col("cents")) / 100.0, 2).as("class_revenue"))
+      .orderBy(col("abc_class"))
+  }
 }

@@ -957,4 +957,54 @@ object Similarity {
         round(avg(when(abs(col("v")) < zeroEps, 1.0).otherwise(0.0)), 4)
           .as("near_zero_frac"))
       .orderBy(col("dim"))
+
+  /** Mutual-kNN and label-homophily audit over a bounded evaluation slice
+    * of the embedding table: build the exact cosine k-nearest-neighbor
+    * edge list (rank by the ROUNDED cosine with an id tiebreak — the
+    * q28/q29 determinism contract), then measure (a) the mutual-edge rate
+    * (A in kNN(B) and B in kNN(A) — low mutuality flags hubness, the
+    * classic curse-of-dimensionality failure that silently degrades ANN
+    * recall) and (b) label homophily (the fraction of neighbors sharing
+    * the anchor's label — the cheap proxy for "do these embeddings encode
+    * the classes at all").
+    *
+    * Scale shape: the quadratic pass is bounded to `maxId` anchors (an
+    * EVALUATION SAMPLE — hubness/homophily are corpus statistics and
+    * estimate fine from a slice); the small side broadcasts, so the pairs
+    * never shuffle. At full-corpus scale swap the candidate generator for
+    * the LSH-bucketed pair frame ([[lshNearDupPairs]]-style) and
+    * keep the identical mutual/homophily tail, which only ever sees
+    * k*n edges.
+    */
+  def mutualKnn(emb: DataFrame, k: Int = 5, maxId: Long = 256L): DataFrame = {
+    val sub = emb.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val pairs = sub.toDF("a_id", "e_a", "a_label")
+      .join(broadcast(sub.toDF("b_id", "e_b", "b_label")),
+        col("a_id") =!= col("b_id"))
+      .withColumn("c", round(cosine(col("e_a"), col("e_b")), 4))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("c").desc, col("b_id"))
+    val knn = pairs
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"))
+    val rev = knn.select(col("a_id").as("r_b"), col("b_id").as("r_a"))
+    knn
+      .join(rev, col("a_id") === col("r_a") && col("b_id") === col("r_b"),
+        "left_outer")
+      .select(col("a_label").as("label"), col("a_id"),
+        when(col("r_a").isNotNull, 1L).otherwise(0L).as("mut"),
+        when(col("a_label") === col("b_label"), 1L).otherwise(0L).as("same"))
+      .groupBy(col("label"))
+      .agg(countDistinct(col("a_id")).as("n_vecs"),
+        count(lit(1)).as("n_edges"),
+        sum(col("mut")).as("n_mutual"),
+        round(sum(col("mut")).cast("double") / count(lit(1)), 6)
+          .as("mutual_rate"),
+        sum(col("same")).as("n_same_label"),
+        round(sum(col("same")).cast("double") / count(lit(1)), 6)
+          .as("homophily"))
+      .orderBy(col("label"))
+  }
 }
