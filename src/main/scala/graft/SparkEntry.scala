@@ -337,6 +337,19 @@ object SparkEntry {
     // the hubness / embedding-quality audit
     "q199_mutual_knn" -> ((s, d) =>
       Similarity.mutualKnn(eng(s, d).table("embeddings"))),
+    // top-k parts per brand with ties kept (dense_rank over the rollup)
+    "q200_brand_top_parts" -> ((s, d) =>
+      Relational.topPartsPerBrand(s, d)),
+    // exact-vs-normalized duplicate gap per source — the dedup-tier triage
+    "q201_norm_dup_rate" -> ((s, d) =>
+      Corpus.normDupRate(eng(s, d).table("documents"))),
+    // open-order backlog by month via bounded interval explode
+    "q202_order_backlog" -> Relational.openOrderBacklog _,
+    // monthly revenue vs trailing-12m mean (rows-frame window)
+    "q203_revenue_trend" -> Relational.revenueTrend _,
+    // intra/inter label cosine separation — silhouette-style class audit
+    "q204_label_separation" -> ((s, d) =>
+      Similarity.labelSeparation(eng(s, d).table("embeddings"))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1831,6 +1844,78 @@ object SparkEntry {
         | CAST(sum(same) AS BIGINT) AS n_same_label,
         | round(CAST(sum(same) AS DOUBLE) / count(*), 6) AS homophily
         |FROM mk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q200_brand_top_parts" ->
+      """WITH r AS (
+        | SELECT p_brand, p_partkey, round(sum(l_extendedprice), 2) AS revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2)
+        |SELECT p_brand, p_partkey, revenue,
+        | CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY revenue DESC)
+        |   AS INTEGER) AS rnk
+        |FROM r QUALIFY rnk <= 3 ORDER BY p_brand, rnk, p_partkey""".stripMargin,
+    "q201_norm_dup_rate" ->
+      """WITH d AS (
+        | SELECT source, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '',
+        |    'g'), ' +', ' ', 'g')) AS norm
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | count(DISTINCT text) AS distinct_raw,
+        | count(DISTINCT norm) AS distinct_norm,
+        | round(CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*), 6)
+        |   AS exact_dup_rate,
+        | count(DISTINCT text) - count(DISTINCT norm) AS norm_collapsed
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q202_order_backlog" ->
+      """WITH ls AS (
+        | SELECT l_orderkey, max(l_shipdate) AS last_ship
+        | FROM lineitem GROUP BY 1),
+        |sp AS (
+        | SELECT o_totalprice, date_trunc('month', o_orderdate) AS m0,
+        |  greatest(date_trunc('month', o_orderdate),
+        |   date_trunc('month', last_ship)) AS m1
+        | FROM orders JOIN ls ON o_orderkey = l_orderkey),
+        |e AS (
+        | SELECT o_totalprice,
+        |  unnest(generate_series(m0, m1, INTERVAL 1 MONTH)) AS month
+        | FROM sp)
+        |SELECT CAST(month AS TIMESTAMP) AS month, count(*) AS open_orders,
+        | round(sum(o_totalprice), 2) AS open_value
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q203_revenue_trend" ->
+      """WITH m AS (
+        | SELECT date_trunc('month', o_orderdate) AS month,
+        |  round(sum(o_totalprice), 2) AS revenue
+        | FROM orders GROUP BY 1)
+        |SELECT CAST(month AS TIMESTAMP) AS month, revenue,
+        | round(avg(revenue) OVER (ORDER BY month
+        |   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 6) AS trailing_12m,
+        | round(revenue - round(avg(revenue) OVER (ORDER BY month
+        |   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 6), 6) AS dev
+        |FROM m ORDER BY month""".stripMargin,
+    "q204_label_separation" ->
+      """WITH sub AS (
+        | SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 256),
+        |p AS (
+        | SELECT a.label AS a_label, b.label AS b_label,
+        |  round(list_inner_product(a.embedding, b.embedding) /
+        |   (sqrt(list_inner_product(a.embedding, a.embedding)) *
+        |    sqrt(list_inner_product(b.embedding, b.embedding))), 4) AS c
+        | FROM sub a JOIN sub b ON a.vec_id < b.vec_id),
+        |e AS (
+        | SELECT a_label AS label, b_label AS other, c FROM p
+        | UNION ALL SELECT b_label, a_label, c FROM p)
+        |SELECT label,
+        | count(CASE WHEN label = other THEN 1 END) AS n_intra,
+        | count(CASE WHEN label <> other THEN 1 END) AS n_inter,
+        | round(sum(CASE WHEN label = other THEN c END) /
+        |   count(CASE WHEN label = other THEN 1 END), 6) AS mean_intra,
+        | round(sum(CASE WHEN label <> other THEN c END) /
+        |   count(CASE WHEN label <> other THEN 1 END), 6) AS mean_inter,
+        | round(round(sum(CASE WHEN label = other THEN c END) /
+        |     count(CASE WHEN label = other THEN 1 END), 6) -
+        |   round(sum(CASE WHEN label <> other THEN c END) /
+        |     count(CASE WHEN label <> other THEN 1 END), 6), 6) AS separation
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

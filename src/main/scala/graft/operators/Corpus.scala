@@ -1493,4 +1493,29 @@ object Corpus {
           lit(84.6) * col("syllables_per_word"), 4))
       .orderBy(col("lang"))
   }
+
+  /** Normalization-sensitive duplicate rate per source: how many docs
+    * collapse under exact identity vs under aggressive normalization
+    * (lowercase, strip non-alphanumerics, squeeze whitespace) — the gap
+    * between `distinct_raw` and `distinct_norm` is exactly the dup mass
+    * that an exact-hash dedup MISSES and a normalizing one catches, which
+    * is the first number to look at before choosing a dedup tier. Two
+    * count-distincts in one aggregate; the normalized form is computed in
+    * the scan projection and never stored.
+    */
+  def normDupRate(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(col("source"), col("text"), norm.as("__norm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("distinct_raw"),
+        countDistinct(col("__norm")).as("distinct_norm"))
+      .select(col("source"), col("n_docs"), col("distinct_raw"),
+        col("distinct_norm"),
+        round((col("n_docs") - col("distinct_raw")).cast("double") /
+          col("n_docs"), 6).as("exact_dup_rate"),
+        (col("distinct_raw") - col("distinct_norm")).as("norm_collapsed"))
+      .orderBy(col("source"))
+  }
 }

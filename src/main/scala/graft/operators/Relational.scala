@@ -1073,4 +1073,77 @@ object Relational {
         round(sum(col("cents")) / 100.0, 2).as("class_revenue"))
       .orderBy(col("abc_class"))
   }
+
+  /** Top-k parts per brand by revenue with TIES KEPT (dense_rank, not
+    * row_number) — the "best sellers per category" report where two
+    * equal-revenue parts must both appear or the report lies. The window
+    * runs over the (brand, part) rollup, never the fact; ranking on the
+    * exact 2-decimal revenue makes tie membership engine-stable.
+    */
+  def topPartsPerBrand(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val en = e(spark, dir)
+    val rev = en.table("lineitem")
+      .join(broadcast(en.table("part").select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc)
+    rev.withColumn("rnk", dense_rank().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+  }
+
+  /** Open-order backlog time series: for each month, how many orders are
+    * in flight (placed, not yet fully shipped) and how much value they
+    * carry — the working-capital curve. The order's open interval
+    * [order month, last-ship month] is EXPLODED to its covered months
+    * (`sequence` + `explode`) rather than range-joined against a spine:
+    * order lifetimes are bounded (months, not years), so the fan-out is a
+    * small constant per order and the whole operator is one map-side
+    * expansion plus one ~80-group aggregate. At 100 TB the same plan
+    * holds — the explode multiplies rows by avg-months-open (~4), which
+    * beats shuffling the fact against a spine by orders of magnitude.
+    */
+  def openOrderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val lastShip = en.table("lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    en.table("orders")
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_totalprice"),
+        // a handful of fixture rows ship before the order date — clamp so
+        // the open interval is never negative (such orders count only in
+        // their order month)
+        explode(sequence(date_trunc("month", col("o_orderdate")),
+          greatest(date_trunc("month", col("o_orderdate")),
+            date_trunc("month", col("last_ship"))),
+          expr("interval 1 month"))).as("__m"))
+      .select(col("o_totalprice"),
+        col("__m").cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as("month"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("open_orders"),
+        round(sum(col("o_totalprice")), 2).as("open_value"))
+      .orderBy(col("month"))
+  }
+
+  /** Monthly revenue vs its trailing-12-month mean — the seasonality /
+    * trend-deviation report. The trailing mean is an avg over a ROWS
+    * frame of exact 2-decimal monthly sums: at most 12 exact doubles
+    * whose sum is exact, so the quotient is engine-identical; it is
+    * rounded to 6dp (finer than any exact decimal the quotient can be,
+    * per the n-in-{1,2,4,8} half-grid trap). Window over ~80 month rows.
+    */
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = e(spark, dir).table("orders")
+      .groupBy(date_trunc("month", col("o_orderdate"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+    val w = Window.orderBy(col("month")).rowsBetween(-11, Window.currentRow)
+    monthly
+      .withColumn("trailing_12m", round(avg(col("revenue")).over(w), 6))
+      .withColumn("dev", round(col("revenue") - col("trailing_12m"), 6))
+      .orderBy(col("month"))
+  }
 }

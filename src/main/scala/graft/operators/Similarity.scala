@@ -1007,4 +1007,41 @@ object Similarity {
           .as("homophily"))
       .orderBy(col("label"))
   }
+
+  /** Label-separation audit over a bounded evaluation slice: per label,
+    * the mean intra-label pairwise cosine vs the mean cosine to every
+    * other label, and their gap — the scalar answer to "are the classes
+    * linearly separated in embedding space?" (a silhouette-style score
+    * without the per-point machinery). Pair cosines are ROUNDED to 4dp
+    * before averaging, so the sums are sums of exact decimals (hash-
+    * stable); each pair feeds BOTH endpoints' statistics via a two-sided
+    * projection union, not a second join.
+    *
+    * Scale shape: like [[mutualKnn]], the quadratic pass is bounded to a
+    * `maxId` sample slice and the broadcast side is tiny; the full-corpus
+    * version would sample per label and reuse the identical tail.
+    */
+  def labelSeparation(emb: DataFrame, maxId: Long = 256L): DataFrame = {
+    val sub = emb.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val pairs = sub.toDF("a_id", "e_a", "a_label")
+      .join(broadcast(sub.toDF("b_id", "e_b", "b_label")),
+        col("a_id") < col("b_id"))
+      .select(col("a_label"), col("b_label"),
+        round(cosine(col("e_a"), col("e_b")), 4).as("c"))
+    val ends = pairs.select(col("a_label").as("label"),
+        col("b_label").as("other"), col("c"))
+      .union(pairs.select(col("b_label").as("label"),
+        col("a_label").as("other"), col("c")))
+    ends.groupBy(col("label"))
+      .agg(count(when(col("label") === col("other"), 1)).as("n_intra"),
+        count(when(col("label") =!= col("other"), 1)).as("n_inter"),
+        round(sum(when(col("label") === col("other"), col("c"))) /
+          count(when(col("label") === col("other"), 1)), 6).as("mean_intra"),
+        round(sum(when(col("label") =!= col("other"), col("c"))) /
+          count(when(col("label") =!= col("other"), 1)), 6).as("mean_inter"))
+      .withColumn("separation",
+        round(col("mean_intra") - col("mean_inter"), 6))
+      .orderBy(col("label"))
+  }
 }
