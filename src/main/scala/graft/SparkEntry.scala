@@ -350,6 +350,31 @@ object SparkEntry {
     // intra/inter label cosine separation — silhouette-style class audit
     "q204_label_separation" -> ((s, d) =>
       Similarity.labelSeparation(eng(s, d).table("embeddings"))),
+    // cross-aggregate HAVING: share > 1.05x mean share, in exact scaled cents
+    "q205_important_suppliers" -> Relational.importantSuppliers _,
+    // correlated per-part avg as exact cross-multiplication (Q17 shape)
+    "q206_small_qty_revenue" -> Relational.smallQtyRevenue _,
+    // quantity-weighted median price per brand via cumulative weights
+    "q207_weighted_median" -> Relational.weightedMedianPrice _,
+    // Benford first-digit audit; digit from the integer-cents string
+    "q208_benford" -> Relational.benfordOrders _,
+    // lag-1/lag-7 autocorrelation from BIGINT power sums over exact dollars
+    "q209_autocorr" -> Relational.dailyAutocorr _,
+    // segment x priority mutual information from one contingency rollup
+    "q210_mutual_info" -> Relational.segmentPriorityMi _,
+    // Kaplan-Meier product-limit survival of customer reorder gaps
+    "q211_reorder_survival" -> Relational.reorderSurvival _,
+    // 7-day EWMA of daily revenue as an explode + equi-join band
+    "q212_revenue_ewma" -> Relational.dailyEwma _,
+    // chi-square cell residuals for segment x priority independence
+    "q213_chisq_cells" -> Relational.segmentPriorityChisq _,
+    // overlapping order-interval pairs per customer, as a histogram
+    "q214_order_overlap" -> Relational.orderOverlapHistogram _,
+    // log-log OLS price elasticity per brand from one-pass power sums
+    "q215_price_elasticity" -> Relational.priceElasticity _,
+    // one-way ANOVA of doc length by language (exact BIGINT power sums)
+    "q216_length_anova" -> ((s, d) =>
+      Corpus.docLengthAnova(eng(s, d).table("documents"))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -1916,6 +1941,209 @@ object SparkEntry {
         |   round(sum(CASE WHEN label <> other THEN c END) /
         |     count(CASE WHEN label <> other THEN 1 END), 6), 6) AS separation
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q205_important_suppliers" ->
+      """WITH ps AS (
+        | SELECT s_suppkey, s_name,
+        |  CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS cents
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  count(*) AS n_sup FROM ps)
+        |SELECT s_suppkey, s_name, round(cents / 100.0, 2) AS revenue,
+        | round(CAST(cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+        |   AS share
+        |FROM ps, t WHERE cents * n_sup * 100 > 105 * total_cents
+        |ORDER BY revenue DESC, s_suppkey""".stripMargin,
+    "q206_small_qty_revenue" ->
+      """WITH pp AS (
+        | SELECT l_partkey AS pk, sum(l_quantity) AS sum_qty,
+        |  count(*) AS cnt_qty
+        | FROM lineitem GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_items,
+        | round(sum(l_extendedprice), 2) AS small_qty_revenue
+        |FROM lineitem JOIN pp ON l_partkey = pk
+        | JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity * 2 * cnt_qty < sum_qty
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q207_weighted_median" ->
+      """WITH li AS (
+        | SELECT p_brand, l_extendedprice AS price, l_quantity AS w,
+        |  l_orderkey, l_linenumber
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |c AS (
+        | SELECT p_brand, price,
+        |  sum(w) OVER (PARTITION BY p_brand ORDER BY price, l_orderkey,
+        |    l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cw,
+        |  sum(w) OVER (PARTITION BY p_brand) AS tw
+        | FROM li)
+        |SELECT p_brand, min(price) AS w_median_price,
+        | CAST(min(tw) AS BIGINT) AS total_weight
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q208_benford" ->
+      """WITH d AS (
+        | SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        | FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n,
+        | round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |   AS observed_pct,
+        | round(log10(1.0 + 1.0 / digit), 6) AS benford_pct
+        |FROM g, t ORDER BY digit""".stripMargin,
+    "q209_autocorr" ->
+      """WITH daily AS (
+        | SELECT date_trunc('day', o_orderdate) AS day,
+        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) // 100
+        |    AS dollars
+        | FROM orders GROUP BY 1),
+        |pairs AS (
+        | SELECT CAST(1 AS INTEGER) AS lag, a.dollars AS x, b.dollars AS y
+        | FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 1 DAY
+        | UNION ALL
+        | SELECT CAST(7 AS INTEGER), a.dollars, b.dollars
+        | FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 7 DAY),
+        |s AS (
+        | SELECT lag, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) AS BIGINT) AS syy
+        | FROM pairs GROUP BY 1)
+        |SELECT lag, n,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS autocorr
+        |FROM s ORDER BY lag""".stripMargin,
+    "q210_mutual_info" ->
+      """WITH j AS (
+        | SELECT c_mktsegment AS seg, o_orderpriority AS prio
+        | FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT seg, prio, count(*) AS nxy FROM j GROUP BY 1, 2),
+        |sm AS (SELECT seg, CAST(sum(nxy) AS BIGINT) AS nx
+        |  FROM cells GROUP BY 1),
+        |pm AS (SELECT prio, CAST(sum(nxy) AS BIGINT) AS ny
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(nxy) AS BIGINT) AS nn FROM cells)
+        |SELECT seg, CAST(sum(nxy) AS BIGINT) AS n_orders,
+        | round(sum((CAST(nxy AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |   ln((CAST(nxy AS DOUBLE) * CAST(nn AS DOUBLE)) /
+        |     (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))), 6) AS mi_contrib
+        |FROM cells JOIN sm USING (seg) JOIN pm USING (prio), t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q211_reorder_survival" ->
+      """WITH g AS (
+        | SELECT CAST(date_diff('day',
+        |   lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate),
+        |   o_orderdate) AS INTEGER) AS t_days
+        | FROM orders),
+        |b AS (SELECT t_days, count(*) AS d FROM g
+        |  WHERE t_days IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(d) AS BIGINT) AS n_total FROM b),
+        |r AS (
+        | SELECT t_days, d,
+        |  n_total - COALESCE(CAST(sum(d) OVER (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |    0) AS n_risk
+        | FROM b, t),
+        |r2 AS (
+        | SELECT t_days, d, n_risk,
+        |  CASE WHEN d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) /
+        |    CAST(n_risk AS DOUBLE)) END AS lnterm
+        | FROM r)
+        |SELECT t_days, n_risk, d AS n_events,
+        | CASE WHEN d >= n_risk THEN 0.0
+        |  ELSE round(exp(sum(lnterm) OVER (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        | END AS survival
+        |FROM r2 ORDER BY t_days""".stripMargin,
+    "q212_revenue_ewma" ->
+      """WITH daily AS (
+        | SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) // 100
+        |    AS dollars
+        | FROM orders GROUP BY 1),
+        |probes AS (
+        | SELECT day, k, day - k * INTERVAL 1 DAY AS src_day,
+        |  pow(0.8, k) AS wt
+        | FROM daily CROSS JOIN range(0, 7) t(k)),
+        |c AS (
+        | SELECT p.day, p.k, p.wt, d.dollars
+        | FROM probes p JOIN daily d ON p.src_day = d.day)
+        |SELECT day, max(CASE WHEN k = 0 THEN dollars END) AS dollars,
+        | round(sum(dollars * wt) / sum(wt), 6) AS ewma
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q213_chisq_cells" ->
+      """WITH cells AS (
+        | SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+        |  count(*) AS observed
+        | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |sm AS (SELECT seg, CAST(sum(observed) AS BIGINT) AS nx
+        |  FROM cells GROUP BY 1),
+        |pm AS (SELECT prio, CAST(sum(observed) AS BIGINT) AS ny
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(observed) AS BIGINT) AS nn FROM cells),
+        |x AS (
+        | SELECT seg, prio, observed,
+        |  CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS expected
+        | FROM cells JOIN sm USING (seg) JOIN pm USING (prio), t)
+        |SELECT seg, prio, observed, round(expected, 6) AS expected,
+        | round((CAST(observed AS DOUBLE) - expected) *
+        |   (CAST(observed AS DOUBLE) - expected) / expected, 6)
+        |   AS chi2_contrib
+        |FROM x ORDER BY seg, prio""".stripMargin,
+    "q214_order_overlap" ->
+      """WITH ls AS (
+        | SELECT l_orderkey, max(l_shipdate) AS last_ship
+        | FROM lineitem GROUP BY 1),
+        |sp AS (
+        | SELECT o_custkey AS cust, o_orderkey AS okey, o_orderdate AS s,
+        |  last_ship AS e
+        | FROM orders JOIN ls ON o_orderkey = l_orderkey),
+        |pc AS (
+        | SELECT a.cust, count(*) AS n_overlap_pairs
+        | FROM sp a JOIN sp b ON a.cust = b.cust AND a.okey < b.okey
+        |  AND a.s <= b.e AND b.s <= a.e
+        | GROUP BY 1)
+        |SELECT n_overlap_pairs, count(*) AS n_customers
+        |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q215_price_elasticity" ->
+      """WITH li AS (
+        | SELECT p_brand, ln(l_extendedprice) AS x, ln(l_quantity) AS y
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |s AS (
+        | SELECT p_brand, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        | FROM li GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity
+        |FROM s ORDER BY p_brand""".stripMargin,
+    "q216_length_anova" ->
+      """WITH pl AS (
+        | SELECT lang, count(*) AS nl, CAST(sum(n_chars) AS BIGINT) AS sl,
+        |  CAST(sum(n_chars * n_chars) AS BIGINT) AS ssl
+        | FROM documents GROUP BY 1),
+        |g AS (
+        | SELECT CAST(sum(nl) AS BIGINT) AS n, CAST(sum(sl) AS BIGINT) AS s,
+        |  CAST(sum(ssl) AS BIGINT) AS ss, count(*) AS n_langs,
+        |  sum(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |    AS grp
+        | FROM pl)
+        |SELECT n AS n_docs, n_langs,
+        | CAST(round(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+        |   CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0) AS BIGINT) AS ss_total,
+        | CAST(round(grp - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |   CAST(n AS DOUBLE), 0) AS BIGINT) AS ss_between,
+        | round((grp - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |   CAST(n AS DOUBLE)) /
+        |  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |    CAST(n AS DOUBLE)), 6) AS eta2
+        |FROM g""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

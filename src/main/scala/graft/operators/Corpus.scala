@@ -1518,4 +1518,38 @@ object Corpus {
         (col("distinct_raw") - col("distinct_norm")).as("norm_collapsed"))
       .orderBy(col("source"))
   }
+
+  /** One-way variance decomposition of document length by language:
+    * between-group vs within-group sum of squares and the eta-squared
+    * effect size ("how much of length variance does language explain").
+    * All power sums accumulate as exact BIGINTs (n_chars is integral),
+    * so partial-agg order cannot perturb them; the decomposition is
+    * closed-form double arithmetic over those exact sums. One scan, one
+    * bounded per-language rollup, a single-row result.
+    */
+  def docLengthAnova(docs: DataFrame): DataFrame = {
+    val perLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("nl"), sum(col("n_chars")).as("sl"),
+        sum(col("n_chars") * col("n_chars")).as("ssl"))
+    perLang.agg(sum(col("nl")).as("n"), sum(col("sl")).as("s"),
+        sum(col("ssl")).as("ss"), count(lit(1)).as("n_langs"),
+        sum(col("sl").cast("double") * col("sl").cast("double") /
+          col("nl").cast("double")).as("grp"))
+      .select(col("n").as("n_docs"), col("n_langs"),
+        // sums of squares sit at ~1e12 where 4dp rounding is below the
+        // double ulp (engine-divergent under scaled-double rounding) —
+        // round to whole units and emit integers instead
+        round(col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double"), 0).cast("long").as("ss_total"),
+        round(col("grp") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double"), 0).cast("long").as("ss_between"),
+        round((col("grp") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double")) /
+          (col("ss").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n").cast("double")), 6).as("eta2"))
+  }
 }

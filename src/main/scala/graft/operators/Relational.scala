@@ -1146,4 +1146,336 @@ object Relational {
       .withColumn("dev", round(col("revenue") - col("trailing_12m"), 6))
       .orderBy(col("month"))
   }
+
+  /** "Important suppliers" (TPC-H Q11 shape): suppliers whose revenue
+    * share exceeds 1.05x the mean supplier share (the TPC-H generator
+    * spreads supplier revenue tightly, so the interesting tail is just
+    * above the mean). The cross-aggregate HAVING is the point — a
+    * per-group aggregate compared against a global aggregate of the SAME
+    * frame. The predicate runs in exact integer cents scaled by the
+    * supplier count (`cents * n_sup * 100 > 105 * total`), so no float
+    * share can sit on the boundary; the global total is one row,
+    * broadcast back over the per-supplier rollup (never a second fact
+    * scan — the rollup is reused for both sides).
+    */
+  def importantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val perSup = en.table("lineitem")
+      .join(broadcast(en.table("supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(round(sum(col("l_extendedprice")) * 100, 0).cast("long")
+        .as("cents"))
+    val total = perSup.agg(sum(col("cents")).as("total_cents"),
+      count(lit(1)).as("n_sup"))
+    perSup.crossJoin(broadcast(total))
+      .filter(col("cents") * col("n_sup") * lit(100L) >
+        lit(105L) * col("total_cents"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("cents").cast("double") / col("total_cents").cast("double"),
+          6).as("share"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+  }
+
+  /** Small-quantity revenue by brand (TPC-H Q17 shape): lineitems whose
+    * quantity is below half the part's average quantity, summed per
+    * brand. The correlated-average comparison runs as an exact integer
+    * cross-multiplication (`2 * qty * cnt < sum_qty` — quantities are
+    * integer-valued, so the products are exact in doubles), never a float
+    * `avg`. The per-part rollup joins back on partkey (co-partitioned
+    * shuffle, no broadcast of the fact); the brand dim is broadcast.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val li = en.table("lineitem")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("cnt_qty"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") * lit(2) * col("cnt_qty") < col("sum_qty"))
+      .join(broadcast(en.table("part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("small_qty_revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Quantity-weighted median lineitem price per brand: cumulative weight
+    * over the price-sorted run, first price where twice the running
+    * weight reaches the total. Weights are integer-valued quantities so
+    * every cumulative sum and the `2*cw >= W` crossing test are exact;
+    * the window order carries (orderkey, linenumber) tiebreakers so the
+    * running sum is fully deterministic across engines. The window
+    * partitions by brand — each partition is one brand's lineitems, far
+    * smaller than the fact, and nothing global sorts.
+    */
+  def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val li = en.table("lineitem")
+      .join(broadcast(en.table("part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_extendedprice").as("price"),
+        col("l_quantity").as("w"), col("l_orderkey"), col("l_linenumber"))
+    val wCum = Window.partitionBy(col("p_brand"))
+      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("p_brand"))
+    li.withColumn("cw", sum(col("w")).over(wCum))
+      .withColumn("tw", sum(col("w")).over(wAll))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("p_brand"))
+      .agg(min(col("price")).as("w_median_price"),
+        min(col("tw")).cast("long").as("total_weight"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Benford first-digit audit of order totals: observed first-digit
+    * distribution vs the Benford expectation log10(1 + 1/d). The first
+    * digit comes from the INTEGER-cents string (integer formatting is
+    * portable; double formatting and log-based digit extraction are not).
+    * One scan, 9 groups, total broadcast back.
+    */
+  def benfordOrders(spark: SparkSession, dir: String): DataFrame = {
+    val d = e(spark, dir).table("orders")
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("digit",
+        substring(col("cents").cast("string"), 1, 1).cast("int"))
+    val byDigit = d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = byDigit.agg(sum(col("n")).as("total"))
+    byDigit.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("observed_pct"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("benford_pct"))
+      .orderBy(col("digit"))
+  }
+
+  /** Lag-k autocorrelation of the daily-revenue series (k = 1 and 7).
+    * Daily revenue is aggregated to exact integer cents then floored to
+    * whole DOLLARS (integer `div` — portable, and it keeps the BIGINT
+    * power sums in range: daily dollars ~1e7, squared ~1e14, summed over
+    * thousands of days stays far under 2^63, where cents-squared would
+    * overflow). The lag pairs come from a self-join on `day = day + k`
+    * (driver-scale after the fact rollup); the power sums accumulate as
+    * BIGINTs so partial-agg order cannot perturb them; only the final
+    * closed-form division runs in doubles on identical exact inputs.
+    */
+  def dailyAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = e(spark, dir).table("orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+      .withColumn("dollars", expr("cents div 100"))
+    val lags = Seq(1, 7).map { k =>
+      val lagged = daily.select(col("day").as("lday"),
+        col("dollars").as("ldollars"))
+      daily.join(lagged,
+          col("day") === expr(s"lday + INTERVAL $k DAYS"))
+        .select(lit(k).as("lag"), col("dollars").as("x"),
+          col("ldollars").as("y"))
+    }.reduce(_.unionAll(_))
+    lags.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("autocorr"))
+      .orderBy(col("lag"))
+  }
+
+  /** Mutual information between market segment and order priority — the
+    * categorical-dependence audit. All probabilities derive from one
+    * contingency rollup (25 cells) plus its margins; the MI sum runs per
+    * segment so the output is a per-segment dependence profile, not one
+    * scalar. Counts are exact; only the final log-ratio arithmetic is
+    * floating point.
+    */
+  def segmentPriorityMi(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val joined = en.table("orders")
+      .join(en.table("customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+    val cells = joined.groupBy(col("seg"), col("prio"))
+      .agg(count(lit(1)).as("nxy"))
+    val segM = cells.groupBy(col("seg")).agg(sum(col("nxy")).as("nx"))
+    val prioM = cells.groupBy(col("prio")).agg(sum(col("nxy")).as("ny"))
+    val total = cells.agg(sum(col("nxy")).as("nn"))
+    cells.join(broadcast(segM), "seg")
+      .join(broadcast(prioM), "prio")
+      .crossJoin(broadcast(total))
+      .withColumn("term",
+        (col("nxy").cast("double") / col("nn").cast("double")) *
+          log((col("nxy").cast("double") * col("nn").cast("double")) /
+            (col("nx").cast("double") * col("ny").cast("double"))))
+      .groupBy(col("seg"))
+      .agg(sum(col("nxy")).as("n_orders"),
+        round(sum(col("term")), 6).as("mi_contrib"))
+      .orderBy(col("seg"))
+  }
+
+  /** Kaplan-Meier survival of customer reorder intervals: for each
+    * distinct gap length t (days between consecutive orders of one
+    * customer), the risk set, event count, and the product-limit
+    * survivor estimate exp(sum(ln(1 - d/n))). The gaps come from one
+    * lag window per customer (keys shuffle once); everything after is a
+    * rollup over distinct gap values (bounded by the date range, ~1000s
+    * of rows), so the cumulative windows never see the fact.
+    */
+  def reorderSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val wLag = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val gaps = e(spark, dir).table("orders")
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(wLag))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("o_orderdate"), col("prev")).as("t_days"))
+    val byT = gaps.groupBy(col("t_days")).agg(count(lit(1)).as("d"))
+    val wBefore = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wUpTo = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = byT.agg(sum(col("d")).as("n_total"))
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d")).over(wBefore), lit(0L)))
+      .withColumn("lnterm",
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double"))))
+      .select(col("t_days"), col("n_risk"), col("d").as("n_events"),
+        // terminal t (risk set fully exhausted) pins survival to exactly
+        // 0 rather than ln(0) — Spark's log yields NULL there, DuckDB's
+        // -inf; the explicit branch is the only portable form
+        when(col("d") >= col("n_risk"), lit(0.0))
+          .otherwise(round(exp(sum(col("lnterm")).over(wUpTo)), 6))
+          .as("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  /** Exponentially weighted moving average of daily revenue (7-day
+    * window, decay 0.8), normalized over the weights actually present.
+    * The band is realized as an EXPLODE + EQUI-JOIN (each day emits its
+    * 7 (day, offset) probes and joins back on the exact day), never an
+    * inequality join — at any scale this stays a hash join on the day
+    * key instead of a broadcast-nested-loop. The series is exact whole
+    * dollars; only the 7-term weighted sum is floating point.
+    */
+  def dailyEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = e(spark, dir).table("orders")
+      .groupBy(date_trunc("day", col("o_orderdate"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
+      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+      .withColumn("dollars", expr("cents div 100"))
+    val probes = daily.select(col("day"), explode(
+        sequence(lit(0), lit(6))).as("k"))
+      .select(col("day"), col("k"),
+        expr("day - make_interval(0, 0, 0, k)").as("src_day"),
+        pow(lit(0.8), col("k")).as("wt"))
+    val contrib = probes.join(
+      daily.select(col("day").as("src_day"), col("dollars")), "src_day")
+    contrib.groupBy(col("day"))
+      .agg(round(sum(col("dollars") * col("wt")) / sum(col("wt")), 6)
+        .as("ewma"),
+        max(when(col("k") === 0, col("dollars"))).as("dollars"))
+      .select(col("day"), col("dollars"), col("ewma"))
+      .orderBy(col("day"))
+  }
+
+  /** Chi-square cell residuals for market segment x order priority: each
+    * cell's observed count, independence-expected count, and chi-square
+    * contribution. One contingency rollup (25 cells) feeds everything;
+    * margins broadcast back. Counts are exact integers; expected/contrib
+    * are closed-form doubles over identical exact inputs.
+    */
+  def segmentPriorityChisq(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val cells = en.table("orders")
+      .join(en.table("customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("observed"))
+    val segM = cells.groupBy(col("seg")).agg(sum(col("observed")).as("nx"))
+    val prioM = cells.groupBy(col("prio")).agg(sum(col("observed")).as("ny"))
+    val total = cells.agg(sum(col("observed")).as("nn"))
+    cells.join(broadcast(segM), "seg")
+      .join(broadcast(prioM), "prio")
+      .crossJoin(broadcast(total))
+      .withColumn("expected",
+        col("nx").cast("double") * col("ny").cast("double") /
+          col("nn").cast("double"))
+      .select(col("seg"), col("prio"), col("observed"),
+        round(col("expected"), 6).as("expected"),
+        round((col("observed").cast("double") - col("expected")) *
+          (col("observed").cast("double") - col("expected")) /
+          col("expected"), 6).as("chi2_contrib"))
+      .orderBy(col("seg"), col("prio"))
+  }
+
+  /** Histogram of overlapping order-interval pairs per customer: each
+    * order spans [orderdate, last shipdate]; two orders of the same
+    * customer overlap when the intervals intersect. The self-join is an
+    * EQUI-join on custkey (per-customer order counts are bounded, so the
+    * pair fan-out is quadratic only in a ~10-row group, never global),
+    * followed by a two-level rollup to the distribution.
+    */
+  def orderOverlapHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val spans = en.table("orders")
+      .join(en.table("lineitem").groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("okey"),
+        col("o_orderdate").as("start"), col("last_ship").as("end"))
+    val b = spans.select(col("cust"), col("okey").as("okey2"),
+      col("start").as("start2"), col("end").as("end2"))
+    val perCust = spans.join(b, "cust")
+      .filter(col("okey") < col("okey2") &&
+        col("start") <= col("end2") && col("start2") <= col("end"))
+      .groupBy(col("cust")).agg(count(lit(1)).as("n_overlap_pairs"))
+    perCust.groupBy(col("n_overlap_pairs"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_overlap_pairs"))
+  }
+
+  /** Log-log price elasticity per brand: OLS slope of ln(quantity) on
+    * ln(extended price) across the brand's lineitems. Power sums
+    * accumulate as doubles in one pass (the q196 pattern); the slope and
+    * intercept are closed-form. Brands are a broadcast dim; the fact
+    * aggregates in one shuffle on brand.
+    */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val li = en.table("lineitem")
+      .join(broadcast(en.table("part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), log(col("l_extendedprice")).as("x"),
+        log(col("l_quantity")).as("y"))
+    li.groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("p_brand"), col("n").cast("long").as("n_rows"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("elasticity"))
+      .orderBy(col("p_brand"))
+  }
 }
