@@ -375,6 +375,21 @@ object SparkEntry {
     // one-way ANOVA of doc length by language (exact BIGINT power sums)
     "q216_length_anova" -> ((s, d) =>
       Corpus.docLengthAnova(eng(s, d).table("documents"))),
+    // per-source token impact of the minhash keep-list (shared pair frame)
+    "q217_dedup_savings" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+      Corpus.dedupTokenSavings(docs,
+        Dedup.keepList(docs, Dedup.minhashPairsShared(docs, d)))
+    }),
+    // sqrt-proportional token budget allocation across sources
+    "q218_sqrt_allocation" -> ((s, d) =>
+      Corpus.sqrtBudgetAllocation(eng(s, d).table("documents"))),
+    // first-appearance 3-gram novelty rate per source
+    "q219_ngram_novelty" -> ((s, d) =>
+      Corpus.ngramNovelty(eng(s, d).table("documents"))),
+    // split-half centroid cosine per label — embedding stability audit
+    "q220_centroid_drift" -> ((s, d) =>
+      Similarity.centroidDrift(eng(s, d).table("embeddings"))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -2144,6 +2159,101 @@ object SparkEntry {
         |  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
         |    CAST(n AS DOUBLE)), 6) AS eta2
         |FROM g""".stripMargin,
+    "q217_dedup_savings" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | WITH RECURSIVE r(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        | SELECT * FROM r),
+        |comp AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        | FROM reach GROUP BY src),
+        |kl AS (
+        | SELECT doc_id FROM documents
+        | WHERE doc_id NOT IN
+        |   (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)),
+        |d AS (
+        | SELECT doc_id, source,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS toks
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_kept,
+        | CAST(sum(toks) AS BIGINT) AS tokens_total,
+        | CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN toks ELSE 0 END)
+        |   AS BIGINT) AS tokens_kept,
+        | round(1.0 - CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN toks
+        |     ELSE 0 END) AS DOUBLE) / CAST(sum(toks) AS DOUBLE), 6)
+        |   AS token_savings
+        |FROM d LEFT JOIN kl k USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q218_sqrt_allocation" ->
+      """WITH ps AS (
+        | SELECT source,
+        |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+        |    AS BIGINT) AS tokens
+        | FROM documents GROUP BY 1),
+        |w AS (SELECT source, tokens, sqrt(CAST(tokens AS DOUBLE)) AS w
+        |  FROM ps),
+        |t AS (SELECT sum(w) AS sum_w FROM w)
+        |SELECT source, tokens,
+        | least(tokens, CAST(floor(500000.0 * w / sum_w) AS BIGINT))
+        |   AS alloc_tokens,
+        | round(least(1.0, (500000.0 * w / sum_w) /
+        |   CAST(tokens AS DOUBLE)), 6) AS alloc_rate
+        |FROM w, t ORDER BY source""".stripMargin,
+    "q219_ngram_novelty" ->
+      """WITH s AS (
+        | SELECT doc_id, source, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |gr AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY 1),
+        |pd AS (
+        | SELECT doc_id, source, count(*) AS n_grams,
+        |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_first
+        | FROM gr JOIN f USING (g) GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        | round(avg(CAST(n_first AS DOUBLE) / CAST(n_grams AS DOUBLE)), 6)
+        |   AS mean_novelty
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q220_centroid_drift" ->
+      """WITH e AS (
+        | SELECT label, vec_id % 2 AS half, i AS pos,
+        |  CAST(embedding[i] AS DOUBLE) AS v
+        | FROM embeddings,
+        |  unnest(generate_series(1, len(embedding))) AS t(i)),
+        |m AS (
+        | SELECT label, half, pos, sum(v) / count(*) AS mv, count(*) AS n
+        | FROM e GROUP BY 1, 2, 3),
+        |j AS (
+        | SELECT a.label AS label, a.pos, a.mv AS me, a.n AS ne,
+        |  b.mv AS mo, b.n AS no
+        | FROM m a JOIN m b ON a.label = b.label AND a.pos = b.pos
+        |  AND a.half = 0 AND b.half = 1)
+        |SELECT label, CAST(max(ne) AS BIGINT) AS n_even,
+        | CAST(max(no) AS BIGINT) AS n_odd,
+        | round(sum(me * mo) / (sqrt(sum(me * me)) * sqrt(sum(mo * mo))), 6)
+        |   AS drift_cosine
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

@@ -1519,6 +1519,87 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Token-impact report for a dedup keep-list: per source, document and
+    * whitespace-token counts before vs after near-dup removal, and the
+    * token share the dedup saves. The keep-list arrives as a frame (any
+    * of the keep-list builders — minhash, MERIT, semantic — plug in), so
+    * the report is one broadcast-light left join plus a bounded per-source
+    * rollup; token totals are exact integers and the savings rate is a
+    * deterministic integer ratio.
+    */
+  def dedupTokenSavings(docs: DataFrame, keep: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+        .cast("long").as("toks"))
+    toks.join(keep.select(col("doc_id"), lit(1).as("__k")),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("toks")).as("tokens_total"),
+        sum(when(col("__k").isNotNull, col("toks")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("token_savings",
+        round(lit(1.0) - col("tokens_kept").cast("double") /
+          col("tokens_total").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Square-root-proportional token budget allocation across sources —
+    * the standard mixture-rebalancing rule (upweight small sources
+    * relative to proportional sampling without letting giants dominate).
+    * Per source: exact token count, the sqrt weight share of a fixed
+    * global budget, the implied sampling rate (capped at 1), and the
+    * allocated token count. One scan, one ~|sources| rollup; the floor
+    * runs on an integer-valued double so the cast is portable.
+    */
+  def sqrtBudgetAllocation(docs: DataFrame,
+      budgetTokens: Long = 500000L): DataFrame = {
+    val perSource = docs.select(col("source"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("tokens"))
+      .withColumn("w", sqrt(col("tokens").cast("double")))
+    val total = perSource.agg(sum(col("w")).as("sum_w"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("raw_alloc",
+        lit(budgetTokens.toDouble) * col("w") / col("sum_w"))
+      .select(col("source"), col("tokens"),
+        least(col("tokens"), floor(col("raw_alloc")).cast("long"))
+          .as("alloc_tokens"),
+        round(least(lit(1.0),
+          col("raw_alloc") / col("tokens").cast("double")), 6)
+          .as("alloc_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** N-gram novelty curve by source: for each document, the fraction of
+    * its distinct 3-gram shingles that appear for the FIRST time in the
+    * corpus (first = minimal doc_id owning the gram), averaged per
+    * source — the "how much new text does each source contribute" audit.
+    * The gram->first-owner map is one shuffle on the gram key (the only
+    * wide stage); documents shorter than the shingle width contribute no
+    * grams and are excluded, identically on both engines.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.TextAnalysis.shingles(col("text"), n))
+          .as("g"))
+    val firstSeen = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, "g")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_first"))
+      .withColumn("novelty",
+        col("n_first").cast("double") / col("n_grams").cast("double"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("novelty")), 6).as("mean_novelty"))
+      .orderBy(col("source"))
+  }
+
   /** One-way variance decomposition of document length by language:
     * between-group vs within-group sum of squares and the eta-squared
     * effect size ("how much of length variance does language explain").

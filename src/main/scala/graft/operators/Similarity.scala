@@ -776,6 +776,37 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Split-half centroid drift per label: cosine between the mean
+    * embedding of even vec_ids and odd vec_ids — the embedding-stability
+    * audit (a healthy label's two random halves should agree; low cosine
+    * flags a label whose members scatter). Component means come from one
+    * posexplode rollup keyed (label, half, pos) — bounded by labels x
+    * dim, never the corpus — and the cosine is a ~dim-row dot product
+    * per label.
+    */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val means = emb.select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"),
+        count(lit(1)).as("n"))
+    val ev = means.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("m").as("me"), col("n").as("ne"))
+    val od = means.filter(col("half") === 1)
+      .select(col("label").as("l2"), col("pos").as("p2"),
+        col("m").as("mo"), col("n").as("no"))
+    ev.join(od, col("label") === col("l2") && col("pos") === col("p2"))
+      .groupBy(col("label"))
+      .agg(max(col("ne")).as("n_even"), max(col("no")).as("n_odd"),
+        sum(col("me") * col("mo")).as("dot"),
+        sum(col("me") * col("me")).as("se"),
+        sum(col("mo") * col("mo")).as("so"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(col("dot") / (sqrt(col("se")) * sqrt(col("so"))), 6)
+          .as("drift_cosine"))
+      .orderBy(col("label"))
+  }
+
   /** Symmetric int8 quantization of the embedding column: per-vector
     * scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127, 127] — the
     * standard memory-scale ANN layout (4x smaller vectors, SIMD int8
