@@ -390,6 +390,8 @@ object SparkEntry {
     // split-half centroid cosine per label — embedding stability audit
     "q220_centroid_drift" -> ((s, d) =>
       Similarity.centroidDrift(eng(s, d).table("embeddings"))),
+    // blocked Jaro-Winkler profile via the native expression (threshold-free)
+    "q221_name_similarity" -> Fuzzy.nameSimilarityProfile _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -2254,6 +2256,20 @@ object SparkEntry {
         | round(sum(me * mo) / (sqrt(sum(me * me)) * sqrt(sum(mo * mo))), 6)
         |   AS drift_cosine
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q221_name_similarity" ->
+      """WITH p AS (
+        | SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+        | FROM part),
+        |pr AS (
+        | SELECT a.blk,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+        | FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+        |SELECT blk, count(*) AS n_pairs,
+        | CAST(sum(CASE WHEN sim = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_identical,
+        | round(avg(sim), 6) AS mean_sim,
+        | round(max(sim), 6) AS max_sim
+        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

@@ -146,4 +146,39 @@ object Fuzzy {
         col("match_name"), col("dist"))
       .orderBy(col("probe_key"), col("match_key"))
   }
+
+  /** Blocked Jaro-Winkler similarity profile of the part-name namespace:
+    * block on the first name token (the standard record-linkage blocking
+    * key), score every within-block pair with the native
+    * [[graft.functions.JaroWinkler]] expression, and roll up per block.
+    * The output is deliberately THRESHOLD-FREE — pair counts, identical-
+    * name pairs (JW = 1 iff the strings are equal), and rounded
+    * mean/max — because a similarity cutoff would compare a double
+    * against a decimal boundary that real pairs can sit on, which no
+    * cross-engine contract survives; consumers pick their own cutoff
+    * downstream.
+    *
+    * Scale shape: the self-join is an equi-join on the block key; the
+    * quadratic blow-up is per block (vocabulary-bounded, ~1/92nd of the
+    * catalog each side), and the scorer is a per-row native expression —
+    * no shuffle beyond the block join, no UDF serialization.
+    */
+  def nameSimilarityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Engine(spark, dir).table("part")
+      .select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+    val r = p.select(col("blk"), col("p_partkey").as("pk2"),
+      col("p_name").as("name2"))
+    val sim = graft.functions.TextExpressions
+      .jaroWinkler(col("p_name"), col("name2"))
+    p.join(r, "blk")
+      .filter(col("p_partkey") < col("pk2"))
+      .select(col("blk"), sim.as("sim"))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sim") === 1.0, 1L).otherwise(0L)).as("n_identical"),
+        round(avg(col("sim")), 6).as("mean_sim"),
+        round(max(col("sim")), 6).as("max_sim"))
+      .orderBy(col("blk"))
+  }
 }
