@@ -392,6 +392,16 @@ object SparkEntry {
       Similarity.centroidDrift(eng(s, d).table("embeddings"))),
     // blocked Jaro-Winkler profile via the native expression (threshold-free)
     "q221_name_similarity" -> Fuzzy.nameSimilarityProfile _,
+    // TPC-H Q21 shape: unique last-shipping supplier in multi-supplier orders
+    "q222_blocking_suppliers" -> Relational.blockingSuppliers _,
+    // per-dimension label eta2 over embeddings — feature-selection audit
+    "q223_dim_discrimination" -> ((s, d) =>
+      Similarity.dimDiscrimination(eng(s, d).table("embeddings"))),
+    // TPC-H Q22 shape: last-year-lapsed customers above segment mean balance
+    "q224_idle_rich" -> Relational.idleRichCustomers _,
+    // burst-collapse debounce pressure per event type (5-minute gap)
+    "q225_event_debounce" -> ((s, d) =>
+      EventAnalytics.debounceReport(s, d)),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -2270,6 +2280,82 @@ object SparkEntry {
         | round(avg(sim), 6) AS mean_sim,
         | round(max(sim), 6) AS max_sim
         |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q222_blocking_suppliers" ->
+      """WITH pso AS (
+        | SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+        | FROM lineitem GROUP BY 1, 2),
+        |f0 AS (
+        | SELECT l_orderkey, l_suppkey, smax,
+        |  max(smax) OVER (PARTITION BY l_orderkey) AS omax,
+        |  count(*) OVER (PARTITION BY l_orderkey) AS nsup
+        | FROM pso),
+        |f AS (
+        | SELECT l_suppkey, smax, omax, nsup,
+        |  sum(CASE WHEN smax = omax THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY l_orderkey) AS nmax
+        | FROM f0),
+        |b AS (
+        | SELECT l_suppkey, count(*) AS n_blocked
+        | FROM f WHERE nsup >= 2 AND nmax = 1 AND smax = omax
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_blocked
+        |FROM b JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY n_blocked DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q223_dim_discrimination" ->
+      """WITH e AS (
+        | SELECT label, CAST(i AS INTEGER) AS dim,
+        |  CAST(embedding[i] AS DOUBLE) AS v
+        | FROM embeddings,
+        |  unnest(generate_series(1, len(embedding))) AS t(i)),
+        |pl AS (
+        | SELECT dim, label, CAST(count(*) AS DOUBLE) AS n, sum(v) AS s,
+        |  sum(v * v) AS ss
+        | FROM e GROUP BY 1, 2),
+        |g AS (
+        | SELECT dim, sum(n) AS nn, sum(s) AS stot, sum(ss) AS sstot,
+        |  sum(s * s / n) AS grp
+        | FROM pl GROUP BY 1)
+        |SELECT dim,
+        | round((grp - stot * stot / nn) / (sstot - stot * stot / nn), 6)
+        |   AS eta2
+        |FROM g ORDER BY dim""".stripMargin,
+    "q224_idle_rich" ->
+      """WITH cust AS (
+        | SELECT c_custkey, c_mktsegment,
+        |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        | FROM customer WHERE c_acctbal > 0),
+        |seg AS (
+        | SELECT c_mktsegment, CAST(sum(bal_cents) AS BIGINT) AS seg_cents,
+        |  count(*) AS seg_n
+        | FROM cust GROUP BY 1),
+        |mx AS (
+        | SELECT max(o_orderdate) - INTERVAL 1 YEAR AS cut FROM orders),
+        |idle AS (
+        | SELECT c.* FROM cust c, mx
+        | WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= mx.cut))
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        | round(CAST(sum(bal_cents) AS BIGINT) / 100.0, 2) AS total_balance
+        |FROM idle JOIN seg USING (c_mktsegment)
+        |WHERE bal_cents * seg_n > seg_cents
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q225_event_debounce" ->
+      """WITH x AS (
+        | SELECT event_type, ts,
+        |  lag(ts) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |f AS (
+        | SELECT event_type,
+        |  CASE WHEN prev IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev) >= 300000000
+        |   THEN 1 ELSE 0 END AS kept
+        | FROM x)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(kept) AS BIGINT) AS n_kept,
+        | round(1.0 - CAST(sum(kept) AS DOUBLE) / count(*), 6) AS drop_rate
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

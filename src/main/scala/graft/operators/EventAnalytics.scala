@@ -462,4 +462,30 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("active_7d"))
       .orderBy(col("win_day"))
   }
+
+  /** Burst-collapse debounce report: within each (user, event_type)
+    * stream, an event survives when it opens a burst — its predecessor
+    * is absent or at least `gapSeconds` older. Survivor count equals
+    * burst count, so the per-type drop rate is the duplicate-burst
+    * pressure a throttling ingest stage would remove. One lag window
+    * per (user, type) key (event_id tiebreaks equal timestamps so the
+    * lag chain is deterministic), exact microsecond arithmetic, bounded
+    * per-type rollup.
+    */
+  def debounceReport(spark: SparkSession, dir: String,
+      gapSeconds: Long = 300L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    new graft.cube.Engine(spark, dir).table("events")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("kept", when(col("prev").isNull ||
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) - " +
+          "unix_micros(CAST(prev AS TIMESTAMP))") >=
+          gapSeconds * 1000000L, 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("kept")).as("n_kept"))
+      .withColumn("drop_rate", round(lit(1.0) -
+        col("n_kept").cast("double") / col("n_events").cast("double"), 6))
+      .orderBy(col("event_type"))
+  }
 }

@@ -1478,4 +1478,66 @@ object Relational {
           .as("elasticity"))
       .orderBy(col("p_brand"))
   }
+
+  /** Blocking suppliers (TPC-H Q21 shape, adapted to this schema's
+    * columns): in multi-supplier orders, the unique supplier whose last
+    * shipment is the order's last shipment — the one holding the order
+    * open. One rollup to (order, supplier) grain, three windows over
+    * that rollup (never the fact), exact date comparisons, top-20 with
+    * a key tiebreak so the cut is deterministic.
+    */
+  def blockingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val perSupOrder = en.table("lineitem")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("smax"))
+    val wo = Window.partitionBy(col("l_orderkey"))
+    val blocked = perSupOrder
+      .withColumn("omax", max(col("smax")).over(wo))
+      .withColumn("nsup", count(lit(1)).over(wo))
+      .withColumn("nmax",
+        sum(when(col("smax") === col("omax"), 1).otherwise(0)).over(wo))
+      .filter(col("nsup") >= 2 && col("nmax") === 1 &&
+        col("smax") === col("omax"))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_blocked"))
+    blocked.join(broadcast(en.table("supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_blocked"))
+      .orderBy(col("n_blocked").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** Lapsed rich customers (TPC-H Q22 shape, adapted — this generator
+    * gives virtually every customer at least one order, so "never
+    * ordered" is vacuous; "no order in the data's final year" is the
+    * live churn question): positive-balance customers with no order in
+    * the last year whose balance exceeds their segment's positive-
+    * balance average. The above-average predicate runs as an exact
+    * integer cross-multiplication (`cents * n > total_cents`) — a float
+    * average is a boundary a real balance can sit on. Anti-join against
+    * the recent-order keys; the cutoff is one broadcast scalar; segment
+    * averages broadcast.
+    */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val cust = en.table("customer").filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+    val segAvg = cust.groupBy(col("c_mktsegment"))
+      .agg(sum(col("bal_cents")).as("seg_cents"),
+        count(lit(1)).as("seg_n"))
+    val cutoff = en.table("orders")
+      .agg(expr("max(o_orderdate) - INTERVAL 1 YEAR").as("cut"))
+    val recent = en.table("orders").crossJoin(broadcast(cutoff))
+      .filter(col("o_orderdate") >= col("cut"))
+      .select(col("o_custkey"))
+    cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(segAvg), "c_mktsegment")
+      .filter(col("bal_cents") * col("seg_n") > col("seg_cents"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("bal_cents")) / 100.0, 2).as("total_balance"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

@@ -807,6 +807,33 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Per-dimension label discrimination: one-way eta-squared of each
+    * embedding coordinate across labels — the feature-selection audit
+    * ("which dimensions carry the label signal"). The rollup is keyed
+    * (dim, label) then (dim) — bounded by dim x labels, never the
+    * corpus — and the output is every dimension unranked (ranking by a
+    * continuous score is not a portable cross-engine contract; the
+    * consumer sorts).
+    */
+  def dimDiscrimination(emb: DataFrame): DataFrame = {
+    val ex = emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        col("v").cast("double").as("v"))
+    val perLab = ex.groupBy(col("dim"), col("label"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+    perLab.groupBy(col("dim"))
+      .agg(sum(col("n")).as("nn"), sum(col("s")).as("stot"),
+        sum(col("ss")).as("sstot"),
+        sum(col("s") * col("s") / col("n")).as("grp"))
+      .select(col("dim"),
+        round((col("grp") - col("stot") * col("stot") / col("nn")) /
+          (col("sstot") - col("stot") * col("stot") / col("nn")), 6)
+          .as("eta2"))
+      .orderBy(col("dim"))
+  }
+
   /** Symmetric int8 quantization of the embedding column: per-vector
     * scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127, 127] — the
     * standard memory-scale ANN layout (4x smaller vectors, SIMD int8
