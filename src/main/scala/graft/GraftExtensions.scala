@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *
   * (e.g. Thrift server / SQL gateway clusters where no Scala code runs).
   * Injects the same builders the programmatic `register` paths use —
-  * `word_shingles`, `minhash_sig`, `simhash_signs`
+  * `word_shingles`, `minhash_sig`, `simhash_signs`, `jaro_winkler`
   * ([[graft.functions.TextExpressions]]) and `cosine_similarity`,
   * `dot_product` ([[graft.functions.VectorExpressions]]) — so SQL-only
   * callers get the identical codegen'd expressions, not UDF fallbacks.

@@ -398,7 +398,7 @@ object TextExpressions {
 
   /** Register the native text expressions for SQL callers:
     * `word_shingles(text, n)`, `minhash_sig(arr, numPerms)`,
-    * `simhash_signs(arr, bits)`.
+    * `simhash_signs(arr, bits)`, `jaro_winkler(a, b)`.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     builders.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }

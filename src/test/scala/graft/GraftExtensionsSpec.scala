@@ -29,13 +29,15 @@ class GraftExtensionsSpec extends SparkFunSuite {
           |       size(minhash_sig(array('a','b'), 8))         AS n_sig,
           |       size(simhash_signs(array('a'), 16))          AS n_signs,
           |       cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos,
-          |       dot_product(array(2.0d, 1.0d), array(3.0d, 4.0d))       AS dot
+          |       dot_product(array(2.0d, 1.0d), array(3.0d, 4.0d))       AS dot,
+          |       jaro_winkler('DWAYNE', 'DUANE')                         AS jw
           |""".stripMargin).head()
       assert(row.getInt(0) == 3)
       assert(row.getInt(1) == 8)
       assert(row.getInt(2) == 16)
       assert(math.abs(row.getDouble(3) - 1.0) < 1e-12)
       assert(math.abs(row.getDouble(4) - 10.0) < 1e-12)
+      assert(math.abs(row.getDouble(5) - 0.84) < 1e-12)
 
       // Identical results to the programmatic registration path.
       val viaRegister = {
