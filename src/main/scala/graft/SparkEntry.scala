@@ -402,6 +402,26 @@ object SparkEntry {
     // burst-collapse debounce pressure per event type (5-minute gap)
     "q225_event_debounce" -> ((s, d) =>
       EventAnalytics.debounceReport(s, d)),
+    // mod-32 partition balance preflight with chi-square contributions
+    "q226_partition_balance" -> ((s, d) =>
+      Relational.partitionBalance(s, d)),
+    // qty-weighted realized price vs retail value per brand (exact cents)
+    "q227_realized_discount" -> Relational.realizedDiscount _,
+    // median-of-3 robust smoothing of daily revenue with exact spike flags
+    "q228_median3_smoothing" -> Relational.median3Smoothing _,
+    // priority share per quarter with exact 6dp deltas vs previous quarter
+    "q229_priority_mix" -> Relational.priorityMixShift _,
+    // per-supplier ship-delay mean/std from exact BIGINT power sums
+    "q230_supplier_consistency" -> Relational.supplierConsistency _,
+    // intra-order price spread banded by integer div into $5000 buckets
+    "q231_price_spread" -> Relational.orderPriceSpread _,
+    // 30-day activity packed into one BIGINT mask; popcount histogram
+    "q232_activity_bitmask" -> ((s, d) =>
+      EventAnalytics.activityBitmask(s, d)),
+    // endpoint-degree Pearson over the near-dup graph (hubs-to-hubs?)
+    "q233_assortativity" -> ((s, d) =>
+      Graph.degreeAssortativity(
+        Dedup.minhashPairsShared(eng(s, d).table("documents"), d))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -2356,6 +2376,141 @@ object SparkEntry {
         | CAST(sum(kept) AS BIGINT) AS n_kept,
         | round(1.0 - CAST(sum(kept) AS DOUBLE) / count(*), 6) AS drop_rate
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q226_partition_balance" ->
+      """WITH b AS (
+        | SELECT CAST(l_orderkey % 32 AS INTEGER) AS bucket,
+        |  count(*) AS n_rows
+        | FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM b)
+        |SELECT bucket, n_rows,
+        | round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        | round((CAST(n_rows AS DOUBLE) - CAST(total AS DOUBLE) / 32.0) *
+        |   (CAST(n_rows AS DOUBLE) - CAST(total AS DOUBLE) / 32.0) /
+        |  (CAST(total AS DOUBLE) / 32.0), 6) AS chi2_contrib
+        |FROM b, t ORDER BY bucket""".stripMargin,
+    "q227_realized_discount" ->
+      """WITH j AS (
+        | SELECT p_brand, l_extendedprice, l_quantity,
+        |  CAST(round(p_retailprice * 100, 0) AS BIGINT) AS retail_cents
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |g AS (
+        | SELECT p_brand, count(*) AS n_items,
+        |  CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS rev_cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * retail_cents) AS BIGINT)
+        |    AS retail_value_cents
+        | FROM j GROUP BY 1)
+        |SELECT p_brand, n_items, round(rev_cents / 100.0, 2) AS revenue,
+        | round(retail_value_cents / 100.0, 2) AS retail_value,
+        | round(CAST(rev_cents AS DOUBLE) /
+        |   CAST(retail_value_cents AS DOUBLE), 6) AS realized_ratio
+        |FROM g ORDER BY p_brand""".stripMargin,
+    "q228_median3_smoothing" ->
+      """WITH daily AS (
+        | SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) // 100
+        |    AS dollars
+        | FROM orders GROUP BY 1),
+        |x AS (
+        | SELECT day, dollars,
+        |  lag(dollars) OVER (ORDER BY day) AS prev,
+        |  lead(dollars) OVER (ORDER BY day) AS nxt
+        | FROM daily),
+        |m AS (
+        | SELECT day, dollars,
+        |  greatest(least(prev, dollars),
+        |   least(greatest(prev, dollars), nxt)) AS smooth
+        | FROM x WHERE prev IS NOT NULL AND nxt IS NOT NULL)
+        |SELECT day, dollars, smooth,
+        | CAST(abs(dollars - smooth) * 10 > smooth AS INTEGER) AS is_spike
+        |FROM m ORDER BY day""".stripMargin,
+    "q229_priority_mix" ->
+      """WITH cells AS (
+        | SELECT CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1
+        |   AS INTEGER) AS qidx, o_orderpriority AS priority,
+        |  count(*) AS n
+        | FROM orders GROUP BY 1, 2),
+        |t AS (SELECT qidx, CAST(sum(n) AS BIGINT) AS qn
+        |  FROM cells GROUP BY 1),
+        |s AS (
+        | SELECT qidx, priority, n,
+        |  round(CAST(n AS DOUBLE) / CAST(qn AS DOUBLE), 6) AS share
+        | FROM cells JOIN t USING (qidx))
+        |SELECT qidx, priority, n, share,
+        | round(share - lag(share) OVER (PARTITION BY priority
+        |   ORDER BY qidx), 6) AS delta
+        |FROM s ORDER BY qidx, priority""".stripMargin,
+    "q230_supplier_consistency" ->
+      """WITH d AS (
+        | SELECT l_suppkey,
+        |  CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS d
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (
+        | SELECT l_suppkey, count(*) AS n, CAST(sum(d) AS BIGINT) AS s,
+        |  CAST(sum(d * d) AS BIGINT) AS ss
+        | FROM d GROUP BY 1)
+        |SELECT l_suppkey AS s_suppkey, n AS n_lineitems,
+        | round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_delay,
+        | round(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) -
+        |   CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+        |  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS std_delay
+        |FROM g WHERE n >= 2 ORDER BY s_suppkey""".stripMargin,
+    "q231_price_spread" ->
+      """WITH sp AS (
+        | SELECT l_orderkey,
+        |  CAST(round(max(l_extendedprice) * 100, 0) AS BIGINT) -
+        |  CAST(round(min(l_extendedprice) * 100, 0) AS BIGINT)
+        |    AS spread_cents
+        | FROM lineitem GROUP BY 1)
+        |SELECT spread_cents // 500000 AS band, count(*) AS n_orders
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q232_activity_bitmask" ->
+      """WITH m AS (
+        | SELECT user_id,
+        |  bit_or(CAST(1 AS BIGINT) <<
+        |   CAST(date_diff('day', TIMESTAMP '2024-01-01',
+        |     date_trunc('day', ts)) AS INTEGER)) AS mask
+        | FROM events
+        | WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        | GROUP BY 1)
+        |SELECT CAST(bit_count(mask) AS INTEGER) AS n_active_days,
+        | count(*) AS n_users
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q233_assortativity" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |und AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+        |j AS (
+        | SELECT dx.deg AS dx, dy.deg AS dy
+        | FROM und JOIN deg dx ON und.src = dx.node
+        |  JOIN deg dy ON und.dst = dy.node),
+        |g AS (
+        | SELECT count(*) AS m, CAST(sum(dx) AS BIGINT) AS sx,
+        |  CAST(sum(dy) AS BIGINT) AS sy,
+        |  CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |  CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |  CAST(sum(dy * dy) AS BIGINT) AS syy
+        | FROM j),
+        |n AS (SELECT count(*) AS n_nodes FROM deg)
+        |SELECT n_nodes, m // 2 AS n_edges,
+        | round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity
+        |FROM g, n""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

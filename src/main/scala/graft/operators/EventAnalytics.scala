@@ -472,6 +472,29 @@ object EventAnalytics {
     * lag chain is deterministic), exact microsecond arithmetic, bounded
     * per-type rollup.
     */
+  /** January activity bitmasks: each user's active days packed into one
+    * BIGINT (`bit_or(1 << day_offset)`), then the distribution of
+    * active-day counts via `bit_count` — the bitmap-index form of
+    * engagement profiling (a 30-day presence fits one word; set algebra
+    * on masks replaces joins on (user, day) pairs at any scale). Shift
+    * and popcount are exact integer ops on both engines.
+    */
+  def activityBitmask(spark: SparkSession, dir: String): DataFrame = {
+    val masks = new graft.cube.Engine(spark, dir).table("events")
+      .filter(col("ts") >= lit("2024-01-01").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-02-01").cast("timestamp_ntz"))
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")),
+          lit("2024-01-01").cast("timestamp_ntz")).as("off"))
+      .select(col("user_id"),
+        expr("shiftleft(CAST(1 AS BIGINT), off)").as("m"))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(m)").as("mask"))
+    masks.groupBy(bit_count(col("mask")).as("n_active_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_active_days"))
+  }
+
   def debounceReport(spark: SparkSession, dir: String,
       gapSeconds: Long = 300L): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))

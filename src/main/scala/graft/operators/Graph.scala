@@ -140,6 +140,39 @@ object Graph {
     * as the clustering-coefficient numerator. Shares the session pair
     * frame with the other six consumers.
     */
+  /** Degree assortativity of an undirected pair graph: the Pearson
+    * correlation of endpoint degrees over all directed edge instances —
+    * positive means hubs link to hubs (one dense dup cluster), negative
+    * means hubs link to leaves (template-and-variants duplication). The
+    * degree frame is one rollup of the symmetrized edges; the power sums
+    * are exact BIGINTs (degrees are small integers), so only the final
+    * closed form is floating point. Single-row output:
+    * (n_nodes, n_edges, assortativity).
+    */
+  def degreeAssortativity(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val j = und
+      .join(deg.select(col("node"), col("deg").as("dx")),
+        col("src") === col("node")).drop("node")
+      .join(deg.select(col("node").as("n2"), col("deg").as("dy")),
+        col("dst") === col("n2")).drop("n2")
+    j.agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+        sum(col("dy")).as("sy"), sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"), expr("m div 2").as("n_edges"),
+        round((col("m").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("m").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            (col("m").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("assortativity"))
+  }
+
   def docTriangles(spark: SparkSession, dir: String): DataFrame = {
     val docs = new graft.cube.Engine(spark, dir).table("documents")
     triangleCounts(Dedup.minhashPairsShared(docs, dir)

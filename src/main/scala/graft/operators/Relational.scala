@@ -1540,4 +1540,152 @@ object Relational {
         round(sum(col("bal_cents")) / 100.0, 2).as("total_balance"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** Hash-partition balance audit: row counts per `orderkey mod 32`
+    * bucket with uniformity chi-square contributions — the "will this
+    * key distribute" preflight a partitioning choice needs before a
+    * 1000-executor shuffle commits to it. Modulo (not engine hash) so
+    * the bucket assignment is portable; one scan, 32 groups.
+    */
+  def partitionBalance(spark: SparkSession, dir: String,
+      buckets: Int = 32): DataFrame = {
+    val byBucket = e(spark, dir).table("lineitem")
+      .groupBy(pmod(col("l_orderkey"), lit(buckets.toLong)).cast("int")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = byBucket.agg(sum(col("n_rows")).as("total"))
+    byBucket.crossJoin(broadcast(total))
+      .withColumn("expected",
+        col("total").cast("double") / lit(buckets.toDouble))
+      .select(col("bucket"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        round((col("n_rows").cast("double") - col("expected")) *
+          (col("n_rows").cast("double") - col("expected")) /
+          col("expected"), 6).as("chi2_contrib"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Realized-price ratio per brand: quantity-weighted revenue against
+    * quantity-weighted retail value. Both numerator and denominator are
+    * EXACT integer cents (retail is 2dp, quantities integral), so the
+    * only float is the final ratio. The per-brand rollup shuffles once;
+    * the part dim broadcasts.
+    */
+  def realizedDiscount(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    en.table("lineitem")
+      .join(broadcast(en.table("part")
+        .select(col("p_partkey"), col("p_brand"),
+          round(col("p_retailprice") * 100, 0).cast("long")
+            .as("retail_cents"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")) * 100, 0).cast("long")
+          .as("rev_cents"),
+        sum(col("l_quantity").cast("long") * col("retail_cents"))
+          .as("retail_value_cents"))
+      .select(col("p_brand"), col("n_items"),
+        round(col("rev_cents") / 100.0, 2).as("revenue"),
+        round(col("retail_value_cents") / 100.0, 2).as("retail_value"),
+        round(col("rev_cents").cast("double") /
+          col("retail_value_cents").cast("double"), 6)
+          .as("realized_ratio"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Median-of-three smoothing of the daily revenue series with spike
+    * flags: the classic robust filter, computed entirely in exact whole
+    * dollars (`max(min(a,b), min(max(a,b), c))` on integers), spike =
+    * |raw - smooth| exceeding 10% of smooth by exact integer
+    * cross-multiplication. Interior days only (the filter needs both
+    * neighbors), so the frame is deterministic on both engines.
+    */
+  def median3Smoothing(spark: SparkSession, dir: String): DataFrame = {
+    val daily = e(spark, dir).table("orders")
+      .groupBy(date_trunc("day", col("o_orderdate"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
+      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+      .withColumn("dollars", expr("cents div 100"))
+    val w = Window.orderBy(col("day"))
+    val a = col("prev"); val b = col("dollars"); val c = col("nxt")
+    daily
+      .withColumn("prev", lag(col("dollars"), 1).over(w))
+      .withColumn("nxt", lead(col("dollars"), 1).over(w))
+      .filter(a.isNotNull && c.isNotNull)
+      .withColumn("smooth",
+        greatest(least(a, b), least(greatest(a, b), c)))
+      .select(col("day"), col("dollars"), col("smooth"),
+        (abs(col("dollars") - col("smooth")) * 10 > col("smooth"))
+          .cast("int").as("is_spike"))
+      .orderBy(col("day"))
+  }
+
+  /** Order-priority mix shift by quarter: each priority's share of the
+    * quarter's orders and its delta against the previous quarter — the
+    * composition-drift view. The quarter key is a portable integer
+    * (year*4 + quarter), shares are integer ratios rounded once, and the
+    * delta subtracts the ROUNDED shares so it is exact 6dp arithmetic.
+    */
+  def priorityMixShift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = e(spark, dir).table("orders")
+      .groupBy((year(col("o_orderdate")) * 4 +
+          quarter(col("o_orderdate")) - 1).cast("int").as("qidx"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("qidx")).agg(sum(col("n")).as("qn"))
+    val wLag = Window.partitionBy(col("priority")).orderBy(col("qidx"))
+    cells.join(broadcast(totals), "qidx")
+      .withColumn("share",
+        round(col("n").cast("double") / col("qn").cast("double"), 6))
+      .withColumn("delta",
+        round(col("share") - lag(col("share"), 1).over(wLag), 6))
+      .select(col("qidx"), col("priority"), col("n"), col("share"),
+        col("delta"))
+      .orderBy(col("qidx"), col("priority"))
+  }
+
+  /** Supplier lead-time consistency: mean and sample standard deviation
+    * of ship delay (days from order to line shipment) per supplier, from
+    * exact BIGINT power sums — the "who ships erratically" vendor audit.
+    * One fact shuffle keyed by orderkey for the date join, one supplier
+    * rollup; the closed-form std runs on identical exact integers.
+    */
+  def supplierConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val delays = en.table("lineitem")
+      .join(en.table("orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("d"))
+    delays.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s"),
+        sum(col("d") * col("d")).as("ss"))
+      .filter(col("n") >= 2)
+      .select(col("l_suppkey").as("s_suppkey"), col("n").as("n_lineitems"),
+        round(col("s").cast("double") / col("n").cast("double"), 6)
+          .as("mean_delay"),
+        round(sqrt((col("n").cast("double") * col("ss").cast("double") -
+            col("s").cast("double") * col("s").cast("double")) /
+          (col("n").cast("double") * (col("n").cast("double") - 1.0))), 6)
+          .as("std_delay"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Intra-order price-spread histogram: max minus min line price per
+    * order, banded into $5000 buckets by integer division — the order
+    * heterogeneity profile. Two bounded rollups; cents are exact and the
+    * banding is integer `div` (portable; double-divide + cast is not).
+    */
+  def orderPriceSpread(spark: SparkSession, dir: String): DataFrame = {
+    e(spark, dir).table("lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg((round(max(col("l_extendedprice")) * 100, 0).cast("long") -
+        round(min(col("l_extendedprice")) * 100, 0).cast("long"))
+        .as("spread_cents"))
+      .withColumn("band", expr("spread_cents div 500000"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("band"))
+  }
 }
