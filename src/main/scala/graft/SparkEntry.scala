@@ -422,6 +422,15 @@ object SparkEntry {
     "q233_assortativity" -> ((s, d) =>
       Graph.degreeAssortativity(
         Dedup.minhashPairsShared(eng(s, d).table("documents"), d))),
+    // TPC-H Q7 shape: supplier-nation x customer-nation revenue flows
+    "q234_trade_matrix" -> Relational.tradeMatrix _,
+    // exact-integer OLS slope signs per customer, censused by segment
+    "q235_value_trajectory" -> Relational.valueTrajectoryCensus _,
+    // nearest as-of join (closer of backward/forward, one shuffle)
+    "q236_asof_nearest" -> AsOf.clickNearestPurchase _,
+    // leave-one-out 1-NN label confusion matrix on the eval slice
+    "q237_knn_confusion" -> ((s, d) =>
+      Similarity.knnConfusion(eng(s, d).table("embeddings"))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -2511,6 +2520,98 @@ object SparkEntry {
         |   (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) -
         |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity
         |FROM g, n""".stripMargin,
+    "q234_trade_matrix" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | count(*) AS n_items,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q235_value_trajectory" ->
+      """WITH seqd AS (
+        | SELECT o_custkey,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq
+        | FROM orders),
+        |pc AS (
+        | SELECT o_custkey, count(*) AS n, CAST(sum(seq) AS BIGINT) AS sx,
+        |  CAST(sum(cents) AS BIGINT) AS sy,
+        |  CAST(sum(seq * cents) AS BIGINT) AS sxy
+        | FROM seqd GROUP BY 1),
+        |f AS (
+        | SELECT o_custkey, n * sxy - sx * sy AS num
+        | FROM pc WHERE n >= 2)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        | CAST(sum(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_rising,
+        | CAST(sum(CASE WHEN num = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_flat,
+        | CAST(sum(CASE WHEN num < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_falling,
+        | round(CAST(sum(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |   count(*), 6) AS rising_share
+        |FROM f JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q236_asof_nearest" ->
+      """WITH clicks AS (
+        | SELECT user_id, ts, event_id, value FROM events
+        | WHERE event_type = 'click'),
+        |purchases AS (
+        | SELECT user_id, ts, value AS purchase_value FROM events
+        | WHERE event_type = 'purchase'),
+        |b AS (
+        | SELECT c.event_id, p.ts AS bts, p.purchase_value AS bval
+        | FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (
+        | SELECT c.event_id, p.ts AS fts, p.purchase_value AS fval
+        | FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts < p.ts),
+        |n AS (
+        | SELECT c.event_id, c.user_id, c.ts,
+        |  CASE WHEN fts IS NULL THEN bts
+        |   WHEN bts IS NULL THEN fts
+        |   WHEN epoch_us(c.ts) - epoch_us(bts) <=
+        |     epoch_us(fts) - epoch_us(c.ts) THEN bts ELSE fts END
+        |    AS purchase_ts,
+        |  CASE WHEN fts IS NULL THEN bval
+        |   WHEN bts IS NULL THEN fval
+        |   WHEN epoch_us(c.ts) - epoch_us(bts) <=
+        |     epoch_us(fts) - epoch_us(c.ts) THEN bval ELSE fval END
+        |    AS purchase_value
+        | FROM clicks c
+        |  LEFT JOIN b ON c.event_id = b.event_id
+        |  LEFT JOIN f ON c.event_id = f.event_id)
+        |SELECT event_id, user_id, ts, purchase_ts, purchase_value,
+        | abs(epoch_us(purchase_ts) - epoch_us(ts)) // 60000000
+        |   AS minutes_abs,
+        | CASE WHEN purchase_ts IS NULL THEN NULL
+        |  WHEN purchase_ts < ts THEN -1 WHEN purchase_ts = ts THEN 0
+        |  ELSE 1 END AS direction
+        |FROM n ORDER BY event_id""".stripMargin,
+    "q237_knn_confusion" ->
+      """WITH sub AS (
+        | SELECT vec_id, embedding, label FROM embeddings
+        | WHERE vec_id < 256),
+        |sc AS (
+        | SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id,
+        |  c.label AS nlabel,
+        |  round(list_inner_product(c.embedding, q.embedding) /
+        |   (sqrt(list_inner_product(c.embedding, c.embedding)) *
+        |    sqrt(list_inner_product(q.embedding, q.embedding))), 4) AS c
+        | FROM sub q JOIN sub c ON c.vec_id <> q.vec_id),
+        |r AS (
+        | SELECT q_label, nlabel,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id)
+        |    AS rk
+        | FROM sc)
+        |SELECT q_label AS label, nlabel AS predicted, count(*) AS n
+        |FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

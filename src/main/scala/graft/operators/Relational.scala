@@ -1673,6 +1673,70 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Cross-nation trade matrix (TPC-H Q7 shape): revenue flows from
+    * supplier nation to customer nation. Two independent broadcast dim
+    * chains hang off one fact scan (supplier side keyed l_suppkey,
+    * customer side through orders — the orders join is the only
+    * fact-sized shuffle); the 25x25 matrix rolls up exactly in cents.
+    */
+  def tradeMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val supNation = broadcast(en.table("supplier")
+      .join(broadcast(en.table("nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val custNation = en.table("customer")
+      .join(broadcast(en.table("nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    en.table("lineitem")
+      .join(en.table("orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"))
+  }
+
+  /** Trend-sign census of customer order values: per customer, the OLS
+    * slope of order total against order sequence — computed ONLY as its
+    * integer numerator `n*sxy - sx*sy` over (sequence, exact cents), so
+    * the rising/flat/falling classification is exact integer arithmetic
+    * end to end (a float slope near zero would classify differently per
+    * engine). Censused per segment. One window for the sequence, two
+    * bounded rollups.
+    */
+  def valueTrajectoryCensus(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val seqd = en.table("orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+    val perCust = seqd.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("seq")).as("sx"),
+        sum(col("cents")).as("sy"),
+        sum(col("seq") * col("cents")).as("sxy"))
+      .filter(col("n") >= 2)
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+    perCust.join(en.table("customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("num") > 0, 1L).otherwise(0L)).as("n_rising"),
+        sum(when(col("num") === 0, 1L).otherwise(0L)).as("n_flat"),
+        sum(when(col("num") < 0, 1L).otherwise(0L)).as("n_falling"))
+      .withColumn("rising_share", round(col("n_rising").cast("double") /
+        col("n_customers").cast("double"), 6))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Intra-order price-spread histogram: max minus min line price per
     * order, banded into $5000 buckets by integer division — the order
     * heterogeneity profile. Two bounded rollups; cents are exact and the

@@ -807,6 +807,32 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Leave-one-out 1-NN label confusion over a bounded evaluation slice:
+    * each vector's nearest OTHER vector votes a predicted label; the
+    * (true, predicted) matrix is the standard embedding-quality eval
+    * (diagonal mass = 1-NN accuracy, off-diagonal cells name the label
+    * pairs the space confuses). Same deterministic ranking contract as
+    * [[knnJoin]] — cosine rounded to 4dp, vec_id tiebreak — and the
+    * slice bound keeps the all-pairs eval driver-scale by design (the
+    * production path for full-corpus evals is the IVF family).
+    */
+  def knnConfusion(emb: DataFrame, maxId: Long = 256L): DataFrame = {
+    val sub = emb.filter(col("vec_id") < maxId)
+    val scored = sub
+      .select(col("vec_id"), col("embedding"), col("label").as("nlabel"))
+      .crossJoin(broadcast(sub.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("label").as("q_label"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("nlabel"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("c"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("c").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("q_label").as("label"), col("nlabel").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("predicted"))
+  }
+
   /** Per-dimension label discrimination: one-way eta-squared of each
     * embedding coordinate across labels — the feature-selection audit
     * ("which dimensions carry the label signal"). The rollup is keyed
