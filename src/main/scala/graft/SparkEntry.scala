@@ -431,6 +431,11 @@ object SparkEntry {
     // leave-one-out 1-NN label confusion matrix on the eval slice
     "q237_knn_confusion" -> ((s, d) =>
       Similarity.knnConfusion(eng(s, d).table("embeddings"))),
+    // held-out bigram LM eval: train-split model scores the val split
+    "q238_heldout_perplexity" -> ((s, d) =>
+      Corpus.heldoutPerplexity(eng(s, d).table("documents"))),
+    // hash-sampling calibration at 10/25/50% against the full totals
+    "q239_sampling_calibration" -> Relational.samplingCalibration _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -2612,6 +2617,66 @@ object SparkEntry {
         | FROM sc)
         |SELECT q_label AS label, nlabel AS predicted, count(*) AS n
         |FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q238_heldout_perplexity" ->
+      """WITH sp AS (
+        | SELECT doc_id, lang, text,
+        |  CASE WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 80
+        |    THEN 'train'
+        |   WHEN ((doc_id & 2147483647) * 2654435761) % 100 < 90 THEN 'val'
+        |   ELSE 'test' END AS split
+        | FROM documents),
+        |tt AS (SELECT doc_id, split, lang, string_split(text, ' ') AS toks
+        |  FROM sp),
+        |bg0 AS (
+        | SELECT doc_id, split, lang, unnest(list_transform(
+        |   generate_series(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1])) AS bg
+        | FROM tt WHERE len(toks) >= 2),
+        |trainlm AS (
+        | SELECT bg, CAST(count(*) AS BIGINT) AS bf FROM bg0
+        | WHERE split = 'train' GROUP BY 1),
+        |st AS (SELECT CAST(sum(bf) AS BIGINT) AS tot, count(*) AS vsz
+        |  FROM trainlm),
+        |vb AS (
+        | SELECT doc_id, lang, bg, count(*) AS cnt FROM bg0
+        | WHERE split = 'val' GROUP BY 1, 2, 3),
+        |sc AS (
+        | SELECT lang, doc_id, cnt, bf,
+        |  -CAST(cnt AS DOUBLE) *
+        |   log2(CAST(COALESCE(bf, 0) + 1 AS DOUBLE) /
+        |    CAST(tot + vsz AS DOUBLE)) AS bits
+        | FROM vb LEFT JOIN trainlm USING (bg), st)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs,
+        | CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        | round(sum(bits) / CAST(sum(cnt) AS DOUBLE), 6) AS avg_bits,
+        | round(CAST(sum(CASE WHEN bf IS NULL THEN cnt ELSE 0 END)
+        |   AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS oov_rate
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q239_sampling_calibration" ->
+      """WITH o AS (
+        | SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |  ((o_orderkey & 2147483647) * 2654435761) % 1000 AS h
+        | FROM orders),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS full_cents,
+        |  count(*) AS full_n FROM o),
+        |pr AS (
+        | SELECT CAST(100 AS INTEGER) AS rate_permille, count(*) AS n_sampled,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sampled FROM o WHERE h < 100
+        | UNION ALL
+        | SELECT CAST(250 AS INTEGER), count(*),
+        |  CAST(sum(cents) AS BIGINT) FROM o WHERE h < 250
+        | UNION ALL
+        | SELECT CAST(500 AS INTEGER), count(*),
+        |  CAST(sum(cents) AS BIGINT) FROM o WHERE h < 500)
+        |SELECT rate_permille, n_sampled,
+        | round(CAST(n_sampled AS DOUBLE) * 1000.0 /
+        |   (CAST(rate_permille AS DOUBLE) * CAST(full_n AS DOUBLE)), 6)
+        |   AS count_calibration,
+        | round(CAST(cents_sampled AS DOUBLE) * 1000.0 /
+        |   (CAST(rate_permille AS DOUBLE) * CAST(full_cents AS DOUBLE)), 6)
+        |   AS revenue_calibration
+        |FROM pr, t ORDER BY rate_permille""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

@@ -1600,6 +1600,42 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Held-out bigram LM evaluation — the composite every training
+    * pipeline runs before trusting a data mix: train a bigram model on
+    * the TRAIN split only, score the VAL split with Laplace smoothing,
+    * and report per-language held-out bits-per-bigram plus the OOV
+    * (unseen-bigram) mass. Composes the deterministic [[splitAssign]]
+    * hash with the [[bigramCounts]] machinery, so split membership and
+    * the LM are bit-identical across engines; only the log-sum is
+    * floating point. One gram-keyed shuffle for the LM, one for the
+    * scoring join — text itself never reshuffles.
+    */
+  def heldoutPerplexity(docs: DataFrame): DataFrame = {
+    val s = splitAssign(docs)
+    val train = s.filter(col("split") === "train")
+    val valD = s.filter(col("split") === "val")
+    val trainLm = bigramCounts(train).groupBy(col("bg"))
+      .agg(sum(col("cnt")).as("bf"))
+    val stats = trainLm.agg(sum(col("bf")).as("tot"),
+      count(lit(1)).as("vsz"))
+    val valBg = bigramCounts(valD)
+    valBg.join(trainLm, Seq("bg"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("bits", -col("cnt").cast("double") *
+        log2((coalesce(col("bf"), lit(0L)) + 1).cast("double") /
+          (col("tot") + col("vsz")).cast("double")))
+      .join(valD.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("cnt")).as("n_bigrams"),
+        round(sum(col("bits")) / sum(col("cnt")).cast("double"), 6)
+          .as("avg_bits"),
+        round(sum(when(col("bf").isNull, col("cnt")).otherwise(0L))
+          .cast("double") / sum(col("cnt")).cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
   /** One-way variance decomposition of document length by language:
     * between-group vs within-group sum of squares and the eta-squared
     * effect size ("how much of length variance does language explain").

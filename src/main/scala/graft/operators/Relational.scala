@@ -1737,6 +1737,41 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Sampling calibration audit: deterministic hash samples of orders at
+    * 10/25/50%, each row reporting the achieved rate and how well the
+    * rate-corrected revenue estimate reproduces the full total — the
+    * preflight that says whether hash sampling is safe for a metric
+    * before a 100 TB scan commits to it. Membership uses the same
+    * multiplicative hash as the corpus split machinery (portable integer
+    * arithmetic); totals are exact cents; only the final calibration
+    * ratios are floating point.
+    */
+  def samplingCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val orders = e(spark, dir).table("orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("h",
+        pmod(col("o_orderkey").bitwiseAND(lit(0x7FFFFFFFL)) *
+          lit(2654435761L), lit(1000L)))
+    val total = orders.agg(sum(col("cents")).as("full_cents"),
+      count(lit(1)).as("full_n"))
+    val perRate = Seq(100, 250, 500).map { r =>
+      orders.filter(col("h") < r)
+        .agg(lit(r).as("rate_permille"), count(lit(1)).as("n_sampled"),
+          sum(col("cents")).as("cents_sampled"))
+    }.reduce(_.unionAll(_))
+    perRate.crossJoin(broadcast(total))
+      .select(col("rate_permille"), col("n_sampled"),
+        round(col("n_sampled").cast("double") * 1000.0 /
+          (col("rate_permille").cast("double") *
+            col("full_n").cast("double")), 6).as("count_calibration"),
+        round(col("cents_sampled").cast("double") * 1000.0 /
+          (col("rate_permille").cast("double") *
+            col("full_cents").cast("double")), 6)
+          .as("revenue_calibration"))
+      .orderBy(col("rate_permille"))
+  }
+
   /** Intra-order price-spread histogram: max minus min line price per
     * order, banded into $5000 buckets by integer division — the order
     * heterogeneity profile. Two bounded rollups; cents are exact and the
