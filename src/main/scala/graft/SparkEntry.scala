@@ -436,6 +436,12 @@ object SparkEntry {
       Corpus.heldoutPerplexity(eng(s, d).table("documents"))),
     // hash-sampling calibration at 10/25/50% against the full totals
     "q239_sampling_calibration" -> Relational.samplingCalibration _,
+    // Heaps-law vocabulary growth over corpus deciles
+    "q240_heaps_curve" -> ((s, d) =>
+      Corpus.heapsCurve(eng(s, d).table("documents"))),
+    // per-label precision/recall/F1 rollup of the 1-NN confusion
+    "q241_knn_prf" -> ((s, d) =>
+      Similarity.knnPrf(eng(s, d).table("embeddings"))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -2677,6 +2683,63 @@ object SparkEntry {
         |   (CAST(rate_permille AS DOUBLE) * CAST(full_cents AS DOUBLE)), 6)
         |   AS revenue_calibration
         |FROM pr, t ORDER BY rate_permille""".stripMargin,
+    "q240_heaps_curve" ->
+      """WITH b AS (SELECT max(doc_id) + 1 AS nid FROM documents),
+        |s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |fs AS (
+        | SELECT tok, min(doc_id) AS first_doc FROM (
+        |  SELECT doc_id, unnest(sh) AS tok FROM s) GROUP BY 1),
+        |pd AS (
+        | SELECT CAST((first_doc * 10) // nid AS INTEGER) AS decile,
+        |  count(*) AS vocab_added
+        | FROM fs, b GROUP BY 1)
+        |SELECT decile, vocab_added,
+        | CAST(sum(vocab_added) OVER (ORDER BY decile
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_vocab
+        |FROM pd ORDER BY decile""".stripMargin,
+    "q241_knn_prf" ->
+      """WITH sub AS (
+        | SELECT vec_id, embedding, label FROM embeddings
+        | WHERE vec_id < 256),
+        |sc AS (
+        | SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id,
+        |  c.label AS nlabel,
+        |  round(list_inner_product(c.embedding, q.embedding) /
+        |   (sqrt(list_inner_product(c.embedding, c.embedding)) *
+        |    sqrt(list_inner_product(q.embedding, q.embedding))), 4) AS c
+        | FROM sub q JOIN sub c ON c.vec_id <> q.vec_id),
+        |r AS (
+        | SELECT q_label, nlabel,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id)
+        |    AS rk
+        | FROM sc),
+        |cm AS (SELECT q_label AS label, nlabel AS predicted, count(*) AS n
+        |  FROM r WHERE rk = 1 GROUP BY 1, 2),
+        |bt AS (SELECT label, CAST(sum(n) AS BIGINT) AS support
+        |  FROM cm GROUP BY 1),
+        |bp AS (SELECT predicted AS plabel, CAST(sum(n) AS BIGINT) AS pred_n
+        |  FROM cm GROUP BY 1),
+        |dg AS (SELECT label, n AS tp0 FROM cm WHERE label = predicted)
+        |SELECT bt.label, support, CAST(COALESCE(tp0, 0) AS BIGINT) AS tp,
+        | CASE WHEN pred_n IS NULL THEN NULL
+        |  ELSE round(CAST(COALESCE(tp0, 0) AS DOUBLE) / pred_n, 6) END
+        |   AS prec,
+        | round(CAST(COALESCE(tp0, 0) AS DOUBLE) / support, 6) AS rec,
+        | CASE WHEN pred_n IS NULL THEN NULL
+        |  WHEN COALESCE(tp0, 0) = 0 THEN 0.0
+        |  ELSE round(2.0 * (CAST(tp0 AS DOUBLE) / pred_n) *
+        |    (CAST(tp0 AS DOUBLE) / support) /
+        |   (CAST(tp0 AS DOUBLE) / pred_n + CAST(tp0 AS DOUBLE) / support),
+        |   6) END AS f1
+        |FROM bt LEFT JOIN dg USING (label)
+        | LEFT JOIN bp ON bt.label = bp.plabel
+        |ORDER BY bt.label""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

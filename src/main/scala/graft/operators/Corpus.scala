@@ -1600,6 +1600,33 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Heaps-law growth curve over 3-GRAM shingles: distinct trigrams
+    * first seen in each tenth of the corpus (by doc id order) and the
+    * cumulative total — the "is new data still adding new language"
+    * saturation read. Trigrams, not unigrams, deliberately: a bounded
+    * word vocabulary saturates in the first slice (one-row curve, no
+    * signal) while the combination space keeps growing — the same
+    * reason dedup shingles at n=3. One gram-keyed rollup to first
+    * owners (the only wide stage), then a ten-row curve; decile
+    * boundaries are exact integer division over the id space, no
+    * global rank.
+    */
+  def heapsCurve(docs: DataFrame): DataFrame = {
+    val bounds = docs.agg((max(col("doc_id")) + 1).as("nid"))
+    val firstSeen = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.shingles(col("text"), 3))
+          .as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen.crossJoin(broadcast(bounds))
+      .withColumn("decile", expr("(first_doc * 10) div nid").cast("int"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("vocab_added"))
+      .withColumn("cum_vocab", sum(col("vocab_added")).over(w))
+      .orderBy(col("decile"))
+  }
+
   /** Held-out bigram LM evaluation — the composite every training
     * pipeline runs before trusting a data mix: train a bigram model on
     * the TRAIN split only, score the VAL split with Laplace smoothing,

@@ -833,6 +833,35 @@ object Similarity {
       .orderBy(col("label"), col("predicted"))
   }
 
+  /** Per-label precision / recall / F1 from the [[knnConfusion]] matrix —
+    * the eval-metrics rollup a model card quotes. Unrounded precision
+    * and recall feed the F1 closed form (rounding inside a formula is
+    * how cross-engine hashes die); labels the 1-NN never predicts carry
+    * NULL precision/F1 honestly, zero-TP labels pin F1 to exactly 0.
+    */
+  def knnPrf(emb: DataFrame, maxId: Long = 256L): DataFrame = {
+    val cm = knnConfusion(emb, maxId)
+    val byTrue = cm.groupBy(col("label")).agg(sum(col("n")).as("support"))
+    val byPred = cm.groupBy(col("predicted").as("plabel"))
+      .agg(sum(col("n")).as("pred_n"))
+    val diag = cm.filter(col("label") === col("predicted"))
+      .select(col("label"), col("n").as("tp0"))
+    val tp = coalesce(col("tp0"), lit(0L))
+    val pRaw = tp.cast("double") / col("pred_n").cast("double")
+    val rRaw = tp.cast("double") / col("support").cast("double")
+    byTrue.join(diag, Seq("label"), "left")
+      .join(byPred, col("label") === col("plabel"), "left")
+      .select(col("label"), col("support"), tp.as("tp"),
+        when(col("pred_n").isNull, lit(null).cast("double"))
+          .otherwise(round(pRaw, 6)).as("prec"),
+        round(rRaw, 6).as("rec"),
+        when(col("pred_n").isNull, lit(null).cast("double"))
+          .when(tp === 0L, lit(0.0))
+          .otherwise(round(lit(2.0) * pRaw * rRaw / (pRaw + rRaw), 6))
+          .as("f1"))
+      .orderBy(col("label"))
+  }
+
   /** Per-dimension label discrimination: one-way eta-squared of each
     * embedding coordinate across labels — the feature-selection audit
     * ("which dimensions carry the label signal"). The rollup is keyed
