@@ -442,6 +442,9 @@ object SparkEntry {
     // per-label precision/recall/F1 rollup of the 1-NN confusion
     "q241_knn_prf" -> ((s, d) =>
       Similarity.knnPrf(eng(s, d).table("embeddings"))),
+    // stateful streaming debounce; one fixed state record per (user, type)
+    "q242_stream_debounce" -> ((s, d) =>
+      EventsStream.streamingDebounce(s, d)),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -2381,6 +2384,23 @@ object SparkEntry {
         |WHERE bal_cents * seg_n > seg_cents
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q225_event_debounce" ->
+      """WITH x AS (
+        | SELECT event_type, ts,
+        |  lag(ts) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |f AS (
+        | SELECT event_type,
+        |  CASE WHEN prev IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev) >= 300000000
+        |   THEN 1 ELSE 0 END AS kept
+        | FROM x)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(kept) AS BIGINT) AS n_kept,
+        | round(1.0 - CAST(sum(kept) AS DOUBLE) / count(*), 6) AS drop_rate
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // streaming twin of q225 — identical batch-equivalent semantics
+    "q242_stream_debounce" ->
       """WITH x AS (
         | SELECT event_type, ts,
         |  lag(ts) OVER (PARTITION BY user_id, event_type

@@ -458,6 +458,52 @@ object EventsStream {
       }
   }
 
+  case class DebEv(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  case class DebState(lastUs: Long)
+  case class DebOut(event_type: String, kept: Long)
+
+  /** Streaming burst-collapse debounce — the stateful twin of the batch
+    * debounce report (same oracle): per (user, event_type) the state is
+    * the LAST SEEN event time; an event is kept when it opens a burst
+    * (no predecessor, or the gap reached `gapSeconds`). One tiny fixed
+    * state record per key — this is the bounded-memory shape an
+    * unbounded throttling ingest needs; equal-timestamp events collapse
+    * identically under any intra-batch order, so the batch oracle's
+    * event_id tiebreak has no observable effect on the rollup. Emits a
+    * flag per event; the per-type rollup runs on the sunk table.
+    */
+  def streamingDebounce(spark: SparkSession, dir: String,
+      gapSeconds: Long = 300L): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val flags = streamingEvents(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[DebEv]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebState, DebOut](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case ((_, typ), evs, state: GroupState[DebState]) =>
+          var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+          val outs = evs.toSeq
+            .map(e => e.ts.toInstant.getEpochSecond * 1000000L +
+              e.ts.toInstant.getNano / 1000L)
+            .sorted.map { us =>
+              val kept =
+                if (last == Long.MinValue || us - last >= gapUs) 1L else 0L
+              last = us
+              DebOut(typ, kept)
+            }
+          state.update(DebState(last))
+          outs.iterator
+      }
+    val sunk = runToMemory(flags.toDF(), "debounce_flags", OutputMode.Append())
+    sunk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("kept")).as("n_kept"))
+      .withColumn("drop_rate", round(lit(1.0) -
+        col("n_kept").cast("double") / col("n_events").cast("double"), 6))
+      .orderBy(col("event_type"))
+  }
+
   /** Stream-stream interval join: each click paired with the same user's
     * purchases in the hour leading up to it (purchase attribution).
     * Watermarks on BOTH sides plus the two-sided event-time bound are
