@@ -472,11 +472,16 @@ object EventsStream {
     * event_id tiebreak has no observable effect on the rollup. Emits a
     * flag per event; the per-type rollup runs on the sunk table.
     */
-  def streamingDebounce(spark: SparkSession, dir: String,
-      gapSeconds: Long = 300L): DataFrame = {
+  /** The per-event keep/drop flag stage of [[streamingDebounce]], over
+    * any (user_id, event_type, ts) stream — factored out so the
+    * cross-batch state carry is testable on a MemoryStream.
+    */
+  def debounceFlags(events: DataFrame,
+      gapSeconds: Long): Dataset[DebOut] = {
+    val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
-    val flags = streamingEvents(spark, dir)
+    events
       .select(col("user_id"), col("event_type"), col("ts"))
       .as[DebEv]
       .groupByKey(e => (e.user_id, e.event_type))
@@ -496,6 +501,12 @@ object EventsStream {
           state.update(DebState(last))
           outs.iterator
       }
+  }
+
+  def streamingDebounce(spark: SparkSession, dir: String,
+      gapSeconds: Long = 300L): DataFrame = {
+    val flags = debounceFlags(
+      streamingEvents(spark, dir), gapSeconds)
     val sunk = runToMemory(flags.toDF(), "debounce_flags", OutputMode.Append())
     sunk.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("kept")).as("n_kept"))

@@ -494,4 +494,33 @@ class StreamSemanticsSpec extends SparkFunSuite {
     val counts = paths.map(_.getLong(1)).toSeq
     assert(counts == counts.sorted.reverse)
   }
+
+  test("debounce state carries across micro-batches") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val flags = EventsStream.debounceFlags(
+      input.toDF().toDF("user_id", "event_type", "ts"), gapSeconds = 300L)
+    val q = flags.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("deb_test").start()
+
+    def kept(): Seq[Long] =
+      spark.table("deb_test").collect().map(_.getLong(1)).toSeq
+
+    // batch 1: burst opener kept, +2 min follower dropped
+    input.addData((7L, "click", ts("10:00")), (7L, "click", ts("10:02")))
+    q.processAllAvailable()
+    assert(kept() == Seq(1L, 0L))
+
+    // batch 2: +1 min after the batch-1 tail — only droppable if the
+    // last-seen time SURVIVED the batch boundary
+    input.addData((7L, "click", ts("10:03")))
+    q.processAllAvailable()
+    assert(kept() == Seq(1L, 0L, 0L))
+
+    // batch 3: past the 5-minute gap from 10:03 -> kept again; a
+    // different event_type is an independent key and always opens
+    input.addData((7L, "click", ts("10:09")), (7L, "view", ts("10:09")))
+    q.processAllAvailable()
+    assert(kept().sorted == Seq(0L, 0L, 1L, 1L, 1L))
+    q.stop()
+  }
 }
