@@ -445,6 +445,14 @@ object SparkEntry {
     // stateful streaming debounce; one fixed state record per (user, type)
     "q242_stream_debounce" -> ((s, d) =>
       EventsStream.streamingDebounce(s, d)),
+    // Lorenz curve: revenue share by customer decile, exact integer cuts
+    "q243_revenue_lorenz" -> Relational.revenueConcentration _,
+    // argmax hour-of-day per event type with integer tiebreak
+    "q244_peak_hours" -> Relational.peakHours _,
+    // shipped-within-30/60/90-days attainment by priority
+    "q245_sla_attainment" -> Relational.slaAttainment _,
+    // max events in any event-anchored 1-hour window, per-user histogram
+    "q246_burstiness" -> Relational.burstiness _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -2760,6 +2768,74 @@ object SparkEntry {
         |FROM bt LEFT JOIN dg USING (label)
         | LEFT JOIN bp ON bt.label = bp.plabel
         |ORDER BY bt.label""".stripMargin,
+    "q243_revenue_lorenz" ->
+      """WITH pc AS (
+        | SELECT o_custkey,
+        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n_cust,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents FROM pc),
+        |r AS (
+        | SELECT cents,
+        |  CAST(row_number() OVER (ORDER BY cents DESC, o_custkey)
+        |    AS BIGINT) AS rk
+        | FROM pc),
+        |d AS (
+        | SELECT CAST(((rk - 1) * 10) // n_cust AS INTEGER) AS decile,
+        |  count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS dec_cents,
+        |  max(total_cents) AS tc
+        | FROM r, t GROUP BY 1)
+        |SELECT decile, n_customers,
+        | round(CAST(dec_cents AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS share,
+        | round(CAST(sum(dec_cents) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |   CAST(tc AS DOUBLE), 6) AS cum_share
+        |FROM d ORDER BY decile""".stripMargin,
+    "q244_peak_hours" ->
+      """WITH bh AS (
+        | SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tn
+        |  FROM bh GROUP BY 1),
+        |r AS (
+        | SELECT event_type, hr, n,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, hr) AS rk
+        | FROM bh)
+        |SELECT event_type, hr AS peak_hour, n AS n_events,
+        | round(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS share
+        |FROM r JOIN t USING (event_type)
+        |WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "q245_sla_attainment" ->
+      """WITH ls AS (
+        | SELECT l_orderkey, max(l_shipdate) AS last_ship
+        | FROM lineitem GROUP BY 1),
+        |j AS (
+        | SELECT o_orderpriority AS priority,
+        |  CAST(date_diff('day', o_orderdate, last_ship) AS INTEGER) AS days
+        | FROM orders JOIN ls ON o_orderkey = l_orderkey)
+        |SELECT priority, count(*) AS n_orders,
+        | round(CAST(sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS sla_30,
+        | round(CAST(sum(CASE WHEN days <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS sla_60,
+        | round(CAST(sum(CASE WHEN days <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS sla_90
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q246_burstiness" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |pw AS (
+        | SELECT a.user_id, a.event_id, count(*) AS in_window
+        | FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.us >= a.us AND b.us < a.us + 3600000000
+        | GROUP BY 1, 2),
+        |pu AS (
+        | SELECT user_id, CAST(max(in_window) AS BIGINT) AS peak_burst
+        | FROM pw GROUP BY 1)
+        |SELECT peak_burst, count(*) AS n_users
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

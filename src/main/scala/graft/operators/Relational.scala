@@ -1772,6 +1772,114 @@ object Relational {
       .orderBy(col("rate_permille"))
   }
 
+  /** Revenue concentration (Lorenz) curve: customers ranked by revenue,
+    * cut into deciles, each decile's exact revenue share and the
+    * cumulative share — "the top 10% of customers carry X% of revenue".
+    * Ranks and decile boundaries are integer arithmetic over the
+    * customer-grain rollup (never the fact); shares divide exact cents.
+    */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = e(spark, dir).table("orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+    val n = perCust.agg(count(lit(1)).as("n_cust"),
+      sum(col("cents")).as("total_cents"))
+    val wRank = Window.orderBy(col("cents").desc, col("o_custkey"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perCust
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("((rk - 1) * 10) div n_cust").cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("dec_cents"),
+        max(col("total_cents")).as("tc"))
+      .withColumn("share",
+        round(col("dec_cents").cast("double") / col("tc").cast("double"), 6))
+      .withColumn("cum_share",
+        round(sum(col("dec_cents")).over(wCum).cast("double") /
+          col("tc").cast("double"), 6))
+      .select(col("decile"), col("n_customers"), col("share"),
+        col("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  /** Peak-hour detection: for each event type, the hour of day carrying
+    * the most events (ties to the earliest hour) and its share of the
+    * type's traffic. One 24 x types rollup; the argmax is a window over
+    * that rollup with an exact integer tiebreak.
+    */
+  def peakHours(spark: SparkSession, dir: String): DataFrame = {
+    val byHour = e(spark, dir).table("events")
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val tot = byHour.groupBy(col("event_type")).agg(sum(col("n")).as("tn"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("hr"))
+    byHour.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("hr").as("peak_hour"),
+        col("n").as("n_events"),
+        round(col("n").cast("double") / col("tn").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Fulfillment SLA attainment by priority: share of orders fully
+    * shipped within 30 / 60 / 90 days. Day counts are exact integers
+    * against the last line shipment; the three bands are cumulative by
+    * construction. One orderkey-co-partitioned join, one bounded rollup.
+    */
+  def slaAttainment(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val lastShip = en.table("lineitem").groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    en.table("orders")
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("days",
+        datediff(col("last_ship"), col("o_orderdate")))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("days") <= 30, 1L).otherwise(0L)).as("in_30"),
+        sum(when(col("days") <= 60, 1L).otherwise(0L)).as("in_60"),
+        sum(when(col("days") <= 90, 1L).otherwise(0L)).as("in_90"))
+      .select(col("priority"), col("n_orders"),
+        round(col("in_30").cast("double") / col("n_orders").cast("double"),
+          6).as("sla_30"),
+        round(col("in_60").cast("double") / col("n_orders").cast("double"),
+          6).as("sla_60"),
+        round(col("in_90").cast("double") / col("n_orders").cast("double"),
+          6).as("sla_90"))
+      .orderBy(col("priority"))
+  }
+
+  /** Burstiness audit: each user's maximum event count inside any
+    * 1-hour window anchored at one of their events, as a distribution.
+    * The window census is a per-user EQUI self-join (user keys bound the
+    * quadratic locally — the global plan is one hash join, never a
+    * cartesian), the anchor-max is exact integers, and the histogram
+    * bands by integer division.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = e(spark, dir).table("events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+    val b = ev.select(col("user_id"), col("us").as("us2"))
+    // anchors key on event_id — two events sharing a timestamp must stay
+    // separate anchors or their window counts double
+    val perUser = ev.join(b, "user_id")
+      .filter(col("us2") >= col("us") &&
+        col("us2") < col("us") + lit(3600000000L))
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(count(lit(1)).as("in_window"))
+      .groupBy(col("user_id"))
+      .agg(max(col("in_window")).as("peak_burst"))
+    perUser.groupBy(col("peak_burst"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("peak_burst"))
+  }
+
   /** Intra-order price-spread histogram: max minus min line price per
     * order, banded into $5000 buckets by integer division — the order
     * heterogeneity profile. Two bounded rollups; cents are exact and the
