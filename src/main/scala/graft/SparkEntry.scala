@@ -453,6 +453,15 @@ object SparkEntry {
     "q245_sla_attainment" -> Relational.slaAttainment _,
     // max events in any event-anchored 1-hour window, per-user histogram
     "q246_burstiness" -> Relational.burstiness _,
+    // modality composition per source (count + bytes + share)
+    "q247_format_mix" -> ((s, d) =>
+      graft.multimodal.Multimodal.formatMix(eng(s, d).table("documents"))),
+    // size-ranked round-robin shard plan with balance ratios
+    "q248_shard_plan" -> ((s, d) =>
+      graft.multimodal.Multimodal.shardPlan(eng(s, d).table("documents"))),
+    // thin-asset purge estimate: reclaimable bytes per source
+    "q249_purge_estimate" -> ((s, d) =>
+      graft.multimodal.Multimodal.purgeEstimate(eng(s, d).table("documents"))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -2836,6 +2845,52 @@ object SparkEntry {
         | FROM pw GROUP BY 1)
         |SELECT peak_burst, count(*) AS n_users
         |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q247_format_mix" ->
+      """WITH a AS (
+        | SELECT source,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+        |   WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  octet_length(encode(text)) AS nb
+        | FROM documents),
+        |cells AS (
+        | SELECT source, format, count(*) AS n_assets,
+        |  CAST(sum(nb) AS BIGINT) AS total_bytes
+        | FROM a GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(n_assets) AS BIGINT) AS src_n
+        |  FROM cells GROUP BY 1)
+        |SELECT source, format, n_assets, total_bytes,
+        | round(CAST(n_assets AS DOUBLE) / CAST(src_n AS DOUBLE), 6)
+        |   AS share
+        |FROM cells JOIN t USING (source) ORDER BY 1, 2""".stripMargin,
+    "q248_shard_plan" ->
+      """WITH a AS (
+        | SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        | FROM documents),
+        |r AS (
+        | SELECT nb, row_number() OVER (ORDER BY nb DESC, doc_id) AS rk
+        | FROM a),
+        |ps AS (
+        | SELECT CAST((rk - 1) % 8 AS INTEGER) AS shard,
+        |  count(*) AS n_assets, CAST(sum(nb) AS BIGINT) AS shard_bytes
+        | FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(shard_bytes) AS BIGINT) AS tb FROM ps)
+        |SELECT shard, n_assets, shard_bytes,
+        | round(CAST(shard_bytes AS DOUBLE) * 8.0 / CAST(tb AS DOUBLE), 6)
+        |   AS balance_ratio
+        |FROM ps, t ORDER BY shard""".stripMargin,
+    "q249_purge_estimate" ->
+      """WITH a AS (
+        | SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        | FROM documents)
+        |SELECT source, count(*) AS n_assets,
+        | CAST(sum(CASE WHEN nb < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_purged,
+        | CAST(sum(CASE WHEN nb < 100 THEN nb ELSE 0 END) AS BIGINT)
+        |   AS bytes_reclaimed,
+        | CAST(sum(nb) AS BIGINT) AS total_bytes,
+        | round(CAST(sum(CASE WHEN nb < 100 THEN nb ELSE 0 END) AS DOUBLE) /
+        |   CAST(sum(nb) AS DOUBLE), 6) AS bytes_share
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

@@ -86,6 +86,70 @@ object Multimodal {
         col("f.feat_norm"), col("f.top_bin"))
       .orderBy(col("doc_id"))
 
+  /** Format mix per source: the modality composition report (how much of
+    * each source is image vs audio, by count and bytes). Pure metadata
+    * rollup — payloads never leave the scan.
+    */
+  def formatMix(docs: DataFrame): DataFrame = {
+    val cells = withAssets(docs)
+      .groupBy(col("source"), col("meta.format").as("format"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("meta.n_bytes")).cast("long").as("total_bytes"))
+    val tot = cells.groupBy(col("source"))
+      .agg(sum(col("n_assets")).as("src_n"))
+    cells.join(broadcast(tot), "source")
+      .select(col("source"), col("format"), col("n_assets"),
+        col("total_bytes"),
+        round(col("n_assets").cast("double") / col("src_n").cast("double"),
+          6).as("share"))
+      .orderBy(col("source"), col("format"))
+  }
+
+  /** Byte-balanced shard plan: assets ranked by size descending and
+    * dealt round-robin into `shards` shards — the deterministic
+    * first-fit-ish layout a modality-heavy dataset needs so one shard
+    * doesn't carry all the video. Reports per-shard count, bytes, and
+    * the balance ratio against the mean. Rank and assignment are exact
+    * integer arithmetic (rank ties break on doc_id).
+    */
+  def shardPlan(docs: DataFrame, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = withAssets(docs)
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"))
+    val w = Window.orderBy(col("n_bytes").desc, col("doc_id"))
+    val perShard = sized
+      .withColumn("shard",
+        pmod(row_number().over(w) - 1, lit(shards)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).cast("long").as("shard_bytes"))
+    val tot = perShard.agg(sum(col("shard_bytes")).as("tb"))
+    perShard.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_assets"), col("shard_bytes"),
+        round(col("shard_bytes").cast("double") * lit(shards.toDouble) /
+          col("tb").cast("double"), 6).as("balance_ratio"))
+      .orderBy(col("shard"))
+  }
+
+  /** Thin-asset purge estimate: assets whose payload is smaller than
+    * `minBytes` — the "tiny payload, full bookkeeping cost" cut — with
+    * the bytes a purge reclaims per source. Exact integer predicate and
+    * byte sums.
+    */
+  def purgeEstimate(docs: DataFrame, minBytes: Long = 100L): DataFrame =
+    withAssets(docs)
+      .withColumn("thin", (col("meta.n_bytes") < minBytes).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("thin")).cast("long").as("n_purged"),
+        sum(when(col("thin") === 1, col("meta.n_bytes")).otherwise(0L))
+          .cast("long").as("bytes_reclaimed"),
+        sum(col("meta.n_bytes")).cast("long").as("total_bytes"))
+      .withColumn("bytes_share",
+        round(col("bytes_reclaimed").cast("double") /
+          col("total_bytes").cast("double"), 6))
+      .orderBy(col("source"))
+
   /** Two-stage exact asset dedup by content digest — the "same asset
     * re-uploaded under ten names" cut that runs BEFORE any perceptual
     * hashing. Stage 1 groups by a digest of the payload's first
