@@ -462,6 +462,15 @@ object SparkEntry {
     // thin-asset purge estimate: reclaimable bytes per source
     "q249_purge_estimate" -> ((s, d) =>
       graft.multimodal.Multimodal.purgeEstimate(eng(s, d).table("documents"))),
+    // the whole dedup cascade per source: raw -> exact -> norm -> near-dup
+    "q250_dedup_funnel" -> ((s, d) => {
+      val docs = eng(s, d).table("documents")
+      Corpus.dedupFunnel(docs,
+        Dedup.keepList(docs, Dedup.minhashPairsShared(docs, d)))
+    }),
+    // label entropy + effective class count — the train-set balance read
+    "q251_label_balance" -> ((s, d) =>
+      Similarity.labelBalance(eng(s, d).table("embeddings"))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -2891,6 +2900,58 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN nb < 100 THEN nb ELSE 0 END) AS DOUBLE) /
         |   CAST(sum(nb) AS DOUBLE), 6) AS bytes_share
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q250_dedup_funnel" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | WITH RECURSIVE r(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        | SELECT * FROM r),
+        |comp AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        | FROM reach GROUP BY src),
+        |kl AS (
+        | SELECT doc_id FROM documents
+        | WHERE doc_id NOT IN
+        |   (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)),
+        |d AS (
+        | SELECT doc_id, source, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+        |    '', 'g'), ' +', ' ', 'g')) AS norm
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | count(DISTINCT text) AS n_exact,
+        | count(DISTINCT norm) AS n_norm,
+        | CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_neardup_kept
+        |FROM d LEFT JOIN kl k USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q251_label_balance" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |g AS (
+        | SELECT CAST(sum(n) AS BIGINT) AS n_vecs, count(*) AS n_labels,
+        |  sum(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) AS snl
+        | FROM c)
+        |SELECT n_vecs, n_labels,
+        | round(log2(CAST(n_vecs AS DOUBLE)) - snl / CAST(n_vecs AS DOUBLE),
+        |   6) AS entropy_bits,
+        | round(pow(2.0, log2(CAST(n_vecs AS DOUBLE)) -
+        |   snl / CAST(n_vecs AS DOUBLE)), 6) AS effective_classes
+        |FROM g""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

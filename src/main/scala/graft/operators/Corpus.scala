@@ -1600,6 +1600,29 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Dedup funnel report: the whole duplicate-removal cascade in one
+    * per-source row — raw docs, exact-distinct texts, normalized-
+    * distinct texts, and near-dup keep-list survivors. The one-table
+    * summary a curation run publishes to show WHERE volume went; each
+    * stage is the already-gated machinery (exact/norm distinct counts,
+    * the shared minhash keep-list), composed, not recomputed.
+    */
+  def dedupFunnel(docs: DataFrame, keep: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(col("doc_id"), col("source"), col("text"),
+        norm.as("__norm"))
+      .join(keep.select(col("doc_id"), lit(1).as("__k")),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_exact"),
+        countDistinct(col("__norm")).as("n_norm"),
+        sum(when(col("__k").isNotNull, 1L).otherwise(0L))
+          .as("n_neardup_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Heaps-law growth curve over 3-GRAM shingles: distinct trigrams
     * first seen in each tenth of the corpus (by doc id order) and the
     * cumulative total — the "is new data still adding new language"

@@ -807,6 +807,27 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Label balance: Shannon entropy of the label distribution and the
+    * effective number of classes (2^H) — one row saying whether the
+    * labeled set is balanced enough to train on. Counts are exact; the
+    * entropy identity is the sum-friendly H = log2(N) - sum(n log2 n)/N
+    * form, so no per-class probability division happens before the
+    * aggregate.
+    */
+  def labelBalance(emb: DataFrame): DataFrame = {
+    val counts = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    counts.agg(sum(col("n")).as("n_vecs"), count(lit(1)).as("n_labels"),
+        sum(col("n").cast("double") * log2(col("n").cast("double")))
+          .as("snl"))
+      .select(col("n_vecs"), col("n_labels"),
+        round(log2(col("n_vecs").cast("double")) -
+          col("snl") / col("n_vecs").cast("double"), 6)
+          .as("entropy_bits"),
+        round(pow(lit(2.0), log2(col("n_vecs").cast("double")) -
+          col("snl") / col("n_vecs").cast("double")), 6)
+          .as("effective_classes"))
+  }
+
   /** Leave-one-out 1-NN label confusion over a bounded evaluation slice:
     * each vector's nearest OTHER vector votes a predicted label; the
     * (true, predicted) matrix is the standard embedding-quality eval
