@@ -471,6 +471,14 @@ object SparkEntry {
     // label entropy + effective class count — the train-set balance read
     "q251_label_balance" -> ((s, d) =>
       Similarity.labelBalance(eng(s, d).table("embeddings"))),
+    // exact global percentiles by distributed rank (no sketch, no
+    // single-partition window)
+    "q252_global_percentiles" -> Relational.globalPricePercentiles _,
+    // month-of-year seasonal index on exact monthly cents
+    "q253_monthly_seasonality" -> Relational.monthlySeasonality _,
+    // corpus-wide duplicate rate by 500-char length band
+    "q254_dup_by_length" -> ((s, d) =>
+      Corpus.dupRateByLength(eng(s, d).table("documents"))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -2952,6 +2960,50 @@ object SparkEntry {
         | round(pow(2.0, log2(CAST(n_vecs AS DOUBLE)) -
         |   snl / CAST(n_vecs AS DOUBLE)), 6) AS effective_classes
         |FROM g""".stripMargin,
+    "q252_global_percentiles" ->
+      """WITH r AS (
+        | SELECT l_extendedprice AS v,
+        |  row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |    l_linenumber) AS rk,
+        |  count(*) OVER () AS n
+        | FROM lineitem)
+        |SELECT CASE WHEN rk = (50 * n + 99) // 100 THEN 'p50'
+        |  WHEN rk = (90 * n + 99) // 100 THEN 'p90'
+        |  ELSE 'p99' END AS pctl,
+        | CAST(rk AS BIGINT) AS rank, v AS value
+        |FROM r
+        |WHERE rk = (50 * n + 99) // 100 OR rk = (90 * n + 99) // 100
+        |   OR rk = (99 * n + 99) // 100
+        |ORDER BY pctl""".stripMargin,
+    "q253_monthly_seasonality" ->
+      """WITH monthly AS (
+        | SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1, 2),
+        |pm AS (
+        | SELECT m, count(*) AS n_months,
+        |  CAST(sum(cents) AS BIGINT) AS m_cents
+        | FROM monthly GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_months) AS BIGINT) AS all_months,
+        |  CAST(sum(m_cents) AS BIGINT) AS all_cents FROM pm)
+        |SELECT CAST(m AS INTEGER) AS month_of_year, n_months,
+        | round(m_cents / 100.0 / CAST(n_months AS DOUBLE), 6)
+        |   AS mean_monthly_revenue,
+        | round((CAST(m_cents AS DOUBLE) * CAST(all_months AS DOUBLE)) /
+        |   (CAST(n_months AS DOUBLE) * CAST(all_cents AS DOUBLE)), 6)
+        |   AS seasonal_index
+        |FROM pm, t ORDER BY month_of_year""".stripMargin,
+    "q254_dup_by_length" ->
+      """WITH occ AS (SELECT text, count(*) AS occ FROM documents
+        |  GROUP BY 1),
+        |d AS (
+        | SELECT n_chars // 500 AS band,
+        |  CASE WHEN occ > 1 THEN 1 ELSE 0 END AS dup
+        | FROM documents JOIN occ USING (text))
+        |SELECT band, count(*) AS n_docs,
+        | CAST(sum(dup) AS BIGINT) AS n_duplicated,
+        | round(CAST(sum(dup) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

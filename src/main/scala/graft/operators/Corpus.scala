@@ -1623,6 +1623,25 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Duplicate rate by length band: are short documents more duplicated
+    * than long ones? Each doc is flagged duplicated when its exact text
+    * occurs more than once in the corpus (corpus-wide, not per band);
+    * bands are 500-char integer divisions. One shuffle on the text key
+    * for the occurrence counts, one bounded band rollup.
+    */
+  def dupRateByLength(docs: DataFrame): DataFrame = {
+    val occ = docs.groupBy(col("text")).agg(count(lit(1)).as("occ"))
+    docs.join(occ, "text")
+      .withColumn("band", expr("n_chars div 500"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_duplicated"))
+      .withColumn("dup_rate",
+        round(col("n_duplicated").cast("double") /
+          col("n_docs").cast("double"), 6))
+      .orderBy(col("band"))
+  }
+
   /** Heaps-law growth curve over 3-GRAM shingles: distinct trigrams
     * first seen in each tenth of the corpus (by doc id order) and the
     * cumulative total — the "is new data still adding new language"

@@ -1880,6 +1880,62 @@ object Relational {
       .orderBy(col("peak_burst"))
   }
 
+  /** Exact GLOBAL percentiles of line price (p50/p90/p99,
+    * percentile_disc semantics: the value at rank ceil(p·n)) — computed
+    * by distributed rank over the full fact, not an approx sketch and
+    * not a single-partition window: [[Ranks.globalRowNumber]] range-
+    * partitions on the order key, ranks within partitions, and offsets
+    * by broadcast partial counts. The rank targets are exact integer
+    * arithmetic; the order carries (orderkey, linenumber) so the picked
+    * row is unique on both engines.
+    */
+  def globalPricePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = e(spark, dir).table("lineitem")
+      .select(col("l_extendedprice").as("v"), col("l_orderkey"),
+        col("l_linenumber"))
+    val ranked = Ranks.globalRowNumber(li,
+      Seq(col("v"), col("l_orderkey"), col("l_linenumber")),
+      rankCol = "__rank", totalCol = Some("__n"))
+    def target(p: Int) = expr(s"(($p * __n) + 99) div 100")
+    ranked
+      .filter(col("__rank") === target(50) ||
+        col("__rank") === target(90) || col("__rank") === target(99))
+      .select(
+        when(col("__rank") === target(50), "p50")
+          .when(col("__rank") === target(90), "p90")
+          .otherwise("p99").as("pctl"),
+        col("__rank").as("rank"), col("v").as("value"))
+      .orderBy(col("pctl"))
+  }
+
+  /** Month-of-year seasonal index: each calendar month's mean monthly
+    * revenue against the overall monthly mean — the classical seasonal
+    * decomposition companion to the day-of-week profile. Monthly cents
+    * are exact; the index divides exact integers scaled by month counts
+    * (cross-multiplied, no float mean feeds another float mean).
+    */
+  def monthlySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = e(spark, dir).table("orders")
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+    val perM = monthly.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_months"), sum(col("cents")).as("m_cents"))
+    val tot = perM.agg(sum(col("n_months")).as("all_months"),
+      sum(col("m_cents")).as("all_cents"))
+    perM.crossJoin(broadcast(tot))
+      .select(col("m").as("month_of_year"), col("n_months"),
+        // 6dp, not 2: cents/n_months can terminate at 3dp and sit ON the
+        // 2dp half-grid — rounding finer than the exact decimal is safe
+        round(col("m_cents") / lit(100.0) / col("n_months").cast("double"),
+          6).as("mean_monthly_revenue"),
+        round((col("m_cents").cast("double") *
+            col("all_months").cast("double")) /
+          (col("n_months").cast("double") * col("all_cents").cast("double")),
+          6).as("seasonal_index"))
+      .orderBy(col("month_of_year"))
+  }
+
   /** Intra-order price-spread histogram: max minus min line price per
     * order, banded into $5000 buckets by integer division — the order
     * heterogeneity profile. Two bounded rollups; cents are exact and the
