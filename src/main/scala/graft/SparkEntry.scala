@@ -479,6 +479,10 @@ object SparkEntry {
     // corpus-wide duplicate rate by 500-char length band
     "q254_dup_by_length" -> ((s, d) =>
       Corpus.dupRateByLength(eng(s, d).table("documents"))),
+    // first-order vs repeat revenue mix by month
+    "q255_acquisition_mix" -> Relational.acquisitionMix _,
+    // per-brand return rate with deviation from the global rate
+    "q256_return_rates" -> Relational.returnRates _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -3004,6 +3008,38 @@ object SparkEntry {
         | CAST(sum(dup) AS BIGINT) AS n_duplicated,
         | round(CAST(sum(dup) AS DOUBLE) / count(*), 6) AS dup_rate
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q255_acquisition_mix" ->
+      """WITH c AS (
+        | SELECT o_orderdate, o_totalprice,
+        |  CASE WHEN row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) = 1 THEN 1 ELSE 0 END
+        |    AS is_new,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        | FROM orders)
+        |SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |   AS month,
+        | CAST(sum(is_new) AS BIGINT) AS n_new,
+        | CAST(sum(1 - is_new) AS BIGINT) AS n_returning,
+        | round(CAST(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+        |   AS BIGINT) / 100.0, 2) AS new_revenue,
+        | round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS total_revenue,
+        | round(CAST(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+        |    AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6) AS new_share
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q256_return_rates" ->
+      """WITH bb AS (
+        | SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returned
+        | FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_items) AS BIGINT) AS tn,
+        |  CAST(sum(n_returned) AS BIGINT) AS tr FROM bb)
+        |SELECT p_brand, n_items, n_returned,
+        | round(CAST(n_returned AS DOUBLE) / CAST(n_items AS DOUBLE), 6)
+        |   AS return_rate,
+        | round(CAST(n_returned AS DOUBLE) / CAST(n_items AS DOUBLE) -
+        |   CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS vs_global
+        |FROM bb, t ORDER BY p_brand""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

@@ -1936,6 +1936,63 @@ object Relational {
       .orderBy(col("month_of_year"))
   }
 
+  /** New-vs-returning revenue mix by month: each order classified by
+    * whether it is its customer's first-ever order (first = minimal
+    * (date, orderkey) — deterministic under same-day ties), rolled up
+    * to monthly counts, exact-cents revenue, and the new-revenue share.
+    * One window at customer grain, one bounded month rollup.
+    */
+  def acquisitionMix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val classified = e(spark, dir).table("orders")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("is_new", (col("rk") === 1).cast("int"))
+      .withColumn("cents",
+        round(col("o_totalprice") * 100, 0).cast("long"))
+    classified
+      .groupBy(date_trunc("month", col("o_orderdate"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("month"))
+      .agg(sum(col("is_new")).cast("long").as("n_new"),
+        sum(lit(1) - col("is_new")).cast("long").as("n_returning"),
+        sum(when(col("is_new") === 1, col("cents")).otherwise(0L))
+          .as("new_cents"),
+        sum(col("cents")).as("all_cents"))
+      .select(col("month"), col("n_new"), col("n_returning"),
+        round(col("new_cents") / 100.0, 2).as("new_revenue"),
+        round(col("all_cents") / 100.0, 2).as("total_revenue"),
+        round(col("new_cents").cast("double") /
+          col("all_cents").cast("double"), 6).as("new_share"))
+      .orderBy(col("month"))
+  }
+
+  /** Return rate by brand: share of lineitems flagged returned, with
+    * the deviation from the global rate — the product-quality lens.
+    * Exact integer counts; the part dim broadcasts.
+    */
+  def returnRates(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val byBrand = en.table("lineitem")
+      .join(broadcast(en.table("part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"))
+    val tot = byBrand.agg(sum(col("n_items")).as("tn"),
+      sum(col("n_returned")).as("tr"))
+    byBrand.crossJoin(broadcast(tot))
+      .select(col("p_brand"), col("n_items"), col("n_returned"),
+        round(col("n_returned").cast("double") /
+          col("n_items").cast("double"), 6).as("return_rate"),
+        round(col("n_returned").cast("double") /
+            col("n_items").cast("double") -
+          col("tr").cast("double") / col("tn").cast("double"), 6)
+          .as("vs_global"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Intra-order price-spread histogram: max minus min line price per
     * order, banded into $5000 buckets by integer division — the order
     * heterogeneity profile. Two bounded rollups; cents are exact and the
