@@ -165,6 +165,30 @@ class StatAuditSpec extends SparkFunSuite {
       assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0))
   }
 
+  test("global percentiles: ordered, exact-rank, no single-partition window") {
+    val df = Relational.globalPricePercentiles(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the distributed rank must not degrade to a global window sort
+    assert(!plan.contains("row_number("),
+      "q252 must rank positionally, not via a row_number window")
+    // the only single-partition work allowed is the one-row-per-partition
+    // COUNT frame (planned once for the rank offsets and once for the
+    // total) — the ranked fact itself must never collapse
+    assert("Exchange SinglePartition".r.findAllIn(plan).size <= 2,
+      "only the bounded per-partition count frames may single-partition")
+    assert(plan.contains("HashAggregate(keys=[__pid"),
+      "the SinglePartition subtrees must be the per-partition count frame")
+    val byP = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(byP.keySet == Set("p50", "p90", "p99"))
+    assert(byP("p50") <= byP("p90") && byP("p90") <= byP("p99"))
+    // rank targets are percentile_disc: value at ceil(p*n)
+    val n = new Engine(spark, sf).table("lineitem").count()
+    val ranks = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("p50") == (50 * n + 99) / 100)
+    assert(ranks("p99") == (99 * n + 99) / 100)
+  }
+
   test("centroid drift: cosine bounded, halves partition each label") {
     val emb = en.table("embeddings")
     val out = Similarity.centroidDrift(emb).collect()
