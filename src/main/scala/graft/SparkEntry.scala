@@ -483,6 +483,10 @@ object SparkEntry {
     "q255_acquisition_mix" -> Relational.acquisitionMix _,
     // per-brand return rate with deviation from the global rate
     "q256_return_rates" -> Relational.returnRates _,
+    // assortment profile over size band x type head (unused catalog attrs)
+    "q257_size_type_matrix" -> Relational.sizeTypeMatrix _,
+    // VARIANT prop k vs value correlation per event type (power sums)
+    "q258_prop_value_corr" -> Relational.propValueCorr _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -3040,6 +3044,32 @@ object SparkEntry {
         | round(CAST(n_returned AS DOUBLE) / CAST(n_items AS DOUBLE) -
         |   CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS vs_global
         |FROM bb, t ORDER BY p_brand""".stripMargin,
+    "q257_size_type_matrix" ->
+      """WITH p AS (
+        | SELECT CAST(p_size // 10 AS INTEGER) AS size_band,
+        |  string_split(p_type, ' ')[1] AS type_head,
+        |  CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents
+        | FROM part)
+        |SELECT size_band, type_head, count(*) AS n_parts,
+        | round(CAST(sum(cents) AS DOUBLE) /
+        |   (CAST(count(*) AS DOUBLE) * 100.0), 6) AS mean_retail
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q258_prop_value_corr" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  CAST(CAST(props ->> '$.k' AS INTEGER) AS DOUBLE) AS x,
+        |  value AS y
+        | FROM events WHERE props ->> '$.k' IS NOT NULL),
+        |s AS (
+        | SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |  sum(y * y) AS syy
+        | FROM e GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        | round((n * sxy - sx * sy) /
+        |  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |   AS corr_k_value
+        |FROM s ORDER BY event_type""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

@@ -1993,6 +1993,51 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Catalog shape matrix: part counts and mean retail price by size
+    * band x leading type word — the assortment profile over the two
+    * catalog attributes nothing else reads. Mean rounds finer than its
+    * possible exact decimal (cents over a small count can terminate on
+    * the coarse half-grid).
+    */
+  def sizeTypeMatrix(spark: SparkSession, dir: String): DataFrame = {
+    e(spark, dir).table("part")
+      .select(expr("p_size div 10").cast("int").as("size_band"),
+        split(col("p_type"), " ").getItem(0).as("type_head"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("size_band"), col("type_head"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("cents")).cast("double") /
+          (count(lit(1)).cast("double") * 100.0), 6).as("mean_retail"))
+      .orderBy(col("size_band"), col("type_head"))
+  }
+
+  /** Correlation between the semi-structured prop `k` (VARIANT-extracted)
+    * and the event value, per event type — the "does this property drive
+    * the metric" probe over the schema-flexible column. k is an exact
+    * integer; value sums are floating but one-pass (the q196 power-sum
+    * shape).
+    */
+  def propValueCorr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = e(spark, dir).table("events")
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "int")
+          .cast("double").as("x"),
+        col("value").as("y"))
+      .filter(col("x").isNotNull)
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n").cast("long").as("n_events"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_k_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Intra-order price-spread histogram: max minus min line price per
     * order, banded into $5000 buckets by integer division — the order
     * heterogeneity profile. Two bounded rollups; cents are exact and the
