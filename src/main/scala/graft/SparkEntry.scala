@@ -487,6 +487,17 @@ object SparkEntry {
     "q257_size_type_matrix" -> Relational.sizeTypeMatrix _,
     // VARIANT prop k vs value correlation per event type (power sums)
     "q258_prop_value_corr" -> Relational.propValueCorr _,
+    // audience saturation: cumulative distinct users by first-seen day
+    "q259_cumulative_reach" -> ((s, d) =>
+      EventAnalytics.cumulativeReach(s, d)),
+    // exponentially decayed value mass per type (30-day half-life)
+    "q260_decayed_engagement" -> ((s, d) =>
+      EventAnalytics.decayedEngagement(s, d)),
+    // Jaccard overlap of user sets between event-type pairs
+    "q261_audience_overlap" -> ((s, d) =>
+      EventAnalytics.audienceOverlap(s, d)),
+    // brand revenue shares: top-decile orders vs overall (over-indexing)
+    "q262_top_decile_mix" -> Relational.topDecileBrandMix _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -3070,6 +3081,74 @@ object SparkEntry {
         |  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         |   AS corr_k_value
         |FROM s ORDER BY event_type""".stripMargin,
+    "q259_cumulative_reach" ->
+      """WITH fd AS (
+        | SELECT user_id,
+        |  CAST(min(date_trunc('hour', ts)) AS TIMESTAMP) AS hour
+        | FROM events GROUP BY 1),
+        |d AS (SELECT hour, count(*) AS new_users FROM fd GROUP BY 1)
+        |SELECT hour, new_users,
+        | CAST(sum(new_users) OVER (ORDER BY hour
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_users
+        |FROM d ORDER BY hour""".stripMargin,
+    "q260_decayed_engagement" ->
+      """WITH h AS (SELECT max(epoch_us(ts)) AS h FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        | round(sum(value * pow(0.5,
+        |   (CAST(h - epoch_us(ts) AS DOUBLE) / 86400000000.0) / 30.0)), 6)
+        |   AS decayed_value,
+        | round(sum(value), 2) AS raw_value
+        |FROM events, h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q261_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS sz FROM tu GROUP BY 1),
+        |i AS (
+        | SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_both
+        | FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        | GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        | round(CAST(n_both AS DOUBLE) /
+        |   CAST(za.sz + zb.sz - n_both AS DOUBLE), 6) AS jaccard
+        |FROM i JOIN sz za ON i.type_a = za.event_type
+        | JOIN sz zb ON i.type_b = zb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q262_top_decile_mix" ->
+      """WITH po AS (
+        | SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS ocents
+        | FROM orders),
+        |n AS (SELECT count(*) AS n_orders FROM po),
+        |topo AS (
+        | SELECT o_orderkey FROM (
+        |  SELECT o_orderkey,
+        |   CAST(row_number() OVER (ORDER BY ocents DESC, o_orderkey)
+        |     AS BIGINT) AS rk
+        |  FROM po), n
+        | WHERE rk * 10 <= n_orders),
+        |li AS (
+        | SELECT l_orderkey, p_brand,
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |bb AS (
+        | SELECT p_brand, CAST(sum(cents) AS BIGINT) AS all_cents,
+        |  CAST(sum(CASE WHEN t.o_orderkey IS NOT NULL THEN cents
+        |    ELSE 0 END) AS BIGINT) AS top_cents
+        | FROM li LEFT JOIN topo t ON li.l_orderkey = t.o_orderkey
+        | GROUP BY 1),
+        |tt AS (SELECT CAST(sum(all_cents) AS BIGINT) AS ta,
+        |  CAST(sum(top_cents) AS BIGINT) AS tt FROM bb)
+        |SELECT p_brand,
+        | round(CAST(all_cents AS DOUBLE) / CAST(ta AS DOUBLE), 6)
+        |   AS overall_share,
+        | round(CAST(top_cents AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+        |   AS top_decile_share,
+        | round(CAST(top_cents AS DOUBLE) / CAST(tt AS DOUBLE) -
+        |   CAST(all_cents AS DOUBLE) / CAST(ta AS DOUBLE), 6)
+        |   AS over_index
+        |FROM bb, tt ORDER BY p_brand""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

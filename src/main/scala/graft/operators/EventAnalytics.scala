@@ -463,6 +463,77 @@ object EventAnalytics {
       .orderBy(col("win_day"))
   }
 
+  /** Cumulative reach curve: distinct users ever seen, by HOUR of first
+    * appearance — the audience-saturation read (hourly, because this
+    * fixture's daily-active population saturates day coverage in two
+    * rows; the hour grain shows the actual ramp). Computed as one rollup
+    * at user grain plus a cumulative window over the bounded hourly
+    * frame; the running-distinct never runs on the fact.
+    */
+  def cumulativeReach(spark: SparkSession, dir: String): DataFrame = {
+    val firstHour = new graft.cube.Engine(spark, dir).table("events")
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("hour", col("ts")))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("hour"))
+    val w = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstHour.groupBy(col("hour")).agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("hour"))
+  }
+
+  /** Time-decayed engagement: per event type, the exponentially decayed
+    * value mass at the corpus horizon (half-life 30 days) — the scoring
+    * kernel recommendation freshness uses. The snapshot time is the max
+    * event time (broadcast scalar, no wall clock); ages are exact
+    * microseconds and only the decay kernel is floating point.
+    */
+  def decayedEngagement(spark: SparkSession, dir: String,
+      halfLifeDays: Double = 30.0): DataFrame = {
+    val ev = new graft.cube.Engine(spark, dir).table("events")
+    val horizon = ev.agg(
+      expr("max(unix_micros(CAST(ts AS TIMESTAMP)))").as("h"))
+    ev.crossJoin(broadcast(horizon))
+      .withColumn("age_days",
+        (col("h") - expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+          .cast("double") / lit(86400000000.0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") *
+          pow(lit(0.5), col("age_days") / lit(halfLifeDays))), 6)
+          .as("decayed_value"),
+        round(sum(col("value")), 2).as("raw_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Audience overlap matrix: Jaccard similarity of user sets between
+    * every pair of event types — "do viewers also purchase". The user
+    * sets reduce to (type, user) distinct pairs once; pair intersections
+    * come from a self-join on user (each user contributes its type-pair
+    * cross, bounded by types²), and the union sizes are closed-form from
+    * exact counts.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tu = new graft.cube.Engine(spark, dir).table("events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
+    val inter = tu.join(tu.select(col("event_type").as("type_b"),
+        col("user_id")), "user_id")
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("sz").as("sz_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("sz").as("sz_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Burst-collapse debounce report: within each (user, event_type)
     * stream, an event survives when it opens a burst — its predecessor
     * is absent or at least `gapSeconds` older. Survivor count equals

@@ -2038,6 +2038,52 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Top-decile brand-mix contrast: each brand's revenue share among the
+    * top-10%-by-value orders versus its overall share — which brands
+    * over-index in big orders. Membership in the top decile is an exact
+    * integer rank cut over the order-grain rollup ([[Ranks]] shape not
+    * needed — the rollup is already small); shares divide exact cents.
+    * All 25 brands emit unranked (ordering by a float diff is not a
+    * portable contract).
+    */
+  def topDecileBrandMix(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val perOrder = en.table("orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("ocents"))
+    val nOrders = perOrder.agg(count(lit(1)).as("n_orders"))
+    val wRank = Window.orderBy(col("ocents").desc, col("o_orderkey"))
+    val topOrders = perOrder
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .crossJoin(broadcast(nOrders))
+      .filter(col("rk") * 10 <= col("n_orders"))
+      .select(col("o_orderkey"))
+    val li = en.table("lineitem")
+      .join(broadcast(en.table("part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    val flagged = li.join(topOrders.withColumn("__top", lit(1)),
+      col("l_orderkey") === col("o_orderkey"), "left")
+    val byBrand = flagged.groupBy(col("p_brand"))
+      .agg(sum(col("cents")).as("all_cents"),
+        sum(when(col("__top").isNotNull, col("cents")).otherwise(0L))
+          .as("top_cents"))
+    val tot = byBrand.agg(sum(col("all_cents")).as("ta"),
+      sum(col("top_cents")).as("tt"))
+    byBrand.crossJoin(broadcast(tot))
+      .select(col("p_brand"),
+        round(col("all_cents").cast("double") / col("ta").cast("double"),
+          6).as("overall_share"),
+        round(col("top_cents").cast("double") / col("tt").cast("double"),
+          6).as("top_decile_share"),
+        round(col("top_cents").cast("double") / col("tt").cast("double") -
+          col("all_cents").cast("double") / col("ta").cast("double"), 6)
+          .as("over_index"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Intra-order price-spread histogram: max minus min line price per
     * order, banded into $5000 buckets by integer division — the order
     * heterogeneity profile. Two bounded rollups; cents are exact and the
