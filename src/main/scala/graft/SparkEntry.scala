@@ -498,6 +498,12 @@ object SparkEntry {
       EventAnalytics.audienceOverlap(s, d)),
     // brand revenue shares: top-decile orders vs overall (over-indexing)
     "q262_top_decile_mix" -> Relational.topDecileBrandMix _,
+    // percent-of-parent drill-path shares over the region/nation rollup
+    "q263_pct_of_parent" -> Relational.percentOfParent _,
+    // max intra-quarter drawdown of the daily revenue series
+    "q264_revenue_drawdown" -> Relational.revenueDrawdown _,
+    // brand-pair monthly revenue Pearson matrix (BIGINT power sums)
+    "q265_brand_corr" -> Relational.brandCorrMatrix _,
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -3149,6 +3155,75 @@ object SparkEntry {
         |   CAST(all_cents AS DOUBLE) / CAST(ta AS DOUBLE), 6)
         |   AS over_index
         |FROM bb, tt ORDER BY p_brand""".stripMargin,
+    "q263_pct_of_parent" ->
+      """WITH bn AS (
+        | SELECT r_name AS region, n_name AS nation,
+        |  CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS cents
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2),
+        |x AS (
+        | SELECT region, nation, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT)
+        |    AS region_cents,
+        |  CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+        | FROM bn)
+        |SELECT region, nation, round(cents / 100.0, 2) AS revenue,
+        | round(CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE), 6)
+        |   AS pct_of_region,
+        | round(CAST(region_cents AS DOUBLE) / CAST(total_cents AS DOUBLE),
+        |   6) AS region_pct_of_total
+        |FROM x ORDER BY region, nation""".stripMargin,
+    "q264_revenue_drawdown" ->
+      """WITH daily AS (
+        | SELECT CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1
+        |    AS INTEGER) AS qidx,
+        |  date_trunc('day', o_orderdate) AS day,
+        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1, 2),
+        |x AS (
+        | SELECT qidx,
+        |  CAST(max(cents) OVER (PARTITION BY qidx ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents
+        |    AS DOUBLE) /
+        |  CAST(max(cents) OVER (PARTITION BY qidx ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS dd
+        | FROM daily)
+        |SELECT qidx, count(*) AS n_days, round(max(dd), 6) AS max_drawdown
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q265_brand_corr" ->
+      """WITH monthly AS (
+        | SELECT p_brand, date_trunc('month', o_orderdate) AS month,
+        |  CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) // 100
+        |    AS dollars
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        | GROUP BY 1, 2),
+        |p AS (
+        | SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |  a.dollars AS x, b.dollars AS y
+        | FROM monthly a JOIN monthly b ON a.month = b.month
+        |  AND a.p_brand < b.p_brand),
+        |s AS (
+        | SELECT brand_a, brand_b, count(*) AS n_months,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(y * y) AS BIGINT) AS syy
+        | FROM p GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_months,
+        | round((CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  sqrt((CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   (CAST(n_months AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+        |FROM s ORDER BY brand_a, brand_b""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

@@ -2084,6 +2084,104 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Percent-of-parent hierarchy shares: nation revenue as a share of
+    * its region, region as a share of the total — the drill-path
+    * context columns an OLAP UI shows next to every node. Two window
+    * sums over the 25-row nation rollup (never the fact); shares divide
+    * exact cents.
+    */
+  def percentOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val byNation = en.table("lineitem")
+      .join(en.table("orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(en.table("customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(en.table("nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(en.table("region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(round(sum(col("l_extendedprice")) * 100, 0).cast("long")
+        .as("cents"))
+    val wRegion = Window.partitionBy(col("region"))
+    val wAll = Window.partitionBy()
+    byNation
+      .withColumn("region_cents", sum(col("cents")).over(wRegion))
+      .withColumn("total_cents", sum(col("cents")).over(wAll))
+      .select(col("region"), col("nation"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("cents").cast("double") /
+          col("region_cents").cast("double"), 6).as("pct_of_region"),
+        round(col("region_cents").cast("double") /
+          col("total_cents").cast("double"), 6).as("region_pct_of_total"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** Maximum drawdown of daily revenue per quarter: the largest relative
+    * drop from a running intra-quarter peak — the volatility metric on
+    * the revenue series. Running peaks are exact integer windows; the
+    * per-day drawdown ratio divides exact integers, and the quarterly
+    * max is order-independent.
+    */
+  def revenueDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = e(spark, dir).table("orders")
+      .groupBy((year(col("o_orderdate")) * 4 +
+          quarter(col("o_orderdate")) - 1).cast("int").as("qidx"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+    val wPeak = Window.partitionBy(col("qidx")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak", max(col("cents")).over(wPeak))
+      .withColumn("dd", (col("peak") - col("cents")).cast("double") /
+        col("peak").cast("double"))
+      .groupBy(col("qidx"))
+      .agg(count(lit(1)).as("n_days"),
+        round(max(col("dd")), 6).as("max_drawdown"))
+      .orderBy(col("qidx"))
+  }
+
+  /** Brand-pair monthly revenue correlation matrix — substitution and
+    * complementarity screening (negative correlation suggests
+    * cannibalization). Monthly brand revenue is exact cents; the pair
+    * frame self-joins the bounded (brand, month) rollup on month, and
+    * Pearson runs from BIGINT power sums. Emits every pair unranked.
+    */
+  def brandCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val monthly = en.table("lineitem")
+      .join(en.table("orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(en.table("part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(round(sum(col("l_extendedprice")) * 100, 0).cast("long")
+        .as("cents"))
+      .withColumn("dollars", expr("cents div 100"))
+    val b = monthly.select(col("month"), col("p_brand").as("brand_b"),
+      col("dollars").as("db"))
+    monthly.join(b, "month")
+      .filter(col("p_brand") < col("brand_b"))
+      .groupBy(col("p_brand").as("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("dollars")).as("sx"), sum(col("db")).as("sy"),
+        sum(col("dollars") * col("db")).as("sxy"),
+        sum(col("dollars") * col("dollars")).as("sxx"),
+        sum(col("db") * col("db")).as("syy"))
+      .select(col("brand_a"), col("brand_b"), col("n_months"),
+        round((col("n_months").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n_months").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n_months").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("corr"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
   /** Intra-order price-spread histogram: max minus min line price per
     * order, banded into $5000 buckets by integer division — the order
     * heterogeneity profile. Two bounded rollups; cents are exact and the
