@@ -504,6 +504,33 @@ object SparkEntry {
     "q264_revenue_drawdown" -> Relational.revenueDrawdown _,
     // brand-pair monthly revenue Pearson matrix (BIGINT power sums)
     "q265_brand_corr" -> Relational.brandCorrMatrix _,
+    // PII/blocklist scrub pressure per source (same mask as q63)
+    "q266_scrub_report" -> ((s, d) => {
+      val bl = Seq("customer", "vector")
+      eng(s, d).table("documents")
+        .select(col("source"),
+          TextAnalysis.scrubCount(col("text"), bl).as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("n")).cast("long").as("total_spans"))
+        .withColumn("flagged_rate",
+          round(col("n_flagged").cast("double") /
+            col("n_docs").cast("double"), 6))
+        .orderBy(col("source"))
+    }),
+    // whitespace vs BPE-ish token ratio per language (tokenizer cost)
+    "q267_tokenizer_fertility" -> ((s, d) => eng(s, d).table("documents")
+      .groupBy(col("lang"))
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).cast("long")
+          .as("ws_tokens"),
+        sum(TextAnalysis.bpeishTokenCount(col("text"))).cast("long")
+          .as("bpeish_tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("fertility",
+        round(col("bpeish_tokens").cast("double") /
+          col("ws_tokens").cast("double"), 6))
+      .orderBy(col("lang"))),
     "q40_term_freq" -> Relational.termFrequencies _,
     "q41_dedup_clusters" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
@@ -3224,6 +3251,32 @@ object SparkEntry {
         |   (CAST(n_months AS DOUBLE) * CAST(syy AS DOUBLE) -
         |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
         |FROM s ORDER BY brand_a, brand_b""".stripMargin,
+    "q266_scrub_report" ->
+      """WITH d AS (
+        | SELECT source, len(regexp_extract_all(text,
+        |  '(?:https?://\S+|\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b|\b\Qcustomer\E\b|\b\Qvector\E\b)'))
+        |  AS n
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_flagged,
+        | CAST(sum(n) AS BIGINT) AS total_spans,
+        | round(CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |   count(*), 6) AS flagged_rate
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q267_tokenizer_fertility" ->
+      """SELECT lang,
+        | CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+        |   AS BIGINT) AS ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT)
+        |   AS bpeish_tokens,
+        | count(*) AS n_docs,
+        | round(CAST(sum(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS DOUBLE) /
+        |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+        |    AS DOUBLE), 6) AS fertility
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,
