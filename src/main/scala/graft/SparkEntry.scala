@@ -519,6 +519,11 @@ object SparkEntry {
             col("n_docs").cast("double"), 6))
         .orderBy(col("source"))
     }),
+    // lineitems-per-order fan distribution + skew factor (salt preflight)
+    "q268_join_skew" -> Relational.joinSkewDiagnosis _,
+    // intra-source top-quartile quality vs mean — score calibration
+    "q269_score_calibration" -> ((s, d) =>
+      Corpus.scoreCalibration(eng(s, d).table("documents"))),
     // whitespace vs BPE-ish token ratio per language (tokenizer cost)
     "q267_tokenizer_fertility" -> ((s, d) => eng(s, d).table("documents")
       .groupBy(col("lang"))
@@ -3277,6 +3282,37 @@ object SparkEntry {
         |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
         |    AS DOUBLE), 6) AS fertility
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q268_join_skew" ->
+      """WITH fans AS (
+        | SELECT l_orderkey, count(*) AS fan FROM lineitem GROUP BY 1),
+        |st AS (SELECT count(*) AS n_keys, CAST(sum(fan) AS BIGINT)
+        |   AS n_rows, CAST(max(fan) AS BIGINT) AS max_fan FROM fans)
+        |SELECT fan, count(*) AS n_keys_at_fan,
+        | round(CAST(max_fan AS DOUBLE) * CAST(n_keys AS DOUBLE) /
+        |   CAST(n_rows AS DOUBLE), 6) AS skew_factor
+        |FROM fans, st GROUP BY fan, max_fan, n_keys, n_rows
+        |ORDER BY fan""".stripMargin,
+    "q269_score_calibration" ->
+      """WITH sc AS (
+        | SELECT doc_id, source,
+        |  0.4 * least(len(string_split(text, ' ')) / 64.0, 1.0)
+        |   + 0.3 * (CAST(len(list_distinct(string_split(text, ' ')))
+        |       AS DOUBLE) / len(string_split(text, ' ')))
+        |   + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '',
+        |       'g')) AS DOUBLE) / length(text)) AS q
+        | FROM documents),
+        |r AS (
+        | SELECT source, q,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY q DESC, doc_id) AS BIGINT) AS rk,
+        |  count(*) OVER (PARTITION BY source) AS ns
+        | FROM sc)
+        |SELECT source, count(*) AS n_docs,
+        | round(avg(q), 6) AS mean_quality,
+        | round(sum(CASE WHEN rk * 4 <= ns THEN q ELSE 0 END) /
+        |   CAST(sum(CASE WHEN rk * 4 <= ns THEN 1 ELSE 0 END) AS DOUBLE),
+        |   6) AS top_quartile_mean
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

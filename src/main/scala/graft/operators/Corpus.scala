@@ -1600,6 +1600,31 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** Per-source quality-score calibration: each source's document count,
+    * mean rounded quality, and the mean quality of its own top quartile
+    * (intra-source rank by the bit-portable unrounded score, doc_id
+    * tiebreak; the quartile cut is exact integer arithmetic) — "does a
+    * good doc from source A mean the same as from source B". Scores are
+    * rounded only at the aggregate edge.
+    */
+  def scoreCalibration(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      graft.functions.TextAnalysis.qualityScore(col("text")).as("q"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+    val n = Window.partitionBy(col("source"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("ns", count(lit(1)).over(n))
+      .withColumn("top_q", (col("rk") * 4 <= col("ns")).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("q")), 6).as("mean_quality"),
+        round(sum(when(col("top_q") === 1, col("q")).otherwise(0.0)) /
+          sum(col("top_q")).cast("double"), 6).as("top_quartile_mean"))
+      .orderBy(col("source"))
+  }
+
   /** Dedup funnel report: the whole duplicate-removal cascade in one
     * per-source row — raw docs, exact-distinct texts, normalized-
     * distinct texts, and near-dup keep-list survivors. The one-table

@@ -2182,6 +2182,25 @@ object Relational {
       .orderBy(col("brand_a"), col("brand_b"))
   }
 
+  /** Join-skew diagnosis for the orderkey fan: the distribution of
+    * lineitems per order (the join multiplicity) — count of keys per
+    * fan size plus the global skew factor (max/mean, in exact
+    * cross-multiplied integer terms before the one rounded ratio). The
+    * preflight that decides whether a join needs salting.
+    */
+  def joinSkewDiagnosis(spark: SparkSession, dir: String): DataFrame = {
+    val fans = e(spark, dir).table("lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("fan"))
+    val stats = fans.agg(count(lit(1)).as("n_keys"),
+      sum(col("fan")).as("n_rows"), max(col("fan")).as("max_fan"))
+    fans.groupBy(col("fan")).agg(count(lit(1)).as("n_keys_at_fan"))
+      .crossJoin(broadcast(stats))
+      .select(col("fan"), col("n_keys_at_fan"),
+        round(col("max_fan").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double"), 6).as("skew_factor"))
+      .orderBy(col("fan"))
+  }
+
   /** Intra-order price-spread histogram: max minus min line price per
     * order, banded into $5000 buckets by integer division — the order
     * heterogeneity profile. Two bounded rollups; cents are exact and the
