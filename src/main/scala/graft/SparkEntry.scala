@@ -521,6 +521,14 @@ object SparkEntry {
     }),
     // lineitems-per-order fan distribution + skew factor (salt preflight)
     "q268_join_skew" -> Relational.joinSkewDiagnosis _,
+    // per-type vs rest KS statistic on the quantized value ECDF
+    "q270_ks_drift" -> EventAnalytics.ksDrift _,
+    // purchase×click daily cross-correlation at lags −3..+3
+    "q271_event_ccf" -> ((s, d) => EventAnalytics.eventCcf(s, d)),
+    // 30-min-gap session entry/exit contingency with session shares
+    "q272_entry_exit" -> EventAnalytics.sessionEntryExit _,
+    // header/detail invoice reconciliation in exact per-line cents
+    "q273_price_reconcile" -> Quality.priceReconciliation _,
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -3313,6 +3321,95 @@ object SparkEntry {
         |   CAST(sum(CASE WHEN rk * 4 <= ns THEN 1 ELSE 0 END) AS DOUBLE),
         |   6) AS top_quartile_mean
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q270_ks_drift" ->
+      """WITH c AS (
+        | SELECT CAST(floor(value * 10) AS BIGINT) AS bin, event_type,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2),
+        |pb AS (SELECT bin, sum(cnt) AS tot FROM c GROUP BY 1),
+        |d AS (
+        | SELECT g.bin, g.event_type, COALESCE(c.cnt, 0) AS cnt, g.tot
+        | FROM (SELECT pb.bin, t.event_type, pb.tot FROM pb
+        |   CROSS JOIN (SELECT DISTINCT event_type FROM c) t) g
+        | LEFT JOIN c ON g.bin = c.bin AND g.event_type = c.event_type),
+        |cum AS (
+        | SELECT event_type,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum_t,
+        |  sum(tot) OVER (PARTITION BY event_type ORDER BY bin)
+        |    AS cum_all,
+        |  sum(cnt) OVER (PARTITION BY event_type) AS n_t,
+        |  sum(tot) OVER (PARTITION BY event_type) AS n_all
+        | FROM d)
+        |SELECT event_type, CAST(max(n_t) AS BIGINT) AS n_events,
+        | round(max(abs(CAST(cum_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+        |  CAST(cum_all - cum_t AS DOUBLE) /
+        |  CAST(n_all - n_t AS DOUBLE))), 6) AS ks_stat
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q271_event_ccf" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |j AS (
+        | SELECT l.lag_days, a.cnt AS a, b.cnt AS b
+        | FROM daily a
+        | CROSS JOIN (SELECT CAST(range AS INTEGER) AS lag_days
+        |   FROM range(-3, 4)) l
+        | JOIN daily b ON b.event_type = 'click'
+        |  AND b.day = a.day + to_days(l.lag_days)
+        | WHERE a.event_type = 'purchase'),
+        |s AS (
+        | SELECT lag_days, count(*) AS n_days,
+        |  sum(a) AS sx, sum(b) AS sy, sum(a * b) AS sxy,
+        |  sum(a * a) AS sxx, sum(b * b) AS syy
+        | FROM j GROUP BY 1)
+        |SELECT lag_days, n_days,
+        | round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |  sqrt(CAST((n_days * sxx - sx * sx) *
+        |   (n_days * syy - sy * sy) AS DOUBLE)), 6) AS ccf
+        |FROM s ORDER BY lag_days""".stripMargin,
+    "q272_entry_exit" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR
+        |   ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |   AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS sid
+        | FROM flagged),
+        |per AS (
+        | SELECT DISTINCT user_id, sid,
+        |  first_value(event_type) OVER ws AS entry_type,
+        |  last_value(event_type) OVER ws AS exit_type
+        | FROM sess
+        | WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |tot AS (SELECT count(*) AS n_total FROM per)
+        |SELECT entry_type, exit_type, count(*) AS n_sessions,
+        | round(CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |  AS session_share
+        |FROM per, tot GROUP BY entry_type, exit_type, n_total
+        |ORDER BY entry_type, exit_type""".stripMargin,
+    "q273_price_reconcile" ->
+      """WITH lc AS (
+        | SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) *
+        |   (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS line_cents
+        | FROM lineitem GROUP BY 1),
+        |d AS (
+        | SELECT o_orderstatus,
+        |  COALESCE(lc.line_cents, 0) -
+        |   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS diff_cents
+        | FROM orders LEFT JOIN lc ON o_orderkey = l_orderkey)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CASE WHEN abs(diff_cents) > 1 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_mismatch,
+        | CAST(max(abs(diff_cents)) AS BIGINT) AS max_abs_diff_cents,
+        | round(avg(CAST(abs(diff_cents) AS DOUBLE)) / 100.0, 6)
+        |  AS avg_abs_diff_usd
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

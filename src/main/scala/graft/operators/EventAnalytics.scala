@@ -582,4 +582,130 @@ object EventAnalytics {
         col("n_kept").cast("double") / col("n_events").cast("double"), 6))
       .orderBy(col("event_type"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift audit: for every event type,
+    * the KS statistic between its `value` distribution and the pooled
+    * rest of the traffic — sup over the ECDF gap. The distribution-shape
+    * complement to the PSI report (q168): PSI needs a binning choice to
+    * interpret, KS is the assumption-free "did this segment's value
+    * distribution move" gate.
+    *
+    * Scale shape: values are first quantized onto a fixed 0.1-wide grid
+    * (the statistic is then EXACT for the quantized distributions, and
+    * the oracle replicates the grid), so every downstream frame is
+    * bounded by #bins·#types, not events. The cumulative sums run in
+    * per-type window partitions over that dense zero-filled grid — no
+    * global single-partition window, no raw-event shuffle beyond the
+    * first groupBy.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDriftOf(new graft.cube.Engine(spark, dir).table("events"))
+
+  /** df-based core of [[ksDrift]] — needs (event_type, value). */
+  def ksDriftOf(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(col("event_type"),
+        expr("CAST(floor(value * 10) AS BIGINT)").as("bin"))
+      .groupBy(col("bin"), col("event_type")).agg(count(lit(1)).as("cnt"))
+    val perBin = counts.groupBy(col("bin")).agg(sum(col("cnt")).as("tot"))
+    // dense (bin × type) grid, zero-filled: a bin where a type is absent
+    // still moves the REST's ECDF, so the sup must be evaluated there
+    val dense = perBin
+      .crossJoin(counts.select(col("event_type")).distinct())
+      .join(counts, Seq("bin", "event_type"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wType = Window.partitionBy(col("event_type"))
+    dense
+      .withColumn("cum_t", sum(col("cnt")).over(wCum))
+      .withColumn("cum_all", sum(col("tot")).over(wCum))
+      .withColumn("n_t", sum(col("cnt")).over(wType))
+      .withColumn("n_all", sum(col("tot")).over(wType))
+      .withColumn("gap", abs(
+        col("cum_t").cast("double") / col("n_t").cast("double") -
+          (col("cum_all") - col("cum_t")).cast("double") /
+            (col("n_all") - col("n_t")).cast("double")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_t")).as("n_events"),
+        round(max(col("gap")), 6).as("ks_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Cross-correlation function between the purchase and click daily
+    * series at lags −3..+3 days: does click volume LEAD purchases (the
+    * marketing-latency question), and by how many days? Pearson over the
+    * lag-aligned day pairs, computed from exact integer power sums (the
+    * q196 portability discipline — the only float op is the final
+    * division). The raw table collapses to ≤ #days rows per series
+    * before any lag work, so the lag fan-out (7×) is over the tiny daily
+    * frame, never events.
+    */
+  def eventCcf(spark: SparkSession, dir: String, maxLag: Int = 3): DataFrame = {
+    val daily = new graft.cube.Engine(spark, dir).table("events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.filter(col("event_type") === "purchase")
+      .select(col("day"), col("cnt").as("a"))
+    val b = daily.filter(col("event_type") === "click")
+      .select(col("day").as("bday"), col("cnt").as("b"))
+    val lags = spark.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").cast("int").as("lag_days"))
+    a.crossJoin(broadcast(lags))
+      .join(b, expr("bday = date_add(day, lag_days)"))
+      .groupBy(col("lag_days"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a")).as("sx"), sum(col("b")).as("sy"),
+        sum(col("a") * col("b")).as("sxy"),
+        sum(col("a") * col("a")).as("sxx"),
+        sum(col("b") * col("b")).as("syy"))
+      .select(col("lag_days"), col("n_days"),
+        round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          sqrt(((col("n_days") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_days") * col("syy") - col("sy") * col("sy")))
+            .cast("double")), 6).as("ccf"))
+      .orderBy(col("lag_days"))
+  }
+
+  /** Session entry/exit matrix: sessionize on a 30-minute inactivity gap
+    * (the q176 session definition, same flagging SQL), take each
+    * session's first and last event type, and report the
+    * (entry, exit) contingency with its share of all sessions — the
+    * "how do visits start and end" table every funnel review opens with.
+    * One user-keyed shuffle; the entry/exit pick is a struct-ordered
+    * min/max inside the session rollup (no second window pass), ties
+    * impossible because event_id is unique within the ordering key.
+    */
+  def sessionEntryExit(spark: SparkSession, dir: String): DataFrame =
+    sessionEntryExitOf(new graft.cube.Engine(spark, dir).table("events"))
+
+  /** df-based core of [[sessionEntryExit]] — needs
+    * (user_id, ts, event_id, event_type).
+    */
+  def sessionEntryExitOf(events: DataFrame): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val perSess = events
+      .withColumn("prev", lag(col("ts"), 1).over(wu))
+      .withColumn("new_s", when(col("prev").isNull ||
+        col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit_type"))
+    val total = perSess.agg(count(lit(1)).as("n_total"))
+    perSess.groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(broadcast(total))
+      .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+        round(col("n_sessions").cast("double") /
+          col("n_total").cast("double"), 6).as("session_share"))
+      .orderBy(col("entry_type"), col("exit_type"))
+  }
 }

@@ -151,4 +151,35 @@ object Quality {
           .as("psi_term"))
       .orderBy(col("bin"))
   }
+
+  /** Header/detail price reconciliation: recompute each order's total
+    * from its lines (`extendedprice · (1−discount) · (1+tax)`) and audit
+    * the drift against the stored `o_totalprice`, per order status —
+    * the invoice-reconciliation check (and the first thing a warehouse
+    * migration validates). All arithmetic is in exact integer cents,
+    * rounded PER LINE before the sum, so the aggregate is
+    * order-independent across partitions (a float sum here would differ
+    * between engines in the last ulp); orders with no lines reconcile
+    * against 0. One key-only rollup of lineitem, then a join on the
+    * order key — both shuffles carry two columns each.
+    */
+  def priceReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val en = new Engine(spark, dir)
+    val lines = en.table("lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * " +
+        "(1 + l_tax) * 100, 0) AS BIGINT)")).as("line_cents"))
+    en.table("orders")
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("diff_cents", coalesce(col("line_cents"), lit(0L)) -
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(abs(col("diff_cents")) > 1, 1L).otherwise(0L))
+          .as("n_mismatch"),
+        max(abs(col("diff_cents"))).as("max_abs_diff_cents"),
+        round(avg(abs(col("diff_cents")).cast("double")) / 100.0, 6)
+          .as("avg_abs_diff_usd"))
+      .orderBy(col("o_orderstatus"))
+  }
 }
