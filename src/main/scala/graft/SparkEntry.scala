@@ -529,6 +529,23 @@ object SparkEntry {
     "q272_entry_exit" -> EventAnalytics.sessionEntryExit _,
     // header/detail invoice reconciliation in exact per-line cents
     "q273_price_reconcile" -> Quality.priceReconciliation _,
+    // Spearman (average-rank) size~price correlation per part type
+    "q274_spearman" -> Relational.spearmanSizePrice _,
+    // Theil-T revenue inequality decomposed within/between nation
+    "q275_theil" -> Relational.theilByNation _,
+    // Hill tail-index of the user activity distribution
+    "q276_activity_tail" -> ((s, d) => EventAnalytics.activityTailIndex(s, d)),
+    // first- vs last-touch attribution per channel (7-day RANGE frame)
+    "q277_attribution_models" -> ((s, d) =>
+      EventAnalytics.attributionCompare(s, d)),
+    // upper-triangle label-pair centroid cosine matrix
+    "q278_centroid_matrix" -> ((s, d) =>
+      Similarity.centroidSimilarityMatrix(eng(s, d).table("embeddings"))),
+    // per-source function-word (data-derived top-10) L1 divergence
+    "q279_stylometry" -> ((s, d) =>
+      Corpus.stylometryProfile(eng(s, d).table("documents"))),
+    // Goh–Barabási inter-arrival burstiness per event type
+    "q280_interarrival_burst" -> EventAnalytics.interArrivalBurstiness _,
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -3410,6 +3427,157 @@ object SparkEntry {
         | round(avg(CAST(abs(diff_cents) AS DOUBLE)) / 100.0, 6)
         |  AS avg_abs_diff_usd
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q274_spearman" ->
+      """WITH rk AS (
+        | SELECT p_type,
+        |  rank() OVER (PARTITION BY p_type ORDER BY p_size) +
+        |   (count(*) OVER (PARTITION BY p_type, p_size) - 1) / 2.0
+        |   AS rx,
+        |  rank() OVER (PARTITION BY p_type ORDER BY p_retailprice) +
+        |   (count(*) OVER (PARTITION BY p_type, p_retailprice) - 1) / 2.0
+        |   AS ry
+        | FROM part),
+        |s AS (
+        | SELECT p_type, CAST(count(*) AS DOUBLE) AS n,
+        |  sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
+        |  sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+        | FROM rk GROUP BY 1)
+        |SELECT p_type, CAST(n AS BIGINT) AS n_parts,
+        | round((n * sxy - sx * sy) /
+        |  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |  AS spearman
+        |FROM s
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |ORDER BY p_type""".stripMargin,
+    "q275_theil" ->
+      """WITH pc AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM orders GROUP BY 1 HAVING cents > 0),
+        |pn AS (
+        | SELECT n_name, cents FROM pc
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey),
+        |g AS (
+        | SELECT n_name, count(*) AS n_g,
+        |  CAST(sum(cents) AS BIGINT) AS s_g
+        | FROM pn GROUP BY 1),
+        |gl AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_all,
+        |  CAST(sum(s_g) AS BIGINT) AS s_all FROM g)
+        |SELECT pn.n_name, max(n_g) AS n_customers,
+        | round(CAST(max(s_g) AS DOUBLE) / CAST(max(s_all) AS DOUBLE), 6)
+        |  AS revenue_share,
+        | round(sum((CAST(cents AS DOUBLE) /
+        |    (CAST(s_g AS DOUBLE) / n_g)) *
+        |   ln(CAST(cents AS DOUBLE) /
+        |    (CAST(s_g AS DOUBLE) / n_g))) /
+        |  CAST(max(n_g) AS DOUBLE), 6) AS theil_within,
+        | round((CAST(max(s_g) AS DOUBLE) / CAST(max(s_all) AS DOUBLE)) *
+        |  ln((CAST(max(s_g) AS DOUBLE) / max(n_g)) /
+        |   (CAST(max(s_all) AS DOUBLE) / max(n_all))), 6)
+        |  AS between_term
+        |FROM pn JOIN g ON pn.n_name = g.n_name CROSS JOIN gl
+        |GROUP BY pn.n_name ORDER BY pn.n_name""".stripMargin,
+    "q276_activity_tail" ->
+      """WITH d AS (
+        | SELECT user_id, count(*) AS d FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        | CAST(sum(CASE WHEN d >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_tail,
+        | CAST(16 AS BIGINT) AS d_min,
+        | round(1.0 + CAST(sum(CASE WHEN d >= 16 THEN 1 ELSE 0 END)
+        |   AS DOUBLE) /
+        |  sum(CASE WHEN d >= 16 THEN ln(CAST(d AS DOUBLE) / 16.0) END),
+        |  6) AS hill_alpha
+        |FROM d""".stripMargin,
+    "q277_attribution_models" ->
+      """WITH t AS (
+        | SELECT event_type, value,
+        |  min(CASE WHEN event_type <> 'purchase' THEN
+        |   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+        |   lpad(CAST(event_id AS VARCHAR), 20, '0') || event_type END)
+        |   OVER w AS ft,
+        |  max(CASE WHEN event_type <> 'purchase' THEN
+        |   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+        |   lpad(CAST(event_id AS VARCHAR), 20, '0') || event_type END)
+        |   OVER w AS lt
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        | SELECT COALESCE(substr(ft, 41), 'none') AS first_ch,
+        |  COALESCE(substr(lt, 41), 'none') AS last_ch, value
+        | FROM t WHERE event_type = 'purchase'),
+        |f AS (SELECT first_ch AS channel, count(*) AS n_first,
+        |  round(sum(value), 2) AS value_first FROM p GROUP BY 1),
+        |l AS (SELECT last_ch AS channel, count(*) AS n_last,
+        |  round(sum(value), 2) AS value_last FROM p GROUP BY 1)
+        |SELECT COALESCE(f.channel, l.channel) AS channel,
+        | COALESCE(n_first, 0) AS n_first,
+        | COALESCE(value_first, 0.0) AS value_first,
+        | COALESCE(n_last, 0) AS n_last,
+        | COALESCE(value_last, 0.0) AS value_last
+        |FROM f FULL JOIN l ON f.channel = l.channel
+        |ORDER BY 1""".stripMargin,
+    "q278_centroid_matrix" ->
+      """WITH e AS (
+        | SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        | FROM embeddings,
+        |  unnest(generate_series(1, len(embedding))) AS t(i)),
+        |m AS (
+        | SELECT label, pos, avg(v) AS m FROM e GROUP BY 1, 2)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        | round(sum(a.m * b.m) /
+        |  (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m))), 6)
+        |  AS centroid_cos
+        |FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q279_stylometry" ->
+      """WITH tok AS (
+        | SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        | FROM documents),
+        |sw AS (SELECT source, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |bs AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |  FROM sw GROUP BY 1),
+        |bw AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS gcnt
+        |  FROM sw GROUP BY 1),
+        |topk AS (SELECT w, gcnt FROM bw ORDER BY gcnt DESC, w LIMIT 10),
+        |na AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_all FROM bs),
+        |grid AS (
+        | SELECT bs.source, bs.n_tokens, topk.w, topk.gcnt,
+        |  COALESCE(sw.cnt, 0) AS cnt
+        | FROM bs CROSS JOIN topk
+        | LEFT JOIN sw ON sw.source = bs.source AND sw.w = topk.w)
+        |SELECT source, max(n_tokens) AS n_tokens,
+        | round(sum(abs(CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) -
+        |  CAST(gcnt AS DOUBLE) / CAST(n_all AS DOUBLE))), 6)
+        |  AS profile_l1
+        |FROM grid CROSS JOIN na
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q280_interarrival_burst" ->
+      """WITH g AS (
+        | SELECT event_type,
+        |  (epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |   PARTITION BY user_id, event_type
+        |   ORDER BY ts, event_id))) // 1000000 AS gap
+        | FROM events),
+        |s AS (
+        | SELECT event_type, count(*) AS n_gaps,
+        |  CAST(sum(gap) AS BIGINT) AS sx,
+        |  CAST(sum(gap * gap) AS BIGINT) AS sxx
+        | FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps,
+        | round(CAST(sx AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+        | round((sqrt(CAST(sxx AS DOUBLE) / n_gaps -
+        |   (CAST(sx AS DOUBLE) / n_gaps) *
+        |   (CAST(sx AS DOUBLE) / n_gaps)) -
+        |  CAST(sx AS DOUBLE) / n_gaps) /
+        | (sqrt(CAST(sxx AS DOUBLE) / n_gaps -
+        |   (CAST(sx AS DOUBLE) / n_gaps) *
+        |   (CAST(sx AS DOUBLE) / n_gaps)) +
+        |  CAST(sx AS DOUBLE) / n_gaps), 6) AS burstiness_b
+        |FROM s ORDER BY event_type""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

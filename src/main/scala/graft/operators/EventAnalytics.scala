@@ -668,6 +668,102 @@ object EventAnalytics {
       .orderBy(col("lag_days"))
   }
 
+  /** Hill tail-index estimate of the user activity distribution:
+    * `α̂ = 1 + n_tail / Σ ln(d_i/d_min)` over users with at least
+    * `d_min` events — the "is engagement power-law and how heavy"
+    * number that decides whether per-user state needs skew handling
+    * (α ≤ 2 means unbounded variance: salt the hot users). One
+    * count-rollup then one scalar aggregation; d_min is a fixed,
+    * oracle-replicated threshold, and every ln argument is ≥ 1.
+    */
+  def activityTailIndex(spark: SparkSession, dir: String,
+      dMin: Long = 16L): DataFrame = {
+    new graft.cube.Engine(spark, dir).table("events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("d") >= dMin, 1L).otherwise(0L)).as("n_tail"),
+        sum(when(col("d") >= dMin,
+          log(col("d").cast("double") / dMin.toDouble))).as("lnsum"))
+      .select(col("n_users"), col("n_tail"), lit(dMin).as("d_min"),
+        round(lit(1.0) + col("n_tail").cast("double") / col("lnsum"), 6)
+          .as("hill_alpha"))
+  }
+
+  /** Inter-arrival burstiness per event type: the Goh–Barabási
+    * B = (σ−μ)/(σ+μ) over the gaps between consecutive same-type events
+    * of each user (B→−1 periodic, 0 Poisson, →1 bursty) — the statistic
+    * that decides whether rate limits / watermark slack can assume
+    * Poisson arrivals. Gaps are exact integer SECONDS (micros div 10⁶)
+    * so the power sums are BIGINT-exact and partial-agg order can't
+    * perturb them (squares stay < 2⁶³ through ~sf100; past that swap in
+    * a Welford-style double merge and drop hash parity). One user-keyed
+    * window pass, one bounded rollup.
+    */
+  def interArrivalBurstiness(spark: SparkSession, dir: String): DataFrame =
+    interArrivalBurstinessOf(
+      new graft.cube.Engine(spark, dir).table("events"))
+
+  /** df-based core of [[interArrivalBurstiness]] — needs
+    * (user_id, ts, event_id, event_type).
+    */
+  def interArrivalBurstinessOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap", expr("(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+        "unix_micros(CAST(prev AS TIMESTAMP))) div 1000000"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sx"),
+        sum(col("gap") * col("gap")).as("sxx"))
+      .withColumn("mu", col("sx").cast("double") / col("n_gaps"))
+      .withColumn("sigma", sqrt(col("sxx").cast("double") / col("n_gaps") -
+        col("mu") * col("mu")))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("mu"), 6).as("mean_gap_s"),
+        round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 6)
+          .as("burstiness_b"))
+      .orderBy(col("event_type"))
+  }
+
+  /** First-touch vs last-touch attribution, side by side per channel:
+    * for each purchase, the earliest and latest non-purchase event
+    * inside the 7-day lookback window (a RANGE frame over event-time
+    * micros — the moving bound a rows-frame cannot express), then one
+    * rollup per model full-outer-joined on channel. The model-delta
+    * table marketing reads before picking an attribution policy; the
+    * q161 single-model operator generalized. Purchases with no touch in
+    * the window attribute to 'none'. The struct min/max tiebreak is
+    * (ts, event_id) — unique, so portable.
+    */
+  def attributionCompare(spark: SparkSession, dir: String,
+      horizonDays: Int = 7): DataFrame = {
+    val horizonUs = horizonDays * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+      .rangeBetween(-horizonUs, -1)
+    val touch = when(col("event_type") =!= "purchase",
+      struct(col("ts"), col("event_id"), col("event_type")))
+    val purchases = new graft.cube.Engine(spark, dir).table("events")
+      .withColumn("ft", min(touch).over(w))
+      .withColumn("lt", max(touch).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("ft.event_type"), lit("none")).as("first_ch"),
+        coalesce(col("lt.event_type"), lit("none")).as("last_ch"),
+        col("value"))
+    val first = purchases.groupBy(col("first_ch").as("channel"))
+      .agg(count(lit(1)).as("n_first"),
+        round(sum(col("value")), 2).as("value_first"))
+    val last = purchases.groupBy(col("last_ch").as("channel"))
+      .agg(count(lit(1)).as("n_last"),
+        round(sum(col("value")), 2).as("value_last"))
+    first.join(last, Seq("channel"), "full")
+      .na.fill(0L, Seq("n_first", "n_last"))
+      .na.fill(0.0, Seq("value_first", "value_last"))
+      .orderBy(col("channel"))
+  }
+
   /** Session entry/exit matrix: sessionize on a 30-minute inactivity gap
     * (the q176 session definition, same flagging SQL), take each
     * session's first and last event type, and report the

@@ -2216,4 +2216,93 @@ object Relational {
       .groupBy(col("band")).agg(count(lit(1)).as("n_orders"))
       .orderBy(col("band"))
   }
+
+  /** Spearman rank correlation between part size and retail price per
+    * part type — the monotone-association twin of the Pearson q196: rank
+    * correlation survives outliers and nonlinear (but monotone) pricing
+    * curves. Ties get AVERAGE ranks (the textbook treatment):
+    * `rank() + (tie_count − 1)/2`, both computable as windows over the
+    * per-type partition, so ranks are exact k/2 decimals and the Pearson
+    * power sums over them stay reproducible across engines (final
+    * division is the only inexact op — the q196 discipline). Groups with
+    * zero variance in either variable are excluded (a 0/0 would produce
+    * NaN in Spark, ±inf/NULL in DuckDB — not a portable value).
+    */
+  def spearmanSizePrice(spark: SparkSession, dir: String): DataFrame =
+    spearmanOf(e(spark, dir).table("part")
+      .select(col("p_type"), col("p_size"), col("p_retailprice")))
+
+  /** df-based core of [[spearmanSizePrice]] — needs
+    * (p_type, p_size, p_retailprice).
+    */
+  def spearmanOf(parts: DataFrame): DataFrame = {
+    def avgRank(v: Column): Column =
+      rank().over(Window.partitionBy(col("p_type")).orderBy(v)) +
+        (count(lit(1)).over(Window.partitionBy(col("p_type"), v)) - 1) / 2.0
+    val ranked = parts
+      .withColumn("rx", avgRank(col("p_size")))
+      .withColumn("ry", avgRank(col("p_retailprice")))
+    ranked.groupBy(col("p_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("p_type"), col("n").cast("long").as("n_parts"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("spearman"))
+      .orderBy(col("p_type"))
+  }
+
+  /** Theil-T inequality decomposition of customer order revenue by
+    * nation: within-nation Theil `T_g = (1/n_g) Σ (x/μ_g)·ln(x/μ_g)`
+    * and the between-nation term `s_g·ln(μ_g/μ)` — additive, so
+    * `Σ s_g·T_g + Σ between = T_total` (pinned by spec). The
+    * concentration complement to Lorenz/Gini (q243): Theil decomposes
+    * BY GROUP, answering "is revenue inequality inside nations or
+    * across them". Revenue is summed in exact integer cents before any
+    * float op; only customers with revenue participate (ln(0) is an
+    * engine-divergent boundary — see the q211 lesson). Group stats
+    * broadcast back onto the per-customer frame (nations are bounded),
+    * so the fact shuffles once at customer grain.
+    */
+  def theilByNation(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val perCust = en.table("orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
+      .filter(col("cents") > 0)
+      .join(en.table("customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(en.table("nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("cents"))
+    val perNation = perCust.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"))
+    val global = perNation.agg(sum(col("n_g")).as("n_all"),
+      sum(col("s_g")).as("s_all"))
+    perCust
+      .join(broadcast(perNation), Seq("n_name"))
+      .crossJoin(broadcast(global))
+      .withColumn("mu_g", col("s_g").cast("double") / col("n_g"))
+      .withColumn("t_term", (col("cents").cast("double") / col("mu_g")) *
+        log(col("cents").cast("double") / col("mu_g")))
+      .groupBy(col("n_name"))
+      .agg(max(col("n_g")).as("n_customers"),
+        round(max(col("s_g")).cast("double") /
+          max(col("s_all")).cast("double"), 6).as("revenue_share"),
+        round(sum(col("t_term")) / max(col("n_g")).cast("double"), 6)
+          .as("theil_within"),
+        round((max(col("s_g")).cast("double") / max(col("s_all"))) *
+          log((max(col("s_g")).cast("double") / max(col("n_g"))) /
+            (max(col("s_all")).cast("double") / max(col("n_all")))), 6)
+          .as("between_term"))
+      .orderBy(col("n_name"))
+  }
 }

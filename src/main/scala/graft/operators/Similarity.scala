@@ -776,6 +776,32 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Label-pair centroid cosine matrix (upper triangle): which classes
+    * sit close in embedding space — the confusion-structure audit that
+    * explains a classifier's error matrix before training one. The
+    * per-(label, pos) component means come from one posexplode rollup
+    * bounded by labels × dim, the pair frame from a self-join on pos
+    * bounded by labels² × dim — never corpus-sized. Complements q204
+    * (which aggregates separation into one number per label, losing the
+    * WHICH-pair structure) and q220 (temporal drift, not cross-label).
+    */
+  def centroidSimilarityMatrix(emb: DataFrame): DataFrame = {
+    val means = emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
+    val a = means.select(col("label").as("label_a"), col("pos"),
+      col("m").as("ma"))
+    val b = means.select(col("label").as("label_b"), col("pos").as("p2"),
+      col("m").as("mb"))
+    a.join(b, col("pos") === col("p2") && col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(round(sum(col("ma") * col("mb")) /
+        (sqrt(sum(col("ma") * col("ma"))) *
+          sqrt(sum(col("mb") * col("mb")))), 6).as("centroid_cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   /** Split-half centroid drift per label: cosine between the mean
     * embedding of even vec_ids and odd vec_ids — the embedding-stability
     * audit (a healthy label's two random halves should agree; low cosine

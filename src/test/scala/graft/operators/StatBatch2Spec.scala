@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Edge semantics for the q274–q280 statistics batch: Spearman's
+  * monotone invariance and tie handling, the Theil decomposition
+  * identity, Hill/attribution/burstiness boundary values — cases the
+  * fixture-scale oracle equality can't isolate.
+  */
+class StatBatch2Spec extends SparkFunSuite {
+
+  test("spearman is exactly ±1 on monotone (even nonlinear) data and handles ties") {
+    val s = spark
+    import s.implicits._
+    // y = x³ is nonlinear but strictly monotone → Spearman exactly 1
+    // (Pearson on the same data would be < 1); 'down' reverses → −1
+    val up = (1 to 20).map(i => ("up", i, math.pow(i.toDouble, 3)))
+    val down = (1 to 20).map(i => ("down", i, -math.pow(i.toDouble, 3)))
+    // 'tied': all x equal → zero rank variance → group EXCLUDED
+    val tied = (1 to 5).map(i => ("tied", 7, i.toDouble))
+    val out = Relational.spearmanOf(
+      (up ++ down ++ tied).toDF("p_type", "p_size", "p_retailprice"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("up") == 1.0 && out("down") == -1.0)
+    assert(!out.contains("tied"))
+  }
+
+  test("theil decomposition: within + between sums to the total Theil index") {
+    val rows = Relational.theilByNation(spark, sf).collect()
+    // recompute the total directly from the same per-customer frame
+    val en = new graft.cube.Engine(spark, sf)
+    val perCust = en.table("orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
+      .filter(col("cents") > 0)
+      .join(en.table("customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val stats = perCust.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("cents")).cast("double").as("s")).head()
+    val (n, tot) = (stats.getDouble(0), stats.getDouble(1))
+    val mu = tot / n
+    val tTotal = perCust.select(
+      sum((col("cents") / mu) * log(col("cents") / mu)).as("t"))
+      .head().getDouble(0) / n
+    // Σ s_g·T_g + Σ between_g = T_total (additive decomposition)
+    val decomposed = rows.map(r =>
+      r.getDouble(2) * r.getDouble(3) + r.getDouble(4)).sum
+    assert(math.abs(decomposed - tTotal) < 1e-4,
+      s"decomposed=$decomposed total=$tTotal")
+  }
+
+  test("activity tail index is positive and tail is a subset of users") {
+    val r = EventAnalytics.activityTailIndex(spark, sf).head()
+    assert(r.getLong(1) <= r.getLong(0)) // n_tail <= n_users
+    assert(r.getDouble(3) > 1.0)         // Hill alpha > 1 by construction
+  }
+
+  test("attribution models conserve purchases across channels") {
+    val rows = EventAnalytics.attributionCompare(spark, sf).collect()
+    val purchases = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == purchases) // first-touch total
+    assert(rows.map(_.getLong(3)).sum == purchases) // last-touch total
+    // purchase can never be its own touch channel
+    assert(!rows.map(_.getString(0)).contains("purchase"))
+  }
+
+  test("burstiness is exactly -1 for periodic arrivals and bounded in (-1,1)") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // u1 'tick': perfectly periodic 60s gaps → σ=0 → B = −1
+    // u2 'burst': gaps 1s,1s,1s,597s → bursty, B > 0
+    val periodic = (0 until 10).map(i => (1L, ts(i * 60), i.toLong, "tick"))
+    val bursty = Seq(0, 1, 2, 3, 600).zipWithIndex.map { case (sec, i) =>
+      (2L, ts(sec), 100L + i, "burst")
+    }
+    val out = EventAnalytics.interArrivalBurstinessOf(
+      (periodic ++ bursty).toDF("user_id", "ts", "event_id", "event_type"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("tick") == -1.0)
+    assert(out("burst") > 0.0 && out("burst") < 1.0)
+  }
+
+  test("centroid matrix covers every label pair once with bounded cosines") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val k = emb.select(col("label")).distinct().count().toInt
+    val rows = Similarity.centroidSimilarityMatrix(emb).collect()
+    assert(rows.length == k * (k - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getInt(0) < r.getInt(1))
+      val c = r.getDouble(2)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("stylometry profile divergence is bounded by 2 and keyed per source") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = Corpus.stylometryProfile(docs).collect()
+    assert(rows.length == docs.select(col("source")).distinct().count())
+    // L1 between two probability sub-vectors (each summing ≤ 1) is ≤ 2
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 2.0))
+  }
+}
