@@ -546,6 +546,12 @@ object SparkEntry {
       Corpus.stylometryProfile(eng(s, d).table("documents"))),
     // Goh–Barabási inter-arrival burstiness per event type
     "q280_interarrival_burst" -> EventAnalytics.interArrivalBurstiness _,
+    // streaming 6h trending leaderboard: stream holds window counts,
+    // batch ranks the tiny rollup (top-3 per window, name tiebreak)
+    "q281_stream_trending" -> ((s, d) => EventsStream.trendingTopK(s, d)),
+    // per-label member-to-centroid cosine census (outliers below 0.5)
+    "q282_semantic_outliers" -> ((s, d) =>
+      Similarity.semanticOutliers(eng(s, d).table("embeddings"))),
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -3578,6 +3584,41 @@ object SparkEntry {
         |   (CAST(sx AS DOUBLE) / n_gaps)) +
         |  CAST(sx AS DOUBLE) / n_gaps), 6) AS burstiness_b
         |FROM s ORDER BY event_type""".stripMargin,
+    "q281_stream_trending" ->
+      """WITH c AS (
+        | SELECT make_timestamp((epoch_us(ts) // 21600000000)
+        |   * 21600000000) AS win_start,
+        |  event_type, count(*) AS n_events
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT win_start, event_type, n_events,
+        |  CAST(rank() OVER (PARTITION BY win_start
+        |   ORDER BY n_events DESC, event_type) AS INTEGER) AS rk
+        | FROM c)
+        |SELECT win_start, event_type, n_events, rk
+        |FROM r WHERE rk <= 3
+        |ORDER BY win_start, rk, event_type""".stripMargin,
+    "q282_semantic_outliers" ->
+      """WITH e AS (
+        | SELECT label, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE)
+        |   AS v
+        | FROM embeddings,
+        |  unnest(generate_series(1, len(embedding))) AS t(i)),
+        |cent AS (
+        | SELECT label, pos, avg(v) AS m FROM e GROUP BY 1, 2),
+        |cn AS (SELECT label, sum(m * m) AS c2 FROM cent GROUP BY 1),
+        |pv AS (
+        | SELECT e.label, e.vec_id,
+        |  round(sum(e.v * cent.m) /
+        |   (sqrt(sum(e.v * e.v)) * sqrt(any_value(cn.c2))), 6) AS cos
+        | FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+        |  JOIN cn ON e.label = cn.label
+        | GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_members,
+        | round(avg(cos), 6) AS mean_cos,
+        | CAST(sum(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_outliers
+        |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

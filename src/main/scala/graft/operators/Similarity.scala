@@ -776,6 +776,41 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Per-label semantic outlier census: each member's cosine to its OWN
+    * label centroid, rolled up to (n_members, mean cosine, count below
+    * 0.5) — the mislabeled-point estimate that triages a labeled
+    * embedding set before training on it. The centroid table is bounded
+    * (labels × dim) and broadcasts; the member dot products come from a
+    * map-side posexplode whose (vec_id, label) re-combine is map-side
+    * partial-aggregated (components of one vector are adjacent), so the
+    * shuffle carries one row per vector. Cosines are rounded to 6dp
+    * BEFORE the threshold test so both engines compare the same
+    * quantized value (similarity cutoffs on raw doubles are not
+    * portable).
+    */
+  def semanticOutliers(emb: DataFrame): DataFrame = {
+    val exploded = emb.select(col("label"), col("vec_id"),
+      posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "v")))
+    val cent = exploded.groupBy(col("label"), col("pos"))
+      .agg((sum(col("v")) / count(lit(1))).as("m"))
+    val cnorm = cent.groupBy(col("label"))
+      .agg(sum(col("m") * col("m")).as("c2"))
+    val perVec = exploded
+      .join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("v") * col("m")).as("dot"),
+        sum(col("v") * col("v")).as("v2"))
+      .join(broadcast(cnorm), Seq("label"))
+      .withColumn("cos", round(col("dot") /
+        (sqrt(col("v2")) * sqrt(col("c2"))), 6))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("cos")), 6).as("mean_cos"),
+        sum(when(col("cos") < 0.5, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("label"))
+  }
+
   /** Label-pair centroid cosine matrix (upper triangle): which classes
     * sit close in embedding space — the confusion-structure audit that
     * explains a classifier's error matrix before training one. The

@@ -688,4 +688,30 @@ object EventsStream {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** Streaming trending leaderboard: tumbling 6-hour windows of
+    * per-type counts maintained by the STREAM (watermarked windowed
+    * group-by — the unbounded, heavy half), then the top-3 rank per
+    * window computed batch-side over the drained window×type frame
+    * (bounded: #windows · #types rows — never event-sized). This is the
+    * standard trending-topics split: state in the stream, leaderboard on
+    * the tiny rollup. Ties rank deterministically by type name.
+    */
+  def trendingTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val agg = streamingEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val drained = runToMemory(agg, "graft_stream_trending",
+      OutputMode.Complete())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    drained
+      .select(col("window.start").cast(TimestampNTZType).as("win_start"),
+        col("event_type"), col("n_events"))
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= k)
+      .orderBy(col("win_start"), col("rk"), col("event_type"))
+  }
 }

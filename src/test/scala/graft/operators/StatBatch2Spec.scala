@@ -97,6 +97,16 @@ class StatBatch2Spec extends SparkFunSuite {
     }
   }
 
+  test("semantic outliers: every member counted once, cosines to own centroid bounded") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val rows = Similarity.semanticOutliers(emb).collect()
+    assert(rows.map(_.getLong(1)).sum == emb.count())
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1))                 // outliers <= members
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("stylometry profile divergence is bounded by 2 and keyed per source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val rows = Corpus.stylometryProfile(docs).collect()

@@ -523,4 +523,25 @@ class StreamSemanticsSpec extends SparkFunSuite {
     assert(kept().sorted == Seq(0L, 0L, 1L, 1L, 1L))
     q.stop()
   }
+
+  test("trending leaderboard ranks top-3 per window with deterministic tiebreak") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.EventsStream.trendingTopK(spark, sf).cache()
+    try {
+      // every window emits at most 3 ranked rows, ranks start at 1
+      val perWin = out.groupBy(col("win_start"))
+        .agg(count(lit(1)).as("n"), min(col("rk")).as("lo"),
+          max(col("rk")).as("hi"))
+        .collect()
+      perWin.foreach { r =>
+        assert(r.getLong(1) <= 3 && r.getInt(2) == 1 && r.getInt(3) <= 3)
+      }
+      // rank order within a window follows count desc, then type asc
+      val one = out.filter(col("win_start") ===
+        out.select(min(col("win_start"))).head().getAs[Any](0))
+        .orderBy(col("rk")).collect()
+      val counts = one.map(_.getLong(2)).toSeq
+      assert(counts == counts.sortBy(-_))
+    } finally out.unpersist()
+  }
 }
