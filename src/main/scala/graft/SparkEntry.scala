@@ -552,6 +552,12 @@ object SparkEntry {
     // per-label member-to-centroid cosine census (outliers below 0.5)
     "q282_semantic_outliers" -> ((s, d) =>
       Similarity.semanticOutliers(eng(s, d).table("embeddings"))),
+    // 12-step power iteration on the event-type transition chain
+    "q283_markov_stationary" -> ((s, d) =>
+      EventAnalytics.markovStationary(s, d)),
+    // fixed-basket (1995) Laspeyres price index per year
+    "q284_price_index" -> ((s, d) =>
+      Relational.laspeyresPriceIndex(s, d)),
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -3619,6 +3625,50 @@ object SparkEntry {
         | CAST(sum(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
         |  AS n_outliers
         |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q283_markov_stationary" -> {
+      // the q90 discipline: a FIXED iteration count unrolled as CTEs so
+      // the oracle replicates the power iteration exactly
+      def iter(k: Int) =
+        s"""r$k AS (
+           | SELECT p.nxt AS state, sum(r.prob * p.p) AS prob
+           | FROM r${k - 1} r JOIN p ON r.state = p.cur GROUP BY 1)"""
+          .stripMargin
+      """WITH tr AS (
+        | SELECT event_type AS cur,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS nxt
+        | FROM events),
+        |c AS (
+        | SELECT cur, nxt, count(*) AS cnt FROM tr
+        | WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1),
+        |p AS (
+        | SELECT c.cur, c.nxt, CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)
+        |   AS p
+        | FROM c JOIN t ON c.cur = t.cur),
+        |states AS (SELECT DISTINCT cur AS state FROM p),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM states),
+        |r0 AS (SELECT state, 1.0 / nn.n AS prob
+        |  FROM states CROSS JOIN nn),
+        |""".stripMargin +
+        (1 to 12).map(iter).mkString(",\n") +
+        "\nSELECT state AS event_type, round(prob, 6) AS stationary_prob" +
+        "\nFROM r12 ORDER BY event_type"
+    },
+    "q284_price_index" ->
+      """WITH py AS (
+        | SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, l_partkey,
+        |  sum(l_extendedprice) / sum(l_quantity) AS unit,
+        |  sum(l_quantity) AS sq
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1, 2),
+        |b AS (SELECT l_partkey, unit AS unit0, sq AS q0 FROM py
+        |  WHERE yr = 1995)
+        |SELECT yr, count(*) AS n_parts,
+        | round(sum(unit * q0) / sum(unit0 * q0), 6) AS laspeyres_idx
+        |FROM py JOIN b USING (l_partkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

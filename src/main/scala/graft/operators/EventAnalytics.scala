@@ -689,6 +689,46 @@ object EventAnalytics {
           .as("hill_alpha"))
   }
 
+  /** Stationary distribution of the event-type Markov chain: where does
+    * a user's behavior settle if the observed transition structure
+    * (q98's per-user consecutive pairs) keeps running — the long-run
+    * attention share per surface. Power iteration from uniform, a FIXED
+    * 12 steps (the chain is a dense stochastic matrix over ≤ #types
+    * states; contraction makes 12 ample, and a fixed count is
+    * reproducible where a convergence test is not — the oracle unrolls
+    * the same 12 steps as CTEs, the q90 discipline). Only the
+    * transition-count rollup touches events; the iteration runs on the
+    * #types² probability frame, localCheckpointed once so the loop's
+    * lineage stays flat.
+    */
+  def markovStationary(spark: SparkSession, dir: String,
+      iters: Int = 12): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = new graft.cube.Engine(spark, dir).table("events")
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = trans.groupBy(col("cur")).agg(sum(col("cnt")).as("tot"))
+    val p = trans.join(totals, "cur")
+      .select(col("cur"), col("nxt"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+      .localCheckpoint()
+    val states = p.select(col("cur").as("state")).distinct()
+    val n = states.count().toDouble // bounded: #event types
+    var r = states.select(col("state"), lit(1.0 / n).as("prob"))
+    for (_ <- 1 to iters) {
+      r = r.join(p, col("state") === col("cur"))
+        .groupBy(col("nxt"))
+        .agg(sum(col("prob") * col("p")).as("prob"))
+        .select(col("nxt").as("state"), col("prob"))
+    }
+    r.select(col("state").as("event_type"),
+        round(col("prob"), 6).as("stationary_prob"))
+      .orderBy(col("event_type"))
+  }
+
   /** Inter-arrival burstiness per event type: the Goh–Barabási
     * B = (σ−μ)/(σ+μ) over the gaps between consecutive same-type events
     * of each user (B→−1 periodic, 0 Poisson, →1 bursty) — the statistic

@@ -2258,6 +2258,37 @@ object Relational {
       .orderBy(col("p_type"))
   }
 
+  /** Laspeyres price index per year: realized unit prices
+    * (Σ extendedprice / Σ quantity per part-year) weighted by the BASE
+    * year's (1995) quantity basket — "what would 1995's purchases cost
+    * at year y's prices", the standard fixed-basket inflation measure.
+    * Only parts traded in both the base year and year y enter (the
+    * matched basket). Two bounded rollups at (year, part) grain and a
+    * base-side broadcast-scale join; the fact scans once.
+    */
+  def laspeyresPriceIndex(spark: SparkSession, dir: String,
+      baseYear: Int = 1995): DataFrame = {
+    val en = e(spark, dir)
+    val py = en.table("lineitem")
+      .join(en.table("orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"), col("l_partkey"))
+      .agg(sum(col("l_extendedprice")).as("sp"),
+        sum(col("l_quantity")).as("sq"))
+      .withColumn("unit", col("sp") / col("sq"))
+    val base = py.filter(col("yr") === baseYear)
+      .select(col("l_partkey").as("bpart"), col("unit").as("unit0"),
+        col("sq").as("q0"))
+    py.join(base, col("l_partkey") === col("bpart"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("unit") * col("q0")).as("num"),
+        sum(col("unit0") * col("q0")).as("den"))
+      .select(col("yr"), col("n_parts"),
+        round(col("num") / col("den"), 6).as("laspeyres_idx"))
+      .orderBy(col("yr"))
+  }
+
   /** Theil-T inequality decomposition of customer order revenue by
     * nation: within-nation Theil `T_g = (1/n_g) Σ (x/μ_g)·ln(x/μ_g)`
     * and the between-nation term `s_g·ln(μ_g/μ)` — additive, so

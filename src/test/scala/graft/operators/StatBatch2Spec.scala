@@ -97,6 +97,20 @@ class StatBatch2Spec extends SparkFunSuite {
     }
   }
 
+  test("markov stationary distribution stays normalized and strictly positive") {
+    val rows = EventAnalytics.markovStationary(spark, sf).collect()
+    val probs = rows.map(_.getDouble(1))
+    assert(math.abs(probs.sum - 1.0) < 1e-6) // row-stochastic chain preserves mass
+    probs.foreach(p => assert(p > 0.0))      // dense chain: no absorbing zero state
+  }
+
+  test("laspeyres index is exactly 1 in the base year") {
+    val rows = Relational.laspeyresPriceIndex(spark, sf).collect()
+    val byYear = rows.map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(byYear(1995) == 1.0) // base basket at base prices
+    assert(rows.map(_.getLong(1)).forall(_ > 0))
+  }
+
   test("semantic outliers: every member counted once, cosines to own centroid bounded") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val rows = Similarity.semanticOutliers(emb).collect()
