@@ -558,6 +558,11 @@ object SparkEntry {
     // fixed-basket (1995) Laspeyres price index per year
     "q284_price_index" -> ((s, d) =>
       Relational.laspeyresPriceIndex(s, d)),
+    // char-trigram compressibility proxy per source (templated share)
+    "q285_compressibility" -> ((s, d) =>
+      Corpus.compressibility(eng(s, d).table("documents"))),
+    // revenue whale curve: customer deciles by distributed rank
+    "q286_whale_curve" -> Relational.whaleCurve _,
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -3669,6 +3674,45 @@ object SparkEntry {
         | round(sum(unit * q0) / sum(unit0 * q0), 6) AS laspeyres_idx
         |FROM py JOIN b USING (l_partkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q285_compressibility" ->
+      """WITH pd AS (
+        | SELECT source,
+        |  round(CAST(len(list_distinct(list_transform(
+        |    generate_series(1, length(text) - 2),
+        |    i -> substr(text, i, 3)))) AS DOUBLE) /
+        |   CAST(length(text) - 2 AS DOUBLE), 6) AS ratio
+        | FROM documents WHERE length(text) >= 3)
+        |SELECT source, count(*) AS n_docs,
+        | round(avg(ratio), 6) AS mean_tri_ratio,
+        | round(sum(CASE WHEN ratio < 0.3 THEN 1.0 ELSE 0.0 END) /
+        |  count(*), 6) AS templated_share
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q286_whale_curve" ->
+      """WITH pc AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |r AS (
+        | SELECT cents,
+        |  row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+        |  count(*) OVER () AS n FROM pc),
+        |d AS (
+        | SELECT CAST((rk - 1) * 10 // n AS INTEGER) AS decile,
+        |  count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS c
+        | FROM r GROUP BY 1),
+        |cum AS (
+        | SELECT decile, n_customers, c,
+        |  CAST(sum(c) OVER (ORDER BY decile) AS BIGINT) AS cumc,
+        |  CAST(sum(c) OVER () AS BIGINT) AS tot
+        | FROM d)
+        |SELECT decile, n_customers,
+        | round(CAST(c AS DOUBLE) / 100.0, 2) AS revenue_usd,
+        | round(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |  AS revenue_share,
+        | round(CAST(cumc AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |  AS cum_share
+        |FROM cum ORDER BY decile""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

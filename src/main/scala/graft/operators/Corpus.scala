@@ -1777,6 +1777,31 @@ object Corpus {
     * per-source totals broadcast back, so the text itself never moves
     * twice.
     */
+  /** Compressibility proxy per source: distinct/total character-trigram
+    * ratio per document (the cheap stand-in for a gzip ratio — low means
+    * repetitive/templated text), rolled up to mean ratio and the share
+    * of documents under 0.3. The trigram list is built by native
+    * higher-order functions (`transform(sequence(...))` — codegen'd, no
+    * UDF, no explode: the per-doc ratio never leaves the row). Docs
+    * under 3 chars are excluded on BOTH engines (`sequence(1, n)` needs
+    * n ≥ 1). Ratios are rounded to 6dp before the threshold test (the
+    * cutoff-portability rule).
+    */
+  def compressibility(docs: DataFrame): DataFrame = {
+    val tri = expr(
+      "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    val perDoc = docs.filter(length(col("text")) >= 3)
+      .select(col("source"),
+        round(size(array_distinct(tri)).cast("double") /
+          size(tri).cast("double"), 6).as("ratio"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ratio")), 6).as("mean_tri_ratio"),
+        round(sum(when(col("ratio") < 0.3, 1.0).otherwise(0.0)) /
+          count(lit(1)), 6).as("templated_share"))
+      .orderBy(col("source"))
+  }
+
   def stylometryProfile(docs: DataFrame, k: Int = 10): DataFrame = {
     val tokens = docs.select(col("source"),
       explode(split(lower(col("text")), " ")).as("w"))

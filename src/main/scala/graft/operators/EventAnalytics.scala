@@ -719,7 +719,9 @@ object EventAnalytics {
     val n = states.count().toDouble // bounded: #event types
     var r = states.select(col("state"), lit(1.0 / n).as("prob"))
     for (_ <- 1 to iters) {
-      r = r.join(p, col("state") === col("cur"))
+      // p is #types² rows — broadcast so each step is a local join + one
+      // tiny agg shuffle, not a two-sided exchange per iteration
+      r = r.join(broadcast(p), col("state") === col("cur"))
         .groupBy(col("nxt"))
         .agg(sum(col("prob") * col("p")).as("prob"))
         .select(col("nxt").as("state"), col("prob"))
@@ -785,22 +787,30 @@ object EventAnalytics {
       .rangeBetween(-horizonUs, -1)
     val touch = when(col("event_type") =!= "purchase",
       struct(col("ts"), col("event_id"), col("event_type")))
-    val purchases = new graft.cube.Engine(spark, dir).table("events")
+    // each purchase contributes one row per model; a single rollup then
+    // splits the models with conditional aggregates — ONE window pass,
+    // one shuffle, no two-branch plan re-running the RANGE frames and no
+    // full-outer stitch (plan-asserted: one user_id exchange)
+    new graft.cube.Engine(spark, dir).table("events")
       .withColumn("ft", min(touch).over(w))
       .withColumn("lt", max(touch).over(w))
       .filter(col("event_type") === "purchase")
-      .select(coalesce(col("ft.event_type"), lit("none")).as("first_ch"),
-        coalesce(col("lt.event_type"), lit("none")).as("last_ch"),
+      .select(col("value"), explode(array(
+        struct(lit("first").as("model"),
+          coalesce(col("ft.event_type"), lit("none")).as("channel")),
+        struct(lit("last").as("model"),
+          coalesce(col("lt.event_type"), lit("none")).as("channel"))))
+        .as("x"))
+      .select(col("x.model").as("model"), col("x.channel").as("channel"),
         col("value"))
-    val first = purchases.groupBy(col("first_ch").as("channel"))
-      .agg(count(lit(1)).as("n_first"),
-        round(sum(col("value")), 2).as("value_first"))
-    val last = purchases.groupBy(col("last_ch").as("channel"))
-      .agg(count(lit(1)).as("n_last"),
-        round(sum(col("value")), 2).as("value_last"))
-    first.join(last, Seq("channel"), "full")
-      .na.fill(0L, Seq("n_first", "n_last"))
-      .na.fill(0.0, Seq("value_first", "value_last"))
+      .groupBy(col("channel"))
+      .agg(
+        sum(when(col("model") === "first", 1L).otherwise(0L)).as("n_first"),
+        round(sum(when(col("model") === "first", col("value"))
+          .otherwise(0.0)), 2).as("value_first"),
+        sum(when(col("model") === "last", 1L).otherwise(0L)).as("n_last"),
+        round(sum(when(col("model") === "last", col("value"))
+          .otherwise(0.0)), 2).as("value_last"))
       .orderBy(col("channel"))
   }
 

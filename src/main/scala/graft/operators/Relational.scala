@@ -2258,6 +2258,43 @@ object Relational {
       .orderBy(col("p_type"))
   }
 
+  /** Whale curve: customers ranked by revenue (exact cents) into
+    * deciles, with each decile's revenue share and the cumulative share
+    * — "the top 10% of customers carry X% of revenue" in one table. The
+    * global rank comes from [[Ranks.globalRowNumber]] (range-partitioned
+    * positional ids — no single-partition sort of the customer frame);
+    * the only unpartitioned window runs over the 10 decile rows. Decile
+    * assignment is integer math on non-negative operands
+    * (`(rk−1)·10 div n` — portable where a float divide is not).
+    */
+  def whaleCurve(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = e(spark, dir).table("orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
+    val ranked = Ranks.globalRowNumber(perCust,
+      Seq(col("cents").desc, col("o_custkey")), "rk", Some("n_cust"))
+    val deciles = ranked
+      .withColumn("decile",
+        expr("CAST((rk - 1) * 10 div n_cust AS INT)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("c"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    deciles
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .select(col("decile"), col("n_customers"),
+        round(col("c").cast("double") / 100.0, 2).as("revenue_usd"),
+        round(col("c").cast("double") / col("tot").cast("double"), 6)
+          .as("revenue_share"),
+        round(col("cum").cast("double") / col("tot").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   /** Laspeyres price index per year: realized unit prices
     * (Σ extendedprice / Σ quantity per part-year) weighted by the BASE
     * year's (1995) quantity basket — "what would 1995's purchases cost

@@ -107,6 +107,31 @@ class PlanShapeSpec extends SparkFunSuite {
         "the SinglePartition subtree must be the per-partition count frame")
   }
 
+  test("attribution models compute both touch windows over one user_id exchange") {
+    val plan = finalPlanOf("q277_attribution_models")
+    // first- and last-touch RANGE frames share partitioning AND ordering,
+    // so Catalyst must plan them in one Window node over one exchange
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      "ft/lt range frames must share one user_id partitioning")
+  }
+
+  test("ks drift cumulative sums run at type grain over the bounded grid") {
+    val plan = finalPlanOf("q270_ks_drift")
+    // the window partitions on event_type — never a global one-partition
+    // cumulative over raw events
+    assert("hashpartitioning\\(event_type".r.findAllIn(plan).size >= 1)
+    assert(!plan.contains("CartesianProduct"),
+      "the dense grid must come from the bounded bin x type cross join")
+  }
+
+  test("semantic outliers broadcast the centroid table, the member side never shuffles for it") {
+    val plan = finalPlanOf("q282_semantic_outliers")
+    assert(plan.contains("BroadcastHashJoin"),
+      "labels x dim centroid frame must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the exploded member frame must not sort-merge against centroids")
+  }
+
   test("event transitions shuffle the fact once at user grain") {
     val plan = finalPlanOf("q98_event_transitions")
     assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,

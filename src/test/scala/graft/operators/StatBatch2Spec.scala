@@ -121,6 +121,33 @@ class StatBatch2Spec extends SparkFunSuite {
     }
   }
 
+  test("compressibility ratio is 1.0 for unique text and collapses for repeated text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("rep", "a" * 100),             // one distinct trigram "aaa" over 98
+      ("uniq", "abcdefghij"),          // all 8 trigrams distinct
+      ("tiny", "ab"))                  // < 3 chars — excluded
+      .toDF("source", "text")
+    val rows = Corpus.compressibility(docs).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows("uniq")._1 == 1.0 && rows("uniq")._2 == 0.0)
+    assert(rows("rep")._1 == 0.010204 && rows("rep")._2 == 1.0) // 1/98
+    assert(!rows.contains("tiny"))
+  }
+
+  test("whale curve deciles cover all customers and cumulate to exactly 1") {
+    val rows = Relational.whaleCurve(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 to 9))
+    val nCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    assert(rows.last.getDouble(4) == 1.0)                 // cum share closes at 1
+    assert(rows.head.getDouble(3) >= rows.last.getDouble(3)) // whales first
+    val cums = rows.map(_.getDouble(4)).toSeq
+    assert(cums == cums.sorted)                           // monotone cumulative
+  }
+
   test("stylometry profile divergence is bounded by 2 and keyed per source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val rows = Corpus.stylometryProfile(docs).collect()
