@@ -563,6 +563,13 @@ object SparkEntry {
       Corpus.compressibility(eng(s, d).table("documents"))),
     // revenue whale curve: customer deciles by distributed rank
     "q286_whale_curve" -> Relational.whaleCurve _,
+    // exact per-brand Gini of part revenue (rank formula, BIGINT sums)
+    "q287_brand_gini" -> Relational.brandGini _,
+    // Neyman N_h·σ_h sampling allocation across priority strata
+    "q288_neyman_allocation" -> ((s, d) =>
+      Relational.neymanAllocation(s, d)),
+    // session-level event-type lift matrix P(b|a)/P(b)
+    "q289_session_lift" -> EventAnalytics.sessionTypeLift _,
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -3713,6 +3720,78 @@ object SparkEntry {
         | round(CAST(cumc AS DOUBLE) / CAST(tot AS DOUBLE), 6)
         |  AS cum_share
         |FROM cum ORDER BY decile""".stripMargin,
+    "q287_brand_gini" ->
+      """WITH pp AS (
+        | SELECT p_brand, l_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY 1, 2),
+        |r AS (
+        | SELECT p_brand, cents,
+        |  row_number() OVER (PARTITION BY p_brand
+        |   ORDER BY cents, l_partkey) AS i
+        | FROM pp),
+        |s AS (
+        | SELECT p_brand, count(*) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS sx,
+        |  CAST(sum(i * cents) AS BIGINT) AS six
+        | FROM r GROUP BY 1)
+        |SELECT p_brand, n_parts,
+        | round((2.0 * CAST(six AS DOUBLE) -
+        |   CAST(n_parts + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |  (CAST(n_parts AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+        |FROM s ORDER BY p_brand""".stripMargin,
+    "q288_neyman_allocation" ->
+      """WITH s AS (
+        | SELECT o_orderpriority, count(*) AS n_h,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   AS BIGINT) AS sx,
+        |  sum(CAST(round(o_totalprice * 100, 0) AS DOUBLE) *
+        |   CAST(round(o_totalprice * 100, 0) AS DOUBLE)) AS sxx
+        | FROM orders GROUP BY 1),
+        |m AS (
+        | SELECT o_orderpriority, n_h,
+        |  sqrt(CAST(sxx AS DOUBLE) / n_h -
+        |   (CAST(sx AS DOUBLE) / n_h) * (CAST(sx AS DOUBLE) / n_h))
+        |   AS sigma
+        | FROM s),
+        |d AS (SELECT sum(n_h * sigma) AS d FROM m)
+        |SELECT o_orderpriority, n_h,
+        | round(sigma / 100.0, 2) AS sigma_usd,
+        | round(n_h * sigma / d, 6) AS neyman_share,
+        | CAST(round(1000 * (n_h * sigma / d), 0) AS BIGINT)
+        |  AS alloc_rows
+        |FROM m CROSS JOIN d ORDER BY o_orderpriority""".stripMargin,
+    "q289_session_lift" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR
+        |   ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |   AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (
+        | SELECT DISTINCT user_id, event_type,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS sid
+        | FROM flagged),
+        |ns AS (SELECT count(*) AS n_sessions FROM
+        |  (SELECT DISTINCT user_id, sid FROM st)),
+        |pt AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY 1),
+        |ab AS (
+        | SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_ab
+        | FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+        |  AND a.event_type <> b.event_type
+        | GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab,
+        | round((CAST(n_ab AS DOUBLE) / pa.n_t) /
+        |  (CAST(pb.n_t AS DOUBLE) / n_sessions), 6) AS lift
+        |FROM ab JOIN pt pa ON ab.type_a = pa.event_type
+        | JOIN pt pb ON ab.type_b = pb.event_type
+        | CROSS JOIN ns
+        |ORDER BY type_a, type_b""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

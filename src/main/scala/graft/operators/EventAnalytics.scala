@@ -689,6 +689,50 @@ object EventAnalytics {
           .as("hill_alpha"))
   }
 
+  /** Session-level event-type lift matrix: for each ordered type pair
+    * (a→b), how much more likely is a session to contain `b` given it
+    * contains `a` — `P(b|a)/P(b)` — the session-association complement
+    * of the order/part market basket (q184). Sessions are the 30-minute
+    * q176 definition; a session collapses to its distinct type set
+    * before any pair work, so the self-join fans out at most #types per
+    * side (bounded 5×5), never event-sized. Diagonal excluded (lift of
+    * a type with itself is trivially 1/P(a)-ish and noise).
+    */
+  def sessionTypeLift(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessTypes = new graft.cube.Engine(spark, dir).table("events")
+      .withColumn("prev", lag(col("ts"), 1).over(wu))
+      .withColumn("new_s", when(col("prev").isNull ||
+        col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("sid"), col("event_type")).distinct()
+    val nSess = sessTypes.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val perType = sessTypes.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val a = sessTypes.select(col("user_id"), col("sid"),
+      col("event_type").as("type_a"))
+    val b = sessTypes.select(col("user_id").as("u2"), col("sid").as("s2"),
+      col("event_type").as("type_b"))
+    a.join(b, col("user_id") === col("u2") && col("sid") === col("s2") &&
+        col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round((col("n_ab").cast("double") / col("n_a").cast("double")) /
+          (col("n_b").cast("double") / col("n_sessions").cast("double")),
+          6).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Stationary distribution of the event-type Markov chain: where does
     * a user's behavior settle if the observed transition structure
     * (q98's per-user consecutive pairs) keeps running — the long-run

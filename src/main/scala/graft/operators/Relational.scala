@@ -2258,6 +2258,71 @@ object Relational {
       .orderBy(col("p_type"))
   }
 
+  /** Exact Gini coefficient of part revenue per brand — the per-group
+    * concentration twin of the global Lorenz table (q243): is a brand's
+    * revenue spread across its parts or carried by one SKU. Closed-form
+    * rank formula `(2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` over cents-exact
+    * revenues with a deterministic (revenue, partkey) tiebreak; every
+    * term is BIGINT until the final division. Ranks are per-brand
+    * windows (bounded partitions), never a global sort.
+    */
+  def brandGini(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val perPart = en.table("lineitem")
+      .join(broadcast(en.table("part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("cents"), col("p_partkey"))
+    perPart
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("cents")).as("sx"), sum(col("i") * col("cents")).as("six"))
+      .select(col("p_brand"), col("n_parts"),
+        round((lit(2.0) * col("six").cast("double") -
+          (col("n_parts") + 1).cast("double") * col("sx").cast("double")) /
+          (col("n_parts").cast("double") * col("sx").cast("double")), 6)
+          .as("gini"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Neyman optimal sampling allocation across order-priority strata:
+    * share ∝ N_h·σ_h (big AND volatile strata get the samples), with the
+    * concrete allocation for a 1000-row audit budget — the
+    * survey-statistics complement of the √-count allocation (q218).
+    * Moments come from cents-exact BIGINT power sums; σ is population
+    * std. One bounded rollup, one broadcast-back of the denominator.
+    */
+  def neymanAllocation(spark: SparkSession, dir: String,
+      budget: Int = 1000): DataFrame = {
+    // first moment stays BIGINT-exact; the SECOND moment must be double —
+    // cents² sums cross 2⁶³ past ~50k rows (and the outputs that depend
+    // on it are rounded coarsely enough that ulp drift cannot show)
+    val strata = e(spark, dir).table("orders")
+      .select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_h"), sum(col("cents")).as("sx"),
+        sum(col("cents").cast("double") * col("cents").cast("double"))
+          .as("sxx"))
+      .withColumn("sigma", sqrt(col("sxx").cast("double") / col("n_h") -
+        (col("sx").cast("double") / col("n_h")) *
+          (col("sx").cast("double") / col("n_h"))))
+      .withColumn("nh_sigma", col("n_h").cast("double") * col("sigma"))
+    val denom = strata.agg(sum(col("nh_sigma")).as("d"))
+    strata.crossJoin(broadcast(denom))
+      .select(col("o_orderpriority"), col("n_h"),
+        round(col("sigma") / 100.0, 2).as("sigma_usd"),
+        round(col("nh_sigma") / col("d"), 6).as("neyman_share"),
+        expr(s"CAST(round($budget * (nh_sigma / d), 0) AS BIGINT)")
+          .as("alloc_rows"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Whale curve: customers ranked by revenue (exact cents) into
     * deciles, with each decile's revenue share and the cumulative share
     * — "the top 10% of customers carry X% of revenue" in one table. The

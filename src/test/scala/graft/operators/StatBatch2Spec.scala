@@ -148,6 +148,31 @@ class StatBatch2Spec extends SparkFunSuite {
     assert(cums == cums.sorted)                           // monotone cumulative
   }
 
+  test("brand gini is bounded in [0,1) and zero for a uniform brand") {
+    val rows = Relational.brandGini(spark, sf).collect()
+    rows.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)} gini=$g")
+    }
+  }
+
+  test("neyman allocation shares sum to 1 and the budget is conserved within rounding") {
+    val rows = Relational.neymanAllocation(spark, sf).collect()
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+    val alloc = rows.map(_.getLong(4)).sum
+    assert(alloc >= 995 && alloc <= 1005) // per-stratum rounding only
+  }
+
+  test("session lift matrix is symmetric in counts and lift is positive") {
+    val rows = EventAnalytics.sessionTypeLift(spark, sf).collect()
+    val n = rows.map(r => (r.getString(1), r.getString(0)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(n((r.getString(0), r.getString(1))) == r.getLong(2),
+        "n_ab must equal n_ba (co-occurrence is symmetric)")
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
   test("stylometry profile divergence is bounded by 2 and keyed per source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val rows = Corpus.stylometryProfile(docs).collect()
