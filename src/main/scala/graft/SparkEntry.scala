@@ -570,6 +570,10 @@ object SparkEntry {
       Relational.neymanAllocation(s, d)),
     // session-level event-type lift matrix P(b|a)/P(b)
     "q289_session_lift" -> EventAnalytics.sessionTypeLift _,
+    // H1→H2 spend-tercile migration matrix (distributed rank thirds)
+    "q290_value_migration" -> ((s, d) => Relational.valueMigration(s, d)),
+    // repeat rate + follow-up depth by first-order size band
+    "q291_first_order_repeat" -> Relational.repeatRateByFirstOrder _,
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -3792,6 +3796,52 @@ object SparkEntry {
         | JOIN pt pb ON ab.type_b = pb.event_type
         | CROSS JOIN ns
         |ORDER BY type_a, type_b""".stripMargin,
+    "q290_value_migration" ->
+      """WITH h1 AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM orders WHERE o_orderdate < TIMESTAMP '1998-05-01'
+        | GROUP BY 1),
+        |h2 AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM orders WHERE o_orderdate >= TIMESTAMP '1998-05-01'
+        | GROUP BY 1),
+        |t1 AS (
+        | SELECT o_custkey, 'T' || CAST(CAST((row_number() OVER (
+        |   ORDER BY cents DESC, o_custkey) - 1) * 3 //
+        |   count(*) OVER () AS INTEGER) + 1 AS VARCHAR) AS tier
+        | FROM h1),
+        |t2 AS (
+        | SELECT o_custkey, 'T' || CAST(CAST((row_number() OVER (
+        |   ORDER BY cents DESC, o_custkey) - 1) * 3 //
+        |   count(*) OVER () AS INTEGER) + 1 AS VARCHAR) AS tier
+        | FROM h2)
+        |SELECT COALESCE(t1.tier, 'none') AS tier_h1,
+        | COALESCE(t2.tier, 'none') AS tier_h2,
+        | count(*) AS n_customers
+        |FROM t1 FULL JOIN t2 ON t1.o_custkey = t2.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q291_first_order_repeat" ->
+      """WITH pc AS (
+        | SELECT o_custkey, first_cents, n_orders FROM (
+        |  SELECT o_custkey,
+        |   first_value(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    OVER w AS first_cents,
+        |   count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+        |   row_number() OVER w AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey)
+        | ) WHERE rn = 1)
+        |SELECT first_cents // 5000000 AS band,
+        | count(*) AS n_customers,
+        | round(sum(CASE WHEN n_orders > 1 THEN 1.0 ELSE 0.0 END) /
+        |  count(*), 6) AS repeat_rate,
+        | round(avg(n_orders - 1), 6) AS avg_followups
+        |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

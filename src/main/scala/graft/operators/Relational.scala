@@ -2258,6 +2258,66 @@ object Relational {
       .orderBy(col("p_type"))
   }
 
+  /** Customer value-migration matrix: spend tercile in the first half of
+    * the calendar (T1 = top third) versus the second half, with 'none'
+    * for customers absent from a half — the CRM churn/upgrade picture
+    * ("how many T1s fell to T3, who arrived new"). Terciles are RANK
+    * thirds per half via [[Ranks.globalRowNumber]] (distributed
+    * positional ids, deterministic (spend, custkey) order — no ntile, no
+    * single-partition sort), assignment is integer math. The halves
+    * full-outer-join on the customer key — one key-only shuffle each.
+    */
+  def valueMigration(spark: SparkSession, dir: String,
+      splitDate: String = "1998-05-01"): DataFrame = {
+    val orders = e(spark, dir).table("orders")
+    def half(cond: Column, name: String): DataFrame = {
+      val pc = orders.filter(cond)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("cents"))
+      Ranks.globalRowNumber(pc,
+        Seq(col("cents").desc, col("o_custkey")), "rk", Some("n"))
+        .select(col("o_custkey").as(s"ck_$name"),
+          concat(lit("T"),
+            (expr("CAST((rk - 1) * 3 div n AS INT)") + 1).cast("string"))
+            .as(s"t_$name"))
+    }
+    val h1 = half(expr(s"o_orderdate < TIMESTAMP '$splitDate'"), "h1")
+    val h2 = half(expr(s"o_orderdate >= TIMESTAMP '$splitDate'"), "h2")
+    h1.join(h2, col("ck_h1") === col("ck_h2"), "full")
+      .select(coalesce(col("t_h1"), lit("none")).as("tier_h1"),
+        coalesce(col("t_h2"), lit("none")).as("tier_h2"))
+      .groupBy(col("tier_h1"), col("tier_h2"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("tier_h1"), col("tier_h2"))
+  }
+
+  /** Repeat-purchase rate by first-order size band: does a big first
+    * basket predict retention? Each customer's FIRST order (min by
+    * (date, orderkey) — unique tiebreak) is banded into $50k buckets by
+    * integer cents division; per band: customers, share who ordered
+    * again, and the mean number of follow-up orders. One customer-keyed
+    * rollup; the band rollup is bounded.
+    */
+  def repeatRateByFirstOrder(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = e(spark, dir).table("orders")
+      .select(col("o_custkey"),
+        struct(col("o_orderdate"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+          .as("o"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o")).getField("cents").as("first_cents"),
+        count(lit(1)).as("n_orders"))
+    perCust
+      .withColumn("band", expr("first_cents div 5000000"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(when(col("n_orders") > 1, 1.0).otherwise(0.0)) /
+          count(lit(1)), 6).as("repeat_rate"),
+        round(avg(col("n_orders") - 1), 6).as("avg_followups"))
+      .orderBy(col("band"))
+  }
+
   /** Exact Gini coefficient of part revenue per brand — the per-group
     * concentration twin of the global Lorenz table (q243): is a brand's
     * revenue spread across its parts or carried by one SKU. Closed-form

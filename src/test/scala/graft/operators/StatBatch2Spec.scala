@@ -173,6 +173,31 @@ class StatBatch2Spec extends SparkFunSuite {
     }
   }
 
+  test("value migration matrix conserves customers in both halves") {
+    val rows = Relational.valueMigration(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val nCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey")).distinct().count()
+    assert(total == nCust) // full outer join covers every active customer
+    // tercile labels only from the fixed vocabulary
+    val labels = Set("T1", "T2", "T3", "none")
+    rows.foreach { r =>
+      assert(labels(r.getString(0)) && labels(r.getString(1)))
+      assert(!(r.getString(0) == "none" && r.getString(1) == "none"))
+    }
+  }
+
+  test("first-order repeat bands conserve customers and rates are probabilities") {
+    val rows = Relational.repeatRateByFirstOrder(spark, sf).collect()
+    val nCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("stylometry profile divergence is bounded by 2 and keyed per source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val rows = Corpus.stylometryProfile(docs).collect()
