@@ -574,6 +574,11 @@ object SparkEntry {
     "q290_value_migration" -> ((s, d) => Relational.valueMigration(s, d)),
     // repeat rate + follow-up depth by first-order size band
     "q291_first_order_repeat" -> Relational.repeatRateByFirstOrder _,
+    // sparse TF-IDF cosine near-dup pairs over capped postings
+    "q292_tfidf_cosine_pairs" -> ((s, d) =>
+      Corpus.tfidfCosinePairs(eng(s, d).table("documents"))),
+    // per-year brand revenue ranks + YoY rank delta
+    "q293_brand_movers" -> Relational.brandRankMovers _,
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -3842,6 +3847,53 @@ object SparkEntry {
         |  count(*), 6) AS repeat_rate,
         | round(avg(n_orders - 1), 6) AS avg_followups
         |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q292_tfidf_cosine_pairs" ->
+      """WITH tc AS (
+        | SELECT doc_id, tok, 1 AS cnt FROM (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' ||
+        |    string_split(text, ' ')[i+1] || ' ' ||
+        |    string_split(text, ' ')[i+2]))) AS tok
+        |  FROM documents)),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |kept AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1
+        |  HAVING count(*) <= 256),
+        |wt AS (
+        | SELECT doc_id, tc.tok,
+        |  CAST(cnt AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE)) AS w
+        | FROM tc JOIN kept ON tc.tok = kept.tok CROSS JOIN nd),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt
+        |  GROUP BY 1),
+        |dots AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  sum(a.w * b.w) AS dot
+        | FROM wt a JOIN wt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | round(dot / (na.nrm * nb.nrm), 4) AS cosine
+        |FROM dots
+        | JOIN nrm na ON dots.doc_a = na.doc_id
+        | JOIN nrm nb ON dots.doc_b = nb.doc_id
+        |WHERE dot / (na.nrm * nb.nrm) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q293_brand_movers" ->
+      """WITH by_y AS (
+        | SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, p_brand,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        | GROUP BY 1, 2),
+        |r AS (
+        | SELECT yr, p_brand, row_number() OVER (PARTITION BY yr
+        |   ORDER BY cents DESC, p_brand) AS rk
+        | FROM by_y)
+        |SELECT c.p_brand, c.yr, p.rk AS prev_rank, c.rk AS rank,
+        | p.rk - c.rk AS rank_delta
+        |FROM r c JOIN r p ON c.p_brand = p.p_brand AND c.yr = p.yr + 1
+        |ORDER BY c.p_brand, c.yr""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

@@ -1777,6 +1777,59 @@ object Corpus {
     * per-source totals broadcast back, so the text itself never moves
     * twice.
     */
+  /** Sparse TF-IDF cosine near-duplicate pairs — the WEIGHTED-lexical
+    * complement of the set-based exact-Jaccard postings join (q136):
+    * two docs sharing rare vocabulary score high even when their
+    * shingle sets diverge. Weights are `cnt·ln(N/df)`; the dot products
+    * come from the same inverted-postings discipline as q136
+    * (count-then-semi-join `maxDf` cap — a hot term is never a giant
+    * postings row, and high-df terms carry near-zero idf anyway, so the
+    * cap is also the idf prune; the oracle replicates it). Norms use
+    * ONLY kept terms, so the cosine is exact for the capped vocabulary.
+    * Threshold compares the unrounded double (both engines compute the
+    * same expression); output rounds to 4dp.
+    */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.8,
+      maxDf: Int = 256): DataFrame = {
+    // term space = distinct 3-word shingles (the q136 space), NOT
+    // unigrams: this corpus family has a tiny unigram vocabulary (~31
+    // terms at sf0.1), under which every unigram is a hot posting and
+    // every pair trivially similar; shingles restore the diversity an
+    // idf weighting needs. Each (doc, shingle) appears once, so the
+    // weight reduces to the idf.
+    val tc = Scratch.register(Par.ensure(docs)
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.shingles(col("text"), 3))
+          .as("tok"))
+      .withColumn("cnt", lit(1L))
+      .localCheckpoint())
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val kept = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val weighted = tc.join(kept, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"),
+        (col("cnt").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("w"))
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    weighted.select(col("tok"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .join(weighted.select(col("tok"), col("doc_id").as("doc_b"),
+        col("w").as("wb")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+        "doc_b")
+      .withColumn("__c", col("dot") / (col("na") * col("nb")))
+      .filter(col("__c") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("__c"), 4).as("cosine"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Compressibility proxy per source: distinct/total character-trigram
     * ratio per document (the cheap stand-in for a gzip ratio — low means
     * repetitive/templated text), rolled up to mean ratio and the share

@@ -2258,6 +2258,36 @@ object Relational {
       .orderBy(col("p_type"))
   }
 
+  /** Brand league-table movers: each brand's revenue rank per year and
+    * its year-over-year rank delta (positive = climbed). Ranks are
+    * row_number with a (revenue desc, brand) tiebreak inside per-year
+    * window partitions (bounded by the brand count); the adjacent-year
+    * self-join runs on the tiny (year, brand) rollup. The "who moved"
+    * complement of the static ABC classes (q197).
+    */
+  def brandRankMovers(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val byYear = en.table("lineitem")
+      .join(en.table("orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(en.table("part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"), col("p_brand"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
+    val w = Window.partitionBy(col("yr"))
+      .orderBy(col("cents").desc, col("p_brand"))
+    val ranked = byYear.withColumn("rk", row_number().over(w).cast("long"))
+    ranked.select(col("yr").as("prev_yr"), col("p_brand").as("b2"),
+        col("rk").as("prev_rank"))
+      .join(ranked, col("yr") === col("prev_yr") + 1 &&
+        col("p_brand") === col("b2"))
+      .select(col("p_brand"), col("yr"), col("prev_rank"), col("rk")
+        .as("rank"), (col("prev_rank") - col("rk")).as("rank_delta"))
+      .orderBy(col("p_brand"), col("yr"))
+  }
+
   /** Customer value-migration matrix: spend tercile in the first half of
     * the calendar (T1 = top third) versus the second half, with 'none'
     * for customers absent from a half — the CRM churn/upgrade picture

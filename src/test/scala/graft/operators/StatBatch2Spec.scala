@@ -198,6 +198,31 @@ class StatBatch2Spec extends SparkFunSuite {
     }
   }
 
+  test("tfidf cosine pairs are id-ordered with cosines in (0,1]") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = Corpus.tfidfCosinePairs(docs).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+    // identical docs (if any exact dups exist) must score exactly 1
+    val exact = Dedup.exact(docs).filter(col("n_copies") > 1)
+    if (exact.count() > 0) assert(rows.exists(_.getDouble(2) == 1.0))
+  }
+
+  test("brand movers rank deltas are zero-sum per year transition") {
+    val rows = Relational.brandRankMovers(spark, sf).collect()
+    // every brand present in consecutive years: deltas per transition
+    // cancel (a climb is someone else's fall) when the brand set is
+    // stable — assert per-year delta sums are bounded by the max rank
+    rows.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      val sum = rs.map(_.getLong(4)).sum
+      assert(math.abs(sum) <= rs.length,
+        "rank deltas must (near-)cancel within a year transition")
+    }
+    rows.foreach(r => assert(r.getLong(2) >= 1 && r.getLong(3) >= 1))
+  }
+
   test("stylometry profile divergence is bounded by 2 and keyed per source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val rows = Corpus.stylometryProfile(docs).collect()
