@@ -579,6 +579,10 @@ object SparkEntry {
       Corpus.tfidfCosinePairs(eng(s, d).table("documents"))),
     // per-year brand revenue ranks + YoY rank delta
     "q293_brand_movers" -> Relational.brandRankMovers _,
+    // session count/conversion/value per entry channel
+    "q294_entry_value" -> EventAnalytics.entryChannelValue _,
+    // signup→first-purchase delay ladder with shares
+    "q295_signup_to_purchase" -> EventAnalytics.signupToPurchase _,
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -3894,6 +3898,59 @@ object SparkEntry {
         | p.rk - c.rk AS rank_delta
         |FROM r c JOIN r p ON c.p_brand = p.p_brand AND c.yr = p.yr + 1
         |ORDER BY c.p_brand, c.yr""".stripMargin,
+    "q294_entry_value" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, event_type, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR
+        |   ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |   AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, event_type, ts, event_id, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS sid
+        | FROM flagged),
+        |per AS (
+        | SELECT user_id, sid,
+        |  min(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+        |   lpad(CAST(event_id AS VARCHAR), 20, '0') || event_type)
+        |   AS entry_key,
+        |  sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
+        |   AS purchase_value,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS converted
+        | FROM sess GROUP BY 1, 2)
+        |SELECT substr(entry_key, 41) AS entry_type,
+        | count(*) AS n_sessions,
+        | CAST(sum(converted) AS BIGINT) AS n_converted,
+        | round(sum(purchase_value), 2) AS total_purchase_value,
+        | round(sum(purchase_value) / count(*), 6) AS value_per_session
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q295_signup_to_purchase" ->
+      """WITH f AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |   AS su,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |   AS pu
+        | FROM events WHERE event_type IN ('signup', 'purchase')
+        | GROUP BY 1 HAVING su IS NOT NULL),
+        |b AS (
+        | SELECT CASE
+        |  WHEN pu IS NULL OR pu < su THEN '6_never'
+        |  WHEN pu - su <= 3600000000 THEN '1_within_1h'
+        |  WHEN pu - su <= 21600000000 THEN '2_within_6h'
+        |  WHEN pu - su <= 86400000000 THEN '3_within_1d'
+        |  WHEN pu - su <= 604800000000 THEN '4_within_7d'
+        |  ELSE '5_over_7d' END AS bucket
+        | FROM f),
+        |t AS (SELECT count(*) AS n_signups FROM b)
+        |SELECT bucket, count(*) AS n_users,
+        | round(CAST(count(*) AS DOUBLE) / CAST(n_signups AS DOUBLE), 6)
+        |  AS share
+        |FROM b CROSS JOIN t GROUP BY bucket, n_signups
+        |ORDER BY bucket""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

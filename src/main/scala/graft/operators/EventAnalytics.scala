@@ -689,6 +689,75 @@ object EventAnalytics {
           .as("hill_alpha"))
   }
 
+  /** Session value by entry channel: which first-touch surface opens the
+    * sessions that go on to purchase — per entry event type: session
+    * count, sessions containing a purchase, purchase-value total/mean.
+    * Builds on the q272 sessionization (30-min gap); the entry pick and
+    * the purchase rollup happen inside ONE session aggregation (struct
+    * min + conditional sums — no second window pass).
+    */
+  def entryChannelValue(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val perSess = new graft.cube.Engine(spark, dir).table("events")
+      .withColumn("prev", lag(col("ts"), 1).over(wu))
+      .withColumn("new_s", when(col("prev").isNull ||
+        col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)).as("purchase_value"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    perSess.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"),
+        round(sum(col("purchase_value")), 2).as("total_purchase_value"),
+        round(sum(col("purchase_value")) / count(lit(1)), 6)
+          .as("value_per_session"))
+      .orderBy(col("entry_type"))
+  }
+
+  /** Signup→first-purchase conversion curve: for each signup user, the
+    * delay to their first subsequent purchase, bucketed into the
+    * {≤1h, ≤6h, ≤1d, ≤7d, >7d, never} ladder — the activation funnel
+    * timing every growth review asks for. First-signup/first-purchase
+    * collapse to one row per user before any comparison (exact integer
+    * micros; bucket edges are integer comparisons, no float time math).
+    */
+  def signupToPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = new graft.cube.Engine(spark, dir).table("events")
+      .filter(col("event_type").isin("signup", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup",
+          expr("unix_micros(CAST(ts AS TIMESTAMP))"))).as("su"),
+        min(when(col("event_type") === "purchase",
+          expr("unix_micros(CAST(ts AS TIMESTAMP))"))).as("pu"))
+      .filter(col("su").isNotNull)
+    val h = 3600L * 1000000L
+    val bucket = when(col("pu").isNull || col("pu") < col("su"), "6_never")
+      .when(col("pu") - col("su") <= h, "1_within_1h")
+      .when(col("pu") - col("su") <= 6 * h, "2_within_6h")
+      .when(col("pu") - col("su") <= 24 * h, "3_within_1d")
+      .when(col("pu") - col("su") <= 168 * h, "4_within_7d")
+      .otherwise("5_over_7d")
+    val total = firsts.agg(count(lit(1)).as("n_signups"))
+    firsts.select(bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_users"),
+        round(col("n_users").cast("double") /
+          col("n_signups").cast("double"), 6).as("share"))
+      .orderBy(col("bucket"))
+  }
+
   /** Session-level event-type lift matrix: for each ordered type pair
     * (a→b), how much more likely is a session to contain `b` given it
     * contains `a` — `P(b|a)/P(b)` — the session-association complement

@@ -223,6 +223,26 @@ class StatBatch2Spec extends SparkFunSuite {
     rows.foreach(r => assert(r.getLong(2) >= 1 && r.getLong(3) >= 1))
   }
 
+  test("entry-channel value conserves the session census with q272") {
+    val byEntry = EventAnalytics.entryChannelValue(spark, sf).collect()
+    val matrix = EventAnalytics.sessionEntryExit(spark, sf).collect()
+    // same sessionization: per-entry session counts must agree
+    val a = byEntry.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = matrix.groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    assert(a == b)
+    byEntry.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("signup-to-purchase ladder covers every signup user exactly once") {
+    val rows = EventAnalytics.signupToPurchase(spark, sf).collect()
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 2e-5)
+    val signups = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == signups)
+  }
+
   test("stylometry profile divergence is bounded by 2 and keyed per source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val rows = Corpus.stylometryProfile(docs).collect()
