@@ -583,6 +583,11 @@ object SparkEntry {
     "q294_entry_value" -> EventAnalytics.entryChannelValue _,
     // signup→first-purchase delay ladder with shares
     "q295_signup_to_purchase" -> EventAnalytics.signupToPurchase _,
+    // per-nation exports/imports/net over the supplier→customer flows
+    "q296_trade_balance" -> Relational.tradeBalance _,
+    // top-5 brands + OTHER presentation rollup (shares sum to 1)
+    "q297_top_brands_other" -> ((s, d) =>
+      Relational.topBrandsWithOther(s, d)),
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -3951,6 +3956,47 @@ object SparkEntry {
         |  AS share
         |FROM b CROSS JOIN t GROUP BY bucket, n_signups
         |ORDER BY bucket""".stripMargin,
+    "q296_trade_balance" ->
+      """WITH li AS (
+        | SELECT s_nationkey AS sn, c_nationkey AS cn,
+        |  CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        |   AS BIGINT) AS cents
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey),
+        |x AS (SELECT sn AS nk, CAST(sum(cents) AS BIGINT) AS exp_c
+        |  FROM li GROUP BY 1),
+        |m AS (SELECT cn AS nk, CAST(sum(cents) AS BIGINT) AS imp_c
+        |  FROM li GROUP BY 1)
+        |SELECT n_name,
+        | round(CAST(COALESCE(exp_c, 0) AS DOUBLE) / 100.0, 2)
+        |  AS exports_usd,
+        | round(CAST(COALESCE(imp_c, 0) AS DOUBLE) / 100.0, 2)
+        |  AS imports_usd,
+        | round(CAST(COALESCE(exp_c, 0) - COALESCE(imp_c, 0) AS DOUBLE)
+        |  / 100.0, 2) AS balance_usd
+        |FROM x FULL JOIN m ON x.nk = m.nk
+        | JOIN nation ON COALESCE(x.nk, m.nk) = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+    "q297_top_brands_other" ->
+      """WITH b AS (
+        | SELECT p_brand,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |t AS (
+        | SELECT p_brand, cents,
+        |  CASE WHEN row_number() OVER (ORDER BY cents DESC, p_brand)
+        |   <= 5 THEN p_brand ELSE 'OTHER' END AS bucket
+        | FROM b),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM b)
+        |SELECT bucket, count(*) AS n_brands,
+        | round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue_usd,
+        | round(CAST(sum(cents) AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |  AS revenue_share
+        |FROM t CROSS JOIN tot GROUP BY bucket, tot
+        |ORDER BY revenue_usd DESC, bucket""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

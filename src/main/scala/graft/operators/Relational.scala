@@ -2258,6 +2258,85 @@ object Relational {
       .orderBy(col("p_type"))
   }
 
+  /** Per-nation trade balance over the supplier→customer flow matrix:
+    * exports (revenue where the nation supplies), imports (where its
+    * customers buy), and the net balance — the one-row-per-nation
+    * closing view of the q234 gross matrix, in the reference's own
+    * domain (`oec.py` is a trade OLAP client). Cents-exact sums; the
+    * two directional rollups come from ONE fact pass (conditional
+    * aggregation over the unioned role tag), then a bounded per-nation
+    * combine.
+    */
+  def tradeBalance(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val li = en.table("lineitem")
+      .join(en.table("orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(en.table("supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(en.table("customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("s_nationkey"), col("c_nationkey"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) " +
+          "AS BIGINT)").as("cents"))
+    // one pass: each line contributes to its supplier nation's exports
+    // and its customer nation's imports via a 2-row role explode
+    val flows = li.select(explode(array(
+        struct(col("s_nationkey").as("nk"), lit("x").as("role"),
+          col("cents")),
+        struct(col("c_nationkey").as("nk"), lit("m").as("role"),
+          col("cents")))).as("f"))
+      .select(col("f.nk").as("nk"), col("f.role").as("role"),
+        col("f.cents").as("cents"))
+      .groupBy(col("nk"))
+      .agg(sum(when(col("role") === "x", col("cents")).otherwise(0L))
+        .as("exp_c"),
+        sum(when(col("role") === "m", col("cents")).otherwise(0L))
+          .as("imp_c"))
+    flows.join(broadcast(en.table("nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name"),
+        round(col("exp_c").cast("double") / 100.0, 2).as("exports_usd"),
+        round(col("imp_c").cast("double") / 100.0, 2).as("imports_usd"),
+        round((col("exp_c") - col("imp_c")).cast("double") / 100.0, 2)
+          .as("balance_usd"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top-5 brands by revenue with the tail collapsed into 'OTHER' — the
+    * dashboard presentation rollup (a pie chart's data contract). The
+    * top set is deterministic ((revenue desc, brand) tiebreak, exact
+    * cents); 'OTHER' aggregates the rest so the output total always
+    * equals the fact total (share column sums to 1).
+    */
+  def topBrandsWithOther(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val en = e(spark, dir)
+    val byBrand = en.table("lineitem")
+      .join(broadcast(en.table("part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("p_brand"))
+    val tagged = byBrand // bounded frame (#brands) — window is fine here
+      .withColumn("rk", row_number().over(w))
+      .withColumn("bucket",
+        when(col("rk") <= k, col("p_brand")).otherwise(lit("OTHER")))
+    val total = byBrand.agg(sum(col("cents")).as("tot"))
+    tagged.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_brands"), sum(col("cents")).as("c"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_brands"),
+        round(col("c").cast("double") / 100.0, 2).as("revenue_usd"),
+        round(col("c").cast("double") / col("tot").cast("double"), 6)
+          .as("revenue_share"))
+      .orderBy(col("revenue_usd").desc, col("bucket"))
+  }
+
   /** Brand league-table movers: each brand's revenue rank per year and
     * its year-over-year rank delta (positive = climbed). Ranks are
     * row_number with a (revenue desc, brand) tiebreak inside per-year

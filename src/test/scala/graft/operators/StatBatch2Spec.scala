@@ -243,6 +243,27 @@ class StatBatch2Spec extends SparkFunSuite {
     assert(rows.map(_.getLong(1)).sum == signups)
   }
 
+  test("trade balance is globally zero-sum (every export is someone's import)") {
+    val rows = Relational.tradeBalance(spark, sf).collect()
+    val net = rows.map(r => math.round(r.getDouble(3) * 100)).sum
+    assert(net == 0L, s"global net balance must be 0 cents, got $net")
+    val exp = rows.map(r => math.round(r.getDouble(1) * 100)).sum
+    val imp = rows.map(r => math.round(r.getDouble(2) * 100)).sum
+    assert(exp == imp)
+  }
+
+  test("top brands + OTHER covers all revenue with shares summing to 1") {
+    val rows = Relational.topBrandsWithOther(spark, sf).collect()
+    assert(rows.count(_.getString(0) != "OTHER") == 5)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-5)
+    val other = rows.filter(_.getString(0) == "OTHER").head
+    // the named top-5 each out-earn every brand inside OTHER: the
+    // smallest named share beats OTHER's mean per-brand share
+    val minNamed = rows.filter(_.getString(0) != "OTHER")
+      .map(_.getDouble(2)).min
+    assert(minNamed >= other.getDouble(2) / other.getLong(1))
+  }
+
   test("stylometry profile divergence is bounded by 2 and keyed per source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val rows = Corpus.stylometryProfile(docs).collect()
