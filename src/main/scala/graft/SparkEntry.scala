@@ -588,6 +588,11 @@ object SparkEntry {
     // top-5 brands + OTHER presentation rollup (shares sum to 1)
     "q297_top_brands_other" -> ((s, d) =>
       Relational.topBrandsWithOther(s, d)),
+    // majority language + purity per source (deterministic argmax)
+    "q298_source_purity" -> ((s, d) =>
+      Corpus.sourcePurity(eng(s, d).table("documents"))),
+    // users by distinct-type count with mean type-mix entropy
+    "q299_user_specialization" -> EventAnalytics.userSpecialization _,
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -3997,6 +4002,34 @@ object SparkEntry {
         |  AS revenue_share
         |FROM t CROSS JOIN tot GROUP BY bucket, tot
         |ORDER BY revenue_usd DESC, bucket""".stripMargin,
+    "q298_source_purity" ->
+      """WITH c AS (
+        | SELECT source, lang, count(*) AS n FROM documents
+        | GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs
+        |  FROM c GROUP BY 1),
+        |r AS (
+        | SELECT source, lang, n,
+        |  row_number() OVER (PARTITION BY source
+        |   ORDER BY n DESC, lang) AS rk
+        | FROM c)
+        |SELECT r.source, n_docs, lang AS majority_lang,
+        | round(CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS purity
+        |FROM r JOIN t ON r.source = t.source
+        |WHERE rk = 1 ORDER BY r.source""".stripMargin,
+    "q299_user_specialization" ->
+      """WITH ut AS (
+        | SELECT user_id, event_type, count(*) AS n FROM events
+        | GROUP BY 1, 2),
+        |pu AS (
+        | SELECT user_id, count(*) AS n_types,
+        |  CAST(sum(n) AS BIGINT) AS tot,
+        |  sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS nlogn
+        | FROM ut GROUP BY 1)
+        |SELECT n_types, count(*) AS n_users,
+        | round(avg(ln(CAST(tot AS DOUBLE)) - nlogn / CAST(tot AS DOUBLE)),
+        |  6) AS mean_entropy
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

@@ -1777,6 +1777,29 @@ object Corpus {
     * per-source totals broadcast back, so the text itself never moves
     * twice.
     */
+  /** Source language purity: each source's majority language and the
+    * share of its documents in it — the "is this feed monolingual"
+    * triage before routing sources to per-language pipelines. Majority
+    * pick is a deterministic (count desc, lang asc) argmax — a
+    * row_number over the bounded (source × lang) rollup, never the
+    * documents.
+    */
+  def sourcePurity(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("n_docs"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("lang"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(totals, "source")
+      .select(col("source"), col("n_docs"),
+        col("lang").as("majority_lang"),
+        round(col("n").cast("double") / col("n_docs").cast("double"), 6)
+          .as("purity"))
+      .orderBy(col("source"))
+  }
+
   /** Sparse TF-IDF cosine near-duplicate pairs — the WEIGHTED-lexical
     * complement of the set-based exact-Jaccard postings join (q136):
     * two docs sharing rare vocabulary score high even when their

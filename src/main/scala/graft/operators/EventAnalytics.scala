@@ -689,6 +689,33 @@ object EventAnalytics {
           .as("hill_alpha"))
   }
 
+  /** User specialization census: users grouped by how many distinct
+    * event types they touch, with the mean Shannon entropy of their
+    * type mix in each group — "are our heavy users generalists or
+    * single-surface specialists". Entropy terms use the same ln both
+    * engines expose; p > 0 always (a (user, type) row exists only with
+    * count ≥ 1), so the ln(0) boundary cannot occur. Two bounded
+    * rollups over the (user, type) frame; the census groups by an
+    * integer key.
+    */
+  def userSpecialization(spark: SparkSession, dir: String): DataFrame = {
+    val perUserType = new graft.cube.Engine(spark, dir).table("events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val perUser = perUserType.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("tot"),
+        sum(col("n").cast("double") *
+          log(col("n").cast("double"))).as("nlogn"))
+      // H = ln(tot) − Σ n·ln(n)/tot  (algebraic form of −Σ p·ln p —
+      // one pass, no second join for p)
+      .withColumn("h", log(col("tot").cast("double")) -
+        col("nlogn") / col("tot").cast("double"))
+    perUser.groupBy(col("n_types"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("h")), 6).as("mean_entropy"))
+      .orderBy(col("n_types"))
+  }
+
   /** Session value by entry channel: which first-touch surface opens the
     * sessions that go on to purchase — per entry event type: session
     * count, sessions containing a purchase, purchase-value total/mean.

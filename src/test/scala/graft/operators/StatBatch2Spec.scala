@@ -264,6 +264,26 @@ class StatBatch2Spec extends SparkFunSuite {
     assert(minNamed >= other.getDouble(2) / other.getLong(1))
   }
 
+  test("source purity covers every source with purity in (0,1]") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = Corpus.sourcePurity(docs).collect()
+    assert(rows.length == docs.select(col("source")).distinct().count())
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("user specialization entropy is bounded by ln(n_types)") {
+    val rows = EventAnalytics.userSpecialization(spark, sf).collect()
+    rows.foreach { r =>
+      val h = r.getDouble(2)
+      assert(h >= 0.0 && h <= math.log(r.getLong(0).toDouble) + 1e-9,
+        s"mean entropy $h exceeds ln(${r.getLong(0)})")
+    }
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+  }
+
   test("stylometry profile divergence is bounded by 2 and keyed per source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val rows = Corpus.stylometryProfile(docs).collect()
