@@ -114,19 +114,20 @@ object Bench {
     }
     spark.stop()
     // The harness stores only a ~2000-char tail of this process's output,
-    // and the full per-query line above (138 queries x full double
-    // precision) overflows it — four rounds of BENCH_r*.json carried
-    // "parsed: null" because the line was truncated from the front. So
-    // the LAST thing printed (after spark.stop, so no shutdown logging
-    // can displace it) is a compact line that fits the tail whole: keys
-    // shortened to their qNN prefix (unique by construction), seconds at
-    // 2 decimals, aggregates intact. Full names and raw samples stay in
-    // bench_full.json.
+    // and any per-query map at 299 queries (~3.4 KB even with qNN keys
+    // and 2-decimal seconds) overflows it — five rounds of BENCH_r*.json
+    // carried "parsed: null" because the line was truncated from the
+    // front. So the LAST thing printed (after spark.stop, so no shutdown
+    // logging can displace it) is a TOTALS-ONLY line (~300 chars — fits
+    // the tail whole with room to spare) plus the 5 slowest entries for
+    // at-a-glance diagnosis. The complete per-query medians and raw
+    // samples live in bench_full.json, and the full line printed above
+    // remains in the process log.
     def r2(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val shortQs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"builds_total":${r2(buildsTotal)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_err":${results.count(_._2 < 0)},"keys":"qNN prefixes; full map in bench_full.json","queries":$shortQs}""")
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r2(total)},"builds_total":${r2(buildsTotal)},"unit":"sec","sf":"$sfDir","n":${results.size},"n_err":${results.count(_._2 < 0)},"slowest":$slowest,"queries_in":"bench_full.json"}""")
   }
 }

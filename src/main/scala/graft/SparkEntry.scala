@@ -2926,7 +2926,8 @@ object SparkEntry {
     "q243_revenue_lorenz" ->
       """WITH pc AS (
         | SELECT o_custkey,
-        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   AS BIGINT) AS cents
         | FROM orders GROUP BY 1),
         |t AS (SELECT count(*) AS n_cust,
         |  CAST(sum(cents) AS BIGINT) AS total_cents FROM pc),
@@ -3404,9 +3405,10 @@ object SparkEntry {
         |  sum(tot) OVER (PARTITION BY event_type) AS n_all
         | FROM d)
         |SELECT event_type, CAST(max(n_t) AS BIGINT) AS n_events,
-        | round(max(abs(CAST(cum_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
-        |  CAST(cum_all - cum_t AS DOUBLE) /
-        |  CAST(n_all - n_t AS DOUBLE))), 6) AS ks_stat
+        | round(max(CASE WHEN n_all > n_t THEN
+        |  abs(CAST(cum_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+        |   CAST(cum_all - cum_t AS DOUBLE) /
+        |   CAST(n_all - n_t AS DOUBLE)) ELSE 0.0 END), 6) AS ks_stat
         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     "q271_event_ccf" ->
       """WITH daily AS (
@@ -3694,8 +3696,11 @@ object SparkEntry {
     "q284_price_index" ->
       """WITH py AS (
         | SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, l_partkey,
-        |  sum(l_extendedprice) / sum(l_quantity) AS unit,
-        |  sum(l_quantity) AS sq
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS DOUBLE) / 100.0 /
+        |   CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS DOUBLE)
+        |    AS unit,
+        |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sq
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | GROUP BY 1, 2),
         |b AS (SELECT l_partkey, unit AS unit0, sq AS q0 FROM py
@@ -3869,7 +3874,8 @@ object SparkEntry {
         |   i -> string_split(text, ' ')[i] || ' ' ||
         |    string_split(text, ' ')[i+1] || ' ' ||
         |    string_split(text, ' ')[i+2]))) AS tok
-        |  FROM documents)),
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3)),
         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
         |kept AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1
         |  HAVING count(*) <= 256),
@@ -3885,11 +3891,11 @@ object SparkEntry {
         | FROM wt a JOIN wt b ON a.tok = b.tok AND a.doc_id < b.doc_id
         | GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
-        | round(dot / (na.nrm * nb.nrm), 4) AS cosine
+        | round(round(dot / (na.nrm * nb.nrm), 6), 4) AS cosine
         |FROM dots
         | JOIN nrm na ON dots.doc_a = na.doc_id
         | JOIN nrm nb ON dots.doc_b = nb.doc_id
-        |WHERE dot / (na.nrm * nb.nrm) >= 0.8
+        |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q293_brand_movers" ->
       """WITH by_y AS (

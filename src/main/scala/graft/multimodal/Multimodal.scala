@@ -110,16 +110,18 @@ object Multimodal {
     * first-fit-ish layout a modality-heavy dataset needs so one shard
     * doesn't carry all the video. Reports per-shard count, bytes, and
     * the balance ratio against the mean. Rank and assignment are exact
-    * integer arithmetic (rank ties break on doc_id).
+    * integer arithmetic (rank ties break on doc_id). The global rank is
+    * [[graft.operators.Ranks.globalRowNumber]] — asset grain grows with
+    * the corpus, so a single-partition `Window.orderBy` sort would be
+    * the first operator to die at 100 TB; the distributed rank exchanges
+    * the frame exactly once (range repartition) and stays map-side after.
     */
   def shardPlan(docs: DataFrame, shards: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sized = withAssets(docs)
       .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"))
-    val w = Window.orderBy(col("n_bytes").desc, col("doc_id"))
-    val perShard = sized
-      .withColumn("shard",
-        pmod(row_number().over(w) - 1, lit(shards)).cast("int"))
+    val perShard = graft.operators.Ranks
+      .globalRowNumber(sized, Seq(col("n_bytes").desc, col("doc_id")), "__rk")
+      .withColumn("shard", pmod(col("__rk") - 1, lit(shards)).cast("int"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_assets"),
         sum(col("n_bytes")).cast("long").as("shard_bytes"))

@@ -1809,8 +1809,14 @@ object Corpus {
     * postings row, and high-df terms carry near-zero idf anyway, so the
     * cap is also the idf prune; the oracle replicates it). Norms use
     * ONLY kept terms, so the cosine is exact for the capped vocabulary.
-    * Threshold compares the unrounded double (both engines compute the
-    * same expression); output rounds to 4dp.
+    * The threshold compares the cosine ROUNDED to 6dp (the
+    * cutoff-portability rule — dot and norms are order-dependent float
+    * sums, so a raw-double compare could split a boundary pair across
+    * engines); output rounds the same 6dp value to 4dp. Docs under 3
+    * tokens are excluded outright: the whole-text fallback shingle
+    * [[graft.functions.TextAnalysis.shingles]] emits for them has no
+    * oracle-side counterpart (`generate_series(1, len-2)` is empty), so
+    * the term space must be defined identically on both engines.
     */
   def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.8,
       maxDf: Int = 256): DataFrame = {
@@ -1821,6 +1827,7 @@ object Corpus {
     // idf weighting needs. Each (doc, shingle) appears once, so the
     // weight reduces to the idf.
     val tc = Scratch.register(Par.ensure(docs)
+      .filter(size(graft.functions.TextAnalysis.tokens(col("text"))) >= 3)
       .select(col("doc_id"),
         explode(graft.functions.TextAnalysis.shingles(col("text"), 3))
           .as("tok"))
@@ -1847,7 +1854,7 @@ object Corpus {
         "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
         "doc_b")
-      .withColumn("__c", col("dot") / (col("na") * col("nb")))
+      .withColumn("__c", round(col("dot") / (col("na") * col("nb")), 6))
       .filter(col("__c") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("__c"), 4).as("cosine"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -622,10 +622,14 @@ object EventAnalytics {
       .withColumn("cum_all", sum(col("tot")).over(wCum))
       .withColumn("n_t", sum(col("cnt")).over(wType))
       .withColumn("n_all", sum(col("tot")).over(wType))
-      .withColumn("gap", abs(
+      // degenerate single-type table: the "rest" sample is empty and the
+      // rest-ECDF undefined — emit gap 0 (no drift measurable) instead of
+      // a 0/0 NaN whose rendering is engine-specific
+      .withColumn("gap", when(col("n_all") > col("n_t"), abs(
         col("cum_t").cast("double") / col("n_t").cast("double") -
           (col("cum_all") - col("cum_t")).cast("double") /
             (col("n_all") - col("n_t")).cast("double")))
+        .otherwise(lit(0.0)))
       .groupBy(col("event_type"))
       .agg(max(col("n_t")).as("n_events"),
         round(max(col("gap")), 6).as("ks_stat"))

@@ -76,4 +76,30 @@ object Ranks {
         col("__mid").bitwiseAND(lit((1L << 33) - 1)) + col("__poff") + lit(1L))
       .drop("__pid", "__mid", "__poff")
   }
+
+  /** Distributed `ntile(buckets)` under total order `order`: the exact
+    * SQL-standard tile arithmetic (first `n % buckets` tiles get
+    * `n div buckets + 1` rows, the rest `n div buckets`) applied to a
+    * [[globalRowNumber]] rank — bit-identical to `ntile().over(
+    * Window.orderBy(...))` but without the single-partition sort, so it
+    * survives unbounded grains (every customer, every document). The
+    * frame total rides the same broadcast offsets frame, so the tile is
+    * pure map work over the once-exchanged ranked frame.
+    */
+  def globalNtile(df: DataFrame, order: Seq[Column], buckets: Int,
+      tileCol: String): DataFrame = {
+    require(buckets > 0, s"globalNtile: buckets must be positive, got $buckets")
+    val ranked = globalRowNumber(df, order, "__ntile_rk", Some("__ntile_n"))
+    val rk = col("__ntile_rk")
+    val n = col("__ntile_n")
+    val k = lit(buckets.toLong)
+    val bs = floor(n / k).cast("long")     // base tile size (n div buckets)
+    val rem = n % k                         // first `rem` tiles get bs+1 rows
+    val thr = rem * (bs + lit(1L))          // rows covered by the big tiles
+    val tile = when(rk <= thr,
+        floor((rk - lit(1L)) / (bs + lit(1L))).cast("long") + lit(1L))
+      .otherwise(rem + floor((rk - lit(1L) - thr) / bs).cast("long") + lit(1L))
+    ranked.withColumn(tileCol, tile.cast("int"))
+      .drop("__ntile_rk", "__ntile_n")
+  }
 }

@@ -641,16 +641,16 @@ object Relational {
   /** RFM segmentation: every customer scored into quartiles of recency
     * (days since last order, lower = better), frequency (order count),
     * and monetary (total spend), then rolled up to segment cells — the
-    * classic CRM cut. `ntile` runs under a fully deterministic ordering
-    * (metric + custkey tiebreak), so quartile boundaries are stable
+    * classic CRM cut. Each quartile runs under a fully deterministic
+    * ordering (metric + custkey tiebreak), so boundaries are stable
     * across engines and runs.
     *
     * Scale shape: one aggregation collapses orders to a per-customer
-    * triple; the three ntiles share ONE global sort each over that
-    * collapsed frame (already orders of magnitude below the fact); the
-    * final rollup is 64 cells. At larger-than-memory customer counts the
-    * ntile becomes the distributed-rank machinery (`Ranks`), same
-    * semantics.
+    * triple; each quartile is a [[Ranks.globalNtile]] — the distributed
+    * rank + SQL-standard tile arithmetic, NOT an unpartitioned `ntile`
+    * window, because customer grain grows with the fact and a
+    * single-partition sort over it is the first thing to die at 100×;
+    * the final rollup is 64 cells.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val orders = e(spark, dir).table("orders")
@@ -661,13 +661,14 @@ object Relational {
         round(sum(col("o_totalprice")), 2).as("monetary"))
       .crossJoin(broadcast(asOf))
       .withColumn("recency_days", datediff(col("as_of"), col("last_order")))
-    val byR = Window.orderBy(col("recency_days"), col("o_custkey"))
-    val byF = Window.orderBy(col("frequency").desc, col("o_custkey"))
-    val byM = Window.orderBy(col("monetary").desc, col("o_custkey"))
-    perCust
-      .withColumn("r", ntile(4).over(byR))
-      .withColumn("f", ntile(4).over(byF))
-      .withColumn("m", ntile(4).over(byM))
+    val tiled = Seq(
+      (Seq(col("recency_days"), col("o_custkey")), "r"),
+      (Seq(col("frequency").desc, col("o_custkey")), "f"),
+      (Seq(col("monetary").desc, col("o_custkey")), "m"))
+      .foldLeft(perCust) { case (df, (order, c)) =>
+        Ranks.globalNtile(df, order, 4, c)
+      }
+    tiled
       .groupBy(col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("monetary")), 2).as("segment_value"))
@@ -1772,38 +1773,21 @@ object Relational {
       .orderBy(col("rate_permille"))
   }
 
-  /** Revenue concentration (Lorenz) curve: customers ranked by revenue,
-    * cut into deciles, each decile's exact revenue share and the
-    * cumulative share — "the top 10% of customers carry X% of revenue".
-    * Ranks and decile boundaries are integer arithmetic over the
-    * customer-grain rollup (never the fact); shares divide exact cents.
+  /** Revenue concentration (Lorenz) curve: each customer decile's exact
+    * revenue share and the cumulative share — "the top 10% of customers
+    * carry X% of revenue". A thin projection over [[revenueDeciles]],
+    * the same distributed-rank decile plan [[whaleCurve]] uses (one
+    * implementation, two reports) — no single-partition sort anywhere;
+    * shares divide exact cents over 10 decile rows.
     */
-  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
-    val perCust = e(spark, dir).table("orders")
-      .groupBy(col("o_custkey"))
-      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
-    val n = perCust.agg(count(lit(1)).as("n_cust"),
-      sum(col("cents")).as("total_cents"))
-    val wRank = Window.orderBy(col("cents").desc, col("o_custkey"))
-    val wCum = Window.orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perCust
-      .withColumn("rk", row_number().over(wRank).cast("long"))
-      .crossJoin(broadcast(n))
-      .withColumn("decile", expr("((rk - 1) * 10) div n_cust").cast("int"))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_customers"),
-        sum(col("cents")).as("dec_cents"),
-        max(col("total_cents")).as("tc"))
-      .withColumn("share",
-        round(col("dec_cents").cast("double") / col("tc").cast("double"), 6))
-      .withColumn("cum_share",
-        round(sum(col("dec_cents")).over(wCum).cast("double") /
-          col("tc").cast("double"), 6))
-      .select(col("decile"), col("n_customers"), col("share"),
-        col("cum_share"))
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame =
+    revenueDeciles(spark, dir)
+      .select(col("decile"), col("n_customers"),
+        round(col("c").cast("double") / col("tot").cast("double"), 6)
+          .as("share"),
+        round(col("cum").cast("double") / col("tot").cast("double"), 6)
+          .as("cum_share"))
       .orderBy(col("decile"))
-  }
 
   /** Peak-hour detection: for each event type, the hour of day carrying
     * the most events (ties to the earliest hour) and its share of the
@@ -2041,21 +2025,19 @@ object Relational {
   /** Top-decile brand-mix contrast: each brand's revenue share among the
     * top-10%-by-value orders versus its overall share — which brands
     * over-index in big orders. Membership in the top decile is an exact
-    * integer rank cut over the order-grain rollup ([[Ranks]] shape not
-    * needed — the rollup is already small); shares divide exact cents.
-    * All 25 brands emit unranked (ordering by a float diff is not a
-    * portable contract).
+    * integer rank cut via [[Ranks.globalRowNumber]] — the rank runs over
+    * ORDER grain, which grows with the fact, so an unpartitioned
+    * `row_number` window here would be a single-partition sort of every
+    * order at scale. Shares divide exact cents. All 25 brands emit
+    * unranked (ordering by a float diff is not a portable contract).
     */
   def topDecileBrandMix(spark: SparkSession, dir: String): DataFrame = {
     val en = e(spark, dir)
     val perOrder = en.table("orders")
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100, 0).cast("long").as("ocents"))
-    val nOrders = perOrder.agg(count(lit(1)).as("n_orders"))
-    val wRank = Window.orderBy(col("ocents").desc, col("o_orderkey"))
-    val topOrders = perOrder
-      .withColumn("rk", row_number().over(wRank).cast("long"))
-      .crossJoin(broadcast(nOrders))
+    val topOrders = Ranks.globalRowNumber(perOrder,
+        Seq(col("ocents").desc, col("o_orderkey")), "rk", Some("n_orders"))
       .filter(col("rk") * 10 <= col("n_orders"))
       .select(col("o_orderkey"))
     val li = en.table("lineitem")
@@ -2492,16 +2474,17 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
-  /** Whale curve: customers ranked by revenue (exact cents) into
-    * deciles, with each decile's revenue share and the cumulative share
-    * — "the top 10% of customers carry X% of revenue" in one table. The
-    * global rank comes from [[Ranks.globalRowNumber]] (range-partitioned
-    * positional ids — no single-partition sort of the customer frame);
-    * the only unpartitioned window runs over the 10 decile rows. Decile
-    * assignment is integer math on non-negative operands
-    * (`(rk−1)·10 div n` — portable where a float divide is not).
+  /** Shared customer-revenue decile frame: customers ranked by revenue
+    * (exact cents) via [[Ranks.globalRowNumber]] (range-partitioned
+    * positional ids — no single-partition sort of the customer frame),
+    * cut into deciles by integer math on non-negative operands
+    * (`(rk−1)·10 div n` — portable where a float divide is not), with
+    * per-decile cents `c`, cumulative cents `cum`, and total `tot`. The
+    * only unpartitioned windows run over the 10 decile rows. One decile
+    * implementation backs both [[whaleCurve]] and
+    * [[revenueConcentration]] — two reports, one plan.
     */
-  def whaleCurve(spark: SparkSession, dir: String): DataFrame = {
+  private def revenueDeciles(spark: SparkSession, dir: String): DataFrame = {
     val perCust = e(spark, dir).table("orders")
       .groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
@@ -2520,6 +2503,14 @@ object Relational {
     deciles
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("tot", sum(col("c")).over(wAll))
+  }
+
+  /** Whale curve: each customer-revenue decile's dollar revenue, revenue
+    * share, and cumulative share — "the top 10% of customers carry X% of
+    * revenue" in one table. A thin projection over [[revenueDeciles]].
+    */
+  def whaleCurve(spark: SparkSession, dir: String): DataFrame =
+    revenueDeciles(spark, dir)
       .select(col("decile"), col("n_customers"),
         round(col("c").cast("double") / 100.0, 2).as("revenue_usd"),
         round(col("c").cast("double") / col("tot").cast("double"), 6)
@@ -2527,7 +2518,6 @@ object Relational {
         round(col("cum").cast("double") / col("tot").cast("double"), 6)
           .as("cum_share"))
       .orderBy(col("decile"))
-  }
 
   /** Laspeyres price index per year: realized unit prices
     * (Σ extendedprice / Σ quantity per part-year) weighted by the BASE
@@ -2535,7 +2525,11 @@ object Relational {
     * at year y's prices", the standard fixed-basket inflation measure.
     * Only parts traded in both the base year and year y enter (the
     * matched basket). Two bounded rollups at (year, part) grain and a
-    * base-side broadcast-scale join; the fact scans once.
+    * base-side broadcast-scale join; the fact scans once. Price and
+    * quantity sums follow the cents-exact BIGINT discipline (partial
+    * aggregation order cannot perturb them); the only float ops are the
+    * per-part unit price and the final index ratio, computed from
+    * identical exact integers on both engines.
     */
   def laspeyresPriceIndex(spark: SparkSession, dir: String,
       baseYear: Int = 1995): DataFrame = {
@@ -2544,9 +2538,11 @@ object Relational {
       .join(en.table("orders").select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).as("yr"), col("l_partkey"))
-      .agg(sum(col("l_extendedprice")).as("sp"),
-        sum(col("l_quantity")).as("sq"))
-      .withColumn("unit", col("sp") / col("sq"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+          .as("cents"),
+        sum(expr("CAST(round(l_quantity, 0) AS BIGINT)")).as("sq"))
+      .withColumn("unit",
+        col("cents").cast("double") / 100.0 / col("sq").cast("double"))
     val base = py.filter(col("yr") === baseYear)
       .select(col("l_partkey").as("bpart"), col("unit").as("unit0"),
         col("sq").as("q0"))

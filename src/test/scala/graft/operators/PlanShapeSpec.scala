@@ -107,6 +107,23 @@ class PlanShapeSpec extends SparkFunSuite {
         "the SinglePartition subtree must be the per-partition count frame")
   }
 
+  test("rfm, lorenz, whale curve, and shard plan never sort an unbounded grain into one partition") {
+    // The round-10 scale-killers: q180 ranked customers through three
+    // unpartitioned ntile windows, q243 through a global row_number,
+    // q248 ranked EVERY asset the same way. All now rank via
+    // Ranks.globalRowNumber (the q75 machinery): no ntile/row_number
+    // window anywhere in the plan, so the only single-partition work
+    // left is bounded (per-partition offsets rows, 10 decile rows).
+    Seq("q180_rfm", "q243_revenue_lorenz", "q248_shard_plan",
+        "q286_whale_curve").foreach { q =>
+      val plan = finalPlanOf(q)
+      assert(!plan.contains("ntile("),
+        s"$q ranks an unbounded grain via an ntile window again")
+      assert(!plan.contains("row_number("),
+        s"$q ranks an unbounded grain via a row_number window again")
+    }
+  }
+
   test("attribution models compute both touch windows over one user_id exchange") {
     val plan = finalPlanOf("q277_attribution_models")
     // first- and last-touch RANGE frames share partitioning AND ordering,
