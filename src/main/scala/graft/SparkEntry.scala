@@ -1050,7 +1050,11 @@ object SparkEntry {
     // discipline: builds run FIRST each bench pass and are counted in
     // builds_total, so q151 measures PROBE latency against the warm
     // appended layout, not build+probe conflated). The completeness
-    // check is q106's per-table pair, over base ∪ delta.
+    // check is q106's per-table pair, over base ∪ delta. Expected cost
+    // vs q106: ~0.8 x q106 (the 80% base is a DIFFERENT relation than
+    // the full corpus, so it cannot share q106's layout memo) + the
+    // delta append, whose fixture-scale cost is directory-fan-out file
+    // creation, not data volume — see Similarity.lshIndexIncremental.
     "q154_lshincr_index_build" -> ((s, d) => {
       val emb = eng(s, d).table("embeddings")
       val path = Similarity.lshIndexIncremental(

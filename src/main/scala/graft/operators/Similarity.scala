@@ -336,6 +336,19 @@ object Similarity {
     * append into their (tbl, bucket) directories; memoized under a
     * derived key, converging across memo/file interleavings exactly as
     * the IVF form does.
+    *
+    * Cost shape (why the q154 bench entry exceeds the q106 full build):
+    * `base` here is a DIFFERENT relation than the full corpus (q154
+    * splits 80/20 on vec_id), so the base layout cannot share the
+    * full-index memo — sharing would hand probes a layout containing
+    * delta rows twice. A cold call therefore prices
+    * base-build (~0.8 × full) + delta-append, where the append is
+    * dominated not by the delta's rows but by file creation across the
+    * tables × buckets directory fan-out — a fixture-scale floor (the
+    * directory count is fixed by the layout, not the data, so it
+    * amortizes to noise at real corpus size). The steady-state
+    * incremental cost — append onto an EXISTING base — is just the
+    * delta-append term, which the memo delivers on every warm call.
     */
   def lshIndexIncremental(base: DataFrame, delta: DataFrame,
       datasetKey: String, planes: Int = 8, dim: Int = 64,

@@ -29,20 +29,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * '''Transport seam (`endpoint=`).''' The reference's actual I/O is a
   * live HTTP GET against a base URL (`requests.get(base_url, params)`,
-  * `oec.py:62`; members fetch `oec.py:21`) — the one reference capability
-  * this build intentionally does not exercise, because the build/test
-  * environment has no network egress. The seam is still first-class in
-  * the API so a migrating user sees where live transport plugs in:
-  *   - `endpoint=file:/dir` (or a bare directory/file path) — supported:
-  *     reads captured wire responses, identical semantics to `path=`.
-  *     Capture is exactly `curl "$BASE_URL?cube=...&drilldowns=..." >
+  * `oec.py:62`; members fetch `oec.py:21`). Both transports are
+  * first-class and share every layer above the byte stream — partition
+  * planning, schema inference, pruning, and filter pushdown are
+  * transport-agnostic (one response = one partition either way):
+  *   - `endpoint=file:/dir` (or a bare directory/file path) — reads
+  *     captured wire responses, identical semantics to `path=`. Capture
+  *     is exactly `curl "$BASE_URL?cube=...&drilldowns=..." >
   *     resp.json` — the `{"data":[...]}` body is what this source parses.
-  *   - `endpoint=http(s)://host` — rejected at plan time with a message
-  *     naming this seam. A deployment with egress implements it by
-  *     swapping the per-partition iterator in [[OecJsonSource.records]]
-  *     (file stream → HTTP response stream); partition planning, schema
-  *     inference, pruning, and filter pushdown are transport-agnostic:
-  *     one response = one partition either way.
+  *   - `endpoint=http(s)://host/path` — live transport: each partition
+  *     GETs its URL and streams the response body through the same
+  *     parser (JDK `HttpURLConnection`, 30 s timeouts, non-200 is a
+  *     reader error naming the URL). The optional `queries` option
+  *     (`;`-separated query strings, the `util.py` wire grammar) fans
+  *     one base URL into one partition per query — the reference's
+  *     one-GET-per-query model (`oec.py:62`) distributed across
+  *     executors. Exercised end-to-end against an in-process HTTP
+  *     double in OecJsonHttpSpec (this build has no external egress).
   *
   * Scale design: one input partition per response file (responses are
   * independent API results; parallelism = file count), column pruning via
@@ -76,23 +79,15 @@ class OecJsonSource extends TableProvider
 object OecJsonSource {
   private val mapper = new ObjectMapper()
 
-  /** Resolve the transport option to a local path. `endpoint=` is the
-    * documented seam for the reference's live HTTP transport
-    * (`oec.py:62`); this build supports its file-backed form and rejects
-    * live URLs with a message naming the seam (no network egress here).
+  /** Resolve the transport option to a source root: a local path, or a
+    * live http(s) base URL — `endpoint=` is the documented seam for the
+    * reference's HTTP transport (`oec.py:62`).
     */
   def resolvePath(options: CaseInsensitiveStringMap): String = {
     val endpoint = Option(options.get("endpoint"))
     val path = Option(options.get("path"))
     (endpoint, path) match {
-      case (Some(e), _) if e.startsWith("http://") || e.startsWith("https://") =>
-        throw new UnsupportedOperationException(
-          s"oecjson: live HTTP transport to '$e' is not available in this " +
-            "build (no network egress). Point endpoint= at a file: URL or " +
-            "directory of captured wire responses ({\"data\":[...]}, the " +
-            "body of GET base_url?params — oec.py:62); a deployment with " +
-            "egress plugs HTTP in at OecJsonSource.records (one response " +
-            "= one partition).")
+      case (Some(e), _) if isHttp(e) => e
       case (Some(e), _) if e.startsWith("file:") =>
         java.nio.file.Paths.get(java.net.URI.create(e)).toString
       case (Some(e), _) => e
@@ -103,14 +98,59 @@ object OecJsonSource {
     }
   }
 
+  private[sources] def isHttp(s: String): Boolean =
+    s.startsWith("http://") || s.startsWith("https://")
+
+  /** Plan-time source list — one response = one input partition. File
+    * roots list their `.json` captures; a live http(s) endpoint is one
+    * response by itself, or — with the `queries` option (`;`-separated
+    * query strings in the `util.py` wire grammar, e.g.
+    * `cube=trade&drilldowns=Year;cube=trade&drilldowns=Nation`) — one
+    * response per query string, the reference's one-GET-per-query model
+    * (`oec.py:62`) fanned across executors.
+    */
   def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
     val path = resolvePath(options)
-    val f = new java.io.File(path)
-    val all =
-      if (f.isDirectory) f.listFiles().toSeq.map(_.getPath)
-      else Seq(path)
-    all.filter(_.endsWith(".json")).sorted
+    if (isHttp(path)) {
+      Option(options.get("queries")) match {
+        case Some(qs) =>
+          val sep = if (path.contains("?")) "&" else "?"
+          qs.split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(q => s"$path$sep$q")
+        case None => Seq(path)
+      }
+    } else {
+      val f = new java.io.File(path)
+      val all =
+        if (f.isDirectory) f.listFiles().toSeq.map(_.getPath)
+        else Seq(path)
+      all.filter(_.endsWith(".json")).sorted
+    }
   }
+
+  /** Open a source's byte stream: file handle, or a streaming HTTP GET
+    * (the parser's AUTO_CLOSE_SOURCE closes whichever on stream close —
+    * early-terminating scans release the connection, not just the
+    * handle). Non-200 responses fail the read NAMING the URL and code;
+    * wire-contract violations downstream name the URL the same way.
+    */
+  private[sources] def openSource(source: String): java.io.InputStream =
+    if (isHttp(source)) {
+      val conn = new java.net.URL(source).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(30000)
+      conn.setRequestProperty("Accept", "application/json")
+      val code = conn.getResponseCode
+      if (code != 200) {
+        Option(conn.getErrorStream).foreach(_.close())
+        conn.disconnect()
+        throw new java.io.IOException(
+          s"oecjson: GET $source returned HTTP $code (wire contract " +
+            "expects a 200 {\"data\":[...]} body, oec.py:62)")
+      }
+      conn.getInputStream
+    } else new java.io.FileInputStream(source)
 
   /** All records of a response, streamed. The stream owns an open file
     * handle — callers that may stop early (limit/take scans) must
@@ -141,7 +181,7 @@ object OecJsonSource {
       extends Iterator[JsonNode] with AutoCloseable {
     import com.fasterxml.jackson.core.JsonToken
 
-    private val p = mapper.getFactory.createParser(new java.io.File(file))
+    private val p = mapper.getFactory.createParser(OecJsonSource.openSource(file))
     private var closed = false
 
     override def close(): Unit = if (!closed) { closed = true; p.close() }

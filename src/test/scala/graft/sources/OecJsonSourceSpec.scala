@@ -103,17 +103,14 @@ class OecJsonSourceSpec extends SparkFunSuite {
     assert(bare.count() == 3)
   }
 
-  test("endpoint= option: live URLs are rejected naming the transport seam") {
-    val e = intercept[Exception] {
+  test("endpoint= option: an unreachable live URL fails loudly, not silently empty") {
+    // live HTTP is a first-class transport now (OecJsonHttpSpec drives it
+    // against an in-process server); an endpoint that cannot be reached
+    // must surface the connection failure, never plan an empty scan
+    intercept[Exception] {
       spark.read.format("oecjson")
         .option("endpoint", "https://example.invalid/olap").load().collect()
     }
-    def rootMsg(t: Throwable): String =
-      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
-        .filter(_ != null)).mkString(" | ")
-    val msg = rootMsg(e)
-    assert(msg.contains("network egress") && msg.contains("captured wire responses"),
-      s"expected the transport-seam message, got: $msg")
   }
 
   test("schema widening spans files: later fractional values widen an all-long first file") {
