@@ -13,12 +13,20 @@ import org.apache.spark.sql.functions.udaf
   * buffer per (group, map task), exactly like a built-in avg. Dimension is
   * discovered from the first row; a mismatched vector anywhere in the
   * group fails loudly rather than silently truncating the centroid.
+  *
+  * The input type is `Seq[Double]` with [[column]] widening the argument
+  * explicitly: embedding stores ship either list<float> or list<double>
+  * between fixture generations (the events-ts lesson), and an IN encoder
+  * typed to Seq[Float] would make Spark silently NARROW a double column
+  * to float at the aggregate boundary — precision loss no correctness
+  * gate would catch. float→double widening is exact, so both encodings
+  * produce bit-identical centroids (pinned in VectorSpec).
   */
-object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+object VectorAvg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
 
   override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
 
-  override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+  override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
     val s = if (b._1.isEmpty) new Array[Double](v.size) else b._1
     require(v.size == s.length,
       s"VectorAvg: dimension mismatch within group (${v.size} vs ${s.length})")
@@ -46,9 +54,12 @@ object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doubl
   override def outputEncoder: Encoder[Seq[Double]] =
     ExpressionEncoder[Seq[Double]]()
 
-  /** Column function: vec_avg(embedding). */
+  /** Column function: vec_avg(embedding). The explicit widening cast is
+    * the whole dual-encoding contract: float input widens losslessly,
+    * double input passes through, and nothing ever narrows.
+    */
   def column(c: Column): Column = {
-    implicit val in: Encoder[Seq[Float]] = ExpressionEncoder[Seq[Float]]()
-    udaf(this).apply(c)
+    implicit val in: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+    udaf(this).apply(c.cast("array<double>"))
   }
 }

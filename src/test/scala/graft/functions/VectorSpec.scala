@@ -61,4 +61,38 @@ class VectorSpec extends SparkFunSuite {
     val nat = Similarity.bruteForceTopK(emb, 0L, 10).collect().toSeq
     assert(hof == nat)
   }
+
+  test("native expressions accept float AND double embedding encodings identically") {
+    // the round-9 lesson (events ts changed physical type between fixture
+    // generations) applied to embeddings: if a future drop ships
+    // list<double> instead of list<float>, the expressions must keep
+    // working and agree after widening — pin BOTH element types through
+    // the same pipeline now
+    val asFloat = emb.limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val asDouble = asFloat
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(df.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VectorExpressions.cosineNative(col("a"), col("b")), 6).as("c"),
+        round(VectorExpressions.dotNative(col("a"), col("b")), 4).as("d"))
+    val f = pairsOf(asFloat).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3))).toSeq
+    val d = pairsOf(asDouble).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3))).toSeq
+    assert(f == d, "float- and double-encoded embeddings diverged")
+    // the typed aggregator rides the same contract: identical centroids
+    // from either encoding (column() widens explicitly — never narrows)
+    val cf = emb.limit(50).select((col("vec_id") % 3).as("g"), col("embedding"))
+      .groupBy(col("g")).agg(VectorAvg.column(col("embedding")).as("c"))
+      .orderBy(col("g")).collect().map(_.getSeq[Double](1)).toSeq
+    val cd = emb.limit(50).select((col("vec_id") % 3).as("g"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .groupBy(col("g")).agg(VectorAvg.column(col("embedding")).as("c"))
+      .orderBy(col("g")).collect().map(_.getSeq[Double](1)).toSeq
+    assert(cf == cd, "VectorAvg centroids diverged across encodings")
+  }
 }
