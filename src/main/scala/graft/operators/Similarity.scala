@@ -426,7 +426,7 @@ object Similarity {
     val probeDirs = admitted
       .map { case (t, b) => s"$path/tbl=$t/bucket=$b" }
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    val qLit = array(q.head.getSeq[Float](0).map(f => lit(f.toDouble)).toIndexedSeq: _*)
+    val qLit = array(embAsDoubles(q.head, 0).map(lit).toIndexedSeq: _*)
     val indexed =
       if (probeDirs.isEmpty) emb.sparkSession.read.parquet(path).filter(lit(false))
       else emb.sparkSession.read.option("basePath", path).parquet(probeDirs: _*)
@@ -439,6 +439,21 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Driver-side embedding fetch tolerant of BOTH physical encodings —
+    * list<float> and list<double> — the events-ts dual-encoding lesson
+    * applied to every collected query vector / training sample: a fixture
+    * generation that widens the element type must not ClassCastException
+    * the probe path. Widening is exact either way.
+    */
+  private def embAsDoubles(r: org.apache.spark.sql.Row, field: Int): Array[Double] =
+    r.getSeq[Any](field).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case x => throw new IllegalArgumentException(
+        s"embedding element is ${if (x == null) "null" else x.getClass.getName}, " +
+          "expected float/double")
+    }.toArray
 
   /** K-means coarse quantizer for [[ivfTopK]], trained on a bounded
     * deterministic sample (hash order on vec_id) collected to the
@@ -459,7 +474,7 @@ object Similarity {
     val sample: Array[Array[Double]] =
       emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxSample)
         .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .map(embAsDoubles(_, 0))
     require(sample.nonEmpty, "kmeans needs a non-empty embedding table")
     val dim = sample(0).length
     def d2(a: Array[Double], b: Array[Double]): Double = {
@@ -574,7 +589,7 @@ object Similarity {
     val qRows = lookup.filter(col("vec_id") === queryId).collect()
     require(qRows.nonEmpty, s"ivfTopK: query vec_id=$queryId not found")
     val q = qRows.head
-    val qv = q.getSeq[Float](q.fieldIndex("embedding")).map(_.toDouble).toArray
+    val qv = embAsDoubles(q, q.fieldIndex("embedding"))
     val probes = idx.centroids.map { case (cid, c) =>
       val d2 = c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
       cid -> d2
@@ -1042,7 +1057,7 @@ object Similarity {
     val qRows = emb.filter(col("vec_id") === queryId).collect()
     require(qRows.nonEmpty, s"ivfQuantizedTopK: query vec_id=$queryId not found")
     val q = qRows.head
-    val qv = q.getSeq[Float](q.fieldIndex("embedding")).map(_.toDouble).toArray
+    val qv = embAsDoubles(q, q.fieldIndex("embedding"))
     val probes = idx.centroids.map { case (cid, c) =>
       cid -> c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
     }.sortBy(_._2).take(nprobe).map(_._1).toSet
