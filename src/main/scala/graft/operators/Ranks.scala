@@ -90,15 +90,20 @@ object Ranks {
       tileCol: String): DataFrame = {
     require(buckets > 0, s"globalNtile: buckets must be positive, got $buckets")
     val ranked = globalRowNumber(df, order, "__ntile_rk", Some("__ntile_n"))
-    val rk = col("__ntile_rk")
-    val n = col("__ntile_n")
-    val k = lit(buckets.toLong)
-    val bs = floor(n / k).cast("long")     // base tile size (n div buckets)
-    val rem = n % k                         // first `rem` tiles get bs+1 rows
-    val thr = rem * (bs + lit(1L))          // rows covered by the big tiles
-    val tile = when(rk <= thr,
-        floor((rk - lit(1L)) / (bs + lit(1L))).cast("long") + lit(1L))
-      .otherwise(rem + floor((rk - lit(1L) - thr) / bs).cast("long") + lit(1L))
+    // Pure INTEGER arithmetic (`div`, `%`) — a double floor-divide is only
+    // exact below 2^52 and this rank is specifically for unbounded grains.
+    // bs = base tile size, rem = tiles that get one extra row, thr = rows
+    // covered by those bigger tiles. The ELSE's `div bs` cannot see bs=0:
+    // when n < buckets, thr = n covers every row in the WHEN branch and
+    // CaseWhen evaluates lazily.
+    val k = buckets.toLong
+    val tile = expr(
+      s"""CASE WHEN __ntile_rk <= (__ntile_n % $k) * (__ntile_n div $k + 1)
+         |  THEN (__ntile_rk - 1) div (__ntile_n div $k + 1) + 1
+         |  ELSE (__ntile_n % $k) +
+         |    (__ntile_rk - 1 - (__ntile_n % $k) * (__ntile_n div $k + 1))
+         |      div (__ntile_n div $k) + 1
+         |END""".stripMargin)
     ranked.withColumn(tileCol, tile.cast("int"))
       .drop("__ntile_rk", "__ntile_n")
   }
