@@ -186,14 +186,19 @@ object SparkEntry {
     "q37_cube_grouping" -> Relational.segmentPriorityCube _,
     // The HLL++ sketch stays on the data path (approx_ok derives from its
     // estimate), but the registered columns are the exact count plus a
-    // 5%-tolerance assertion — deterministically TRUE, so an ANSI oracle
-    // can hash-check the whole row. The raw estimate itself remains
+    // tolerance assertion — deterministically TRUE, so an ANSI oracle can
+    // hash-check the whole row. Tolerance is 3x the sketch's rsd (5% is a
+    // STANDARD DEVIATION, not a bound) with an absolute floor of 2: at
+    // tiny per-group cardinalities a +/-1 estimate is in-spec but breaks
+    // any pure relative gate (observed live at the smallest fixture,
+    // n=11 estimated 12). The raw estimate itself remains
     // tolerance-gated in SkewSinkSpec.
     "q38_approx_distinct" -> ((s, d) =>
       Relational.approxCustomerCounts(s, d)
         .select(col("nation"), col("exact_customers"),
-          (abs(col("approx_customers") - col("exact_customers")).cast("double") /
-            col("exact_customers") <= 0.05).as("approx_ok"))),
+          (abs(col("approx_customers") - col("exact_customers")).cast("double")
+            <= greatest(lit(2.0),
+              col("exact_customers").cast("double") * 0.15)).as("approx_ok"))),
     "q39_user_sessions" -> EventsStream.userSessions _,
     // session-level funnel stats: duration, event count, conversion
     // flag, value mass — q39's sessions as the analytics artifact
@@ -1337,7 +1342,7 @@ object SparkEntry {
         |FROM orders ORDER BY id""".stripMargin,
     "q11_top_customers" ->
       """SELECT c_custkey, c_name,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
@@ -1598,12 +1603,12 @@ object SparkEntry {
         |WHERE bit_count(xor(fp_a, fp_b)) <= 3
         |ORDER BY 1, 2""".stripMargin,
     "q28_embed_knn" ->
-      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      """WITH q AS (SELECT embedding AS q_emb FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
         | round(list_inner_product(embedding, q_emb)
         |   / (sqrt(list_inner_product(embedding, embedding))
         |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
-        |FROM embeddings, q WHERE vec_id <> 0
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     // LSH probe top-k: the hyperplane components are md5 bits
     // (Similarity.planeComponent), so the oracle recomputes the FULL
@@ -1639,7 +1644,7 @@ object SparkEntry {
         |dots AS (
         | SELECT e.vec_id, p.p // 6 AS tbl, p.p % 6 AS bit,
         |  sum(e.embedding[p.d + 1] * p.c) AS dp
-        | FROM embeddings e, planes p GROUP BY 1, 2, 3),
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) e, planes p GROUP BY 1, 2, 3),
         |buckets AS (
         | SELECT vec_id, tbl,
         |  sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bucket
@@ -1653,8 +1658,8 @@ object SparkEntry {
         |   / (sqrt(list_inner_product(ea.embedding, ea.embedding))
         |      * sqrt(list_inner_product(eb.embedding, eb.embedding))), 4) AS cos_sim
         |FROM cand c
-        | JOIN embeddings ea ON ea.vec_id = c.vec_a
-        | JOIN embeddings eb ON eb.vec_id = c.vec_b
+        | JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) ea ON ea.vec_id = c.vec_a
+        | JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) eb ON eb.vec_id = c.vec_b
         |WHERE list_inner_product(ea.embedding, eb.embedding)
         |   / (sqrt(list_inner_product(ea.embedding, ea.embedding))
         |      * sqrt(list_inner_product(eb.embedding, eb.embedding))) >= 0.3
@@ -2082,7 +2087,7 @@ object SparkEntry {
         |FROM r ORDER BY lang""".stripMargin,
     "q199_mutual_knn" ->
       """WITH sub AS (
-        | SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 256),
+        | SELECT vec_id, embedding, label FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id < 256),
         |p AS (
         | SELECT a.vec_id AS a_id, a.label AS a_label,
         |  b.vec_id AS b_id, b.label AS b_label,
@@ -2156,7 +2161,7 @@ object SparkEntry {
         |FROM m ORDER BY month""".stripMargin,
     "q204_label_separation" ->
       """WITH sub AS (
-        | SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 256),
+        | SELECT vec_id, embedding, label FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id < 256),
         |p AS (
         | SELECT a.label AS a_label, b.label AS b_label,
         |  round(list_inner_product(a.embedding, b.embedding) /
@@ -2164,20 +2169,29 @@ object SparkEntry {
         |    sqrt(list_inner_product(b.embedding, b.embedding))), 4) AS c
         | FROM sub a JOIN sub b ON a.vec_id < b.vec_id),
         |e AS (
-        | SELECT a_label AS label, b_label AS other, c FROM p
-        | UNION ALL SELECT b_label, a_label, c FROM p)
-        |SELECT label,
-        | count(CASE WHEN label = other THEN 1 END) AS n_intra,
-        | count(CASE WHEN label <> other THEN 1 END) AS n_inter,
-        | round(sum(CASE WHEN label = other THEN c END) /
-        |   count(CASE WHEN label = other THEN 1 END), 6) AS mean_intra,
-        | round(sum(CASE WHEN label <> other THEN c END) /
-        |   count(CASE WHEN label <> other THEN 1 END), 6) AS mean_inter,
-        | round(round(sum(CASE WHEN label = other THEN c END) /
-        |     count(CASE WHEN label = other THEN 1 END), 6) -
-        |   round(sum(CASE WHEN label <> other THEN c END) /
-        |     count(CASE WHEN label <> other THEN 1 END), 6), 6) AS separation
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+        | SELECT a_label AS label, b_label AS other,
+        |  CAST(round(c * 10000, 0) AS BIGINT) AS c4 FROM p
+        | UNION ALL SELECT b_label, a_label,
+        |  CAST(round(c * 10000, 0) AS BIGINT) FROM p),
+        |g AS (
+        | SELECT label,
+        |  count(CASE WHEN label = other THEN 1 END) AS n_intra,
+        |  count(CASE WHEN label <> other THEN 1 END) AS n_inter,
+        |  CAST(sum(CASE WHEN label = other THEN c4 END) AS BIGINT) AS s4i,
+        |  CAST(sum(CASE WHEN label <> other THEN c4 END) AS BIGINT) AS s4o
+        | FROM e GROUP BY 1),
+        |m AS (
+        | SELECT label, n_intra, n_inter,
+        |  CAST(sign(s4i) AS BIGINT) *
+        |   ((2 * abs(s4i) * 100 + n_intra) // (2 * n_intra)) AS mi6,
+        |  CAST(sign(s4o) AS BIGINT) *
+        |   ((2 * abs(s4o) * 100 + n_inter) // (2 * n_inter)) AS mo6
+        | FROM g)
+        |SELECT label, n_intra, n_inter,
+        | CAST(mi6 AS DOUBLE) / 1000000.0 AS mean_intra,
+        | CAST(mo6 AS DOUBLE) / 1000000.0 AS mean_inter,
+        | CAST(mi6 - mo6 AS DOUBLE) / 1000000.0 AS separation
+        |FROM m ORDER BY label""".stripMargin,
     "q205_important_suppliers" ->
       """WITH ps AS (
         | SELECT s_suppkey, s_name,
@@ -2721,7 +2735,7 @@ object SparkEntry {
     "q234_trade_matrix" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         | count(*) AS n_items,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -2794,7 +2808,7 @@ object SparkEntry {
         |FROM n ORDER BY event_id""".stripMargin,
     "q237_knn_confusion" ->
       """WITH sub AS (
-        | SELECT vec_id, embedding, label FROM embeddings
+        | SELECT vec_id, embedding, label FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings
         | WHERE vec_id < 256),
         |sc AS (
         | SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id,
@@ -2892,7 +2906,7 @@ object SparkEntry {
         |FROM pd ORDER BY decile""".stripMargin,
     "q241_knn_prf" ->
       """WITH sub AS (
-        | SELECT vec_id, embedding, label FROM embeddings
+        | SELECT vec_id, embedding, label FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings
         | WHERE vec_id < 256),
         |sc AS (
         | SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id,
@@ -4788,12 +4802,12 @@ object SparkEntry {
         |   / (len(toks) - 2), 4) AS dup_trigram_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
     "q58_sql_surface" ->
-      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      """WITH q AS (SELECT embedding AS q_emb FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
         | round(list_inner_product(embedding, q_emb)
         |   / (sqrt(list_inner_product(embedding, embedding))
         |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
-        |FROM embeddings, q WHERE vec_id <> 0
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q59_approx_percentiles" ->
       """SELECT l_returnflag,
@@ -5004,8 +5018,8 @@ object SparkEntry {
         |ORDER BY event_type, day""".stripMargin,
     "q75_revenue_quartiles" ->
       """WITH rev AS (
-        | SELECT c_custkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2)
-        |   AS revenue
+        | SELECT c_custkey,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         | GROUP BY c_custkey)
@@ -5496,13 +5510,13 @@ object SparkEntry {
         |lex AS (SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
         |    AS lex_rank FROM bm),
-        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |q AS (SELECT embedding AS q_emb FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id = 0),
         |cs AS (
         | SELECT vec_id,
         |  round(list_inner_product(embedding, q_emb)
         |    / (sqrt(list_inner_product(embedding, embedding))
         |       * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
-        | FROM embeddings, q WHERE vec_id <> 0
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings, q WHERE vec_id <> 0
         | ORDER BY cos_sim DESC, vec_id LIMIT 20),
         |sem AS (SELECT vec_id AS doc_id,
         |  CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER)
@@ -5520,11 +5534,11 @@ object SparkEntry {
       """WITH q0 AS (
         | SELECT embedding AS q_emb,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-        | FROM embeddings WHERE vec_id = 0),
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id = 0),
         |v AS (
         | SELECT vec_id, label, embedding,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-        | FROM embeddings WHERE vec_id <> 0),
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id <> 0),
         |s AS (
         | SELECT vec_id, label, embedding, ve,
         |  list_max(list_transform(ve, x -> abs(x))) / 127 AS scale
@@ -5659,32 +5673,32 @@ object SparkEntry {
     // k-means over a fixed fixture — measured 5/10 vs the ≥ 3 bound at
     // sf0.01, a 2-hit slack so fixture drift cannot flip the row)
     "q46_embed_ivf" ->
-      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      """WITH q AS (SELECT embedding AS q_emb FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
         | round(list_inner_product(embedding, q_emb)
         |   / (sqrt(list_inner_product(embedding, embedding))
         |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim,
         | TRUE AS recall_ok
-        |FROM embeddings, q WHERE vec_id <> 0
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     // exhaustive IVF ≡ brute force: same oracle as q28
     "q113_ivf_exhaustive" ->
-      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      """WITH q AS (SELECT embedding AS q_emb FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
         | round(list_inner_product(embedding, q_emb)
         |   / (sqrt(list_inner_product(embedding, embedding))
         |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
-        |FROM embeddings, q WHERE vec_id <> 0
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     // exhaustive probe of the incrementally-appended layout ≡ brute
     // force over base ∪ delta = the whole table: q113's oracle relation
     "q140_ivf_append" ->
-      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      """WITH q AS (SELECT embedding AS q_emb FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
         | round(list_inner_product(embedding, q_emb)
         |   / (sqrt(list_inner_product(embedding, embedding))
         |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
-        |FROM embeddings, q WHERE vec_id <> 0
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q112_oov_rate" ->
       """WITH tc AS (
@@ -5911,12 +5925,12 @@ object SparkEntry {
     "q122_embedding_diversity" ->
       """WITH ex AS (
         | SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
-        | FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
         |pd AS (SELECT label, pos, var_pop(v) AS v FROM ex GROUP BY 1, 2),
         |sp AS (SELECT label, round(sum(v), 4) AS spread FROM pd GROUP BY 1),
         |st AS (SELECT label, count(*) AS n_members,
         |  round(avg(sqrt(list_inner_product(embedding, embedding))), 4) AS avg_norm
-        | FROM embeddings GROUP BY 1)
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings GROUP BY 1)
         |SELECT st.label, st.n_members, st.avg_norm, sp.spread
         |FROM st JOIN sp USING (label) ORDER BY label""".stripMargin,
     // quality tiers: q23's bit-portable quality arithmetic banded at
@@ -6081,7 +6095,7 @@ object SparkEntry {
         |dots AS (
         | SELECT e.vec_id, p.p // 6 AS tbl, p.p % 6 AS bit,
         |  sum(e.embedding[p.d + 1] * p.c) AS dp
-        | FROM embeddings e, planes p GROUP BY 1, 2, 3),
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) e, planes p GROUP BY 1, 2, 3),
         |buckets AS (
         | SELECT vec_id, tbl,
         |  sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bucket
@@ -6093,8 +6107,8 @@ object SparkEntry {
         |pairs AS (
         | SELECT c.vec_a, c.vec_b
         | FROM cand c
-        |  JOIN embeddings ea ON ea.vec_id = c.vec_a
-        |  JOIN embeddings eb ON eb.vec_id = c.vec_b
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) ea ON ea.vec_id = c.vec_a
+        |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) eb ON eb.vec_id = c.vec_b
         | WHERE list_inner_product(ea.embedding, eb.embedding)
         |    / (sqrt(list_inner_product(ea.embedding, ea.embedding))
         |       * sqrt(list_inner_product(eb.embedding, eb.embedding))) >= 0.3),
@@ -6111,7 +6125,7 @@ object SparkEntry {
         |ex AS (
         | SELECT cl.cluster_id, cl.vec_id, i AS pos,
         |  CAST(e.embedding[i] AS DOUBLE) AS v
-        | FROM cl JOIN embeddings e USING (vec_id),
+        | FROM cl JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) e USING (vec_id),
         |  unnest(generate_series(1, len(e.embedding))) AS t(i)),
         |cent AS (SELECT cluster_id, pos, avg(v) AS mv FROM ex GROUP BY 1, 2),
         |nm AS (SELECT cluster_id, CAST(count(*) AS INTEGER) AS n_members
@@ -6155,13 +6169,18 @@ object SparkEntry {
         |FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // batch left join over the same 2-hour-cut click domain the streaming
-    // query closes itself to (see purchaseAttributionOuter)
+    // query closes itself to — anchored on the per-type maxima, because
+    // the pushed-down event-type filters make each side's watermark track
+    // its own slice (see purchaseAttributionOuter)
     "q109_stream_outer_join" ->
       """WITH ev AS (
         | SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts,
         |        event_type, value
         | FROM events),
-        |mx AS (SELECT max(ts) - INTERVAL 2 HOUR AS cutoff FROM ev),
+        |mx AS (SELECT least(
+        |   max(CASE WHEN event_type = 'click' THEN ts END),
+        |   max(CASE WHEN event_type = 'purchase' THEN ts END))
+        |  - INTERVAL 2 HOUR AS cutoff FROM ev),
         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
         |      FROM ev, mx WHERE event_type = 'click' AND ts <= cutoff),
         |p AS (SELECT user_id AS pu, ts AS purchase_ts, value AS purchase_value
@@ -6178,13 +6197,13 @@ object SparkEntry {
     */
   private val hardNegativesOracle: String =
     """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
-      |           FROM embeddings WHERE vec_id < 5),
+      |           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id < 5),
       |scored AS (
       | SELECT q.q_id, e.vec_id, e.label AS neg_label,
       |  round(list_inner_product(e.embedding, q.q_emb)
       |    / (sqrt(list_inner_product(e.embedding, e.embedding))
       |       * sqrt(list_inner_product(q.q_emb, q.q_emb))), 4) AS cos_sim
-      | FROM embeddings e, q WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+      | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) e, q WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
       |r AS (SELECT q_id, vec_id, neg_label, cos_sim,
       |  CAST(row_number() OVER (PARTITION BY q_id
       |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rk
@@ -6209,7 +6228,7 @@ object SparkEntry {
       |dots AS (
       | SELECT e.vec_id, p.p // 8 AS tbl, p.p % 8 AS bit,
       |  sum(e.embedding[p.d + 1] * p.c) AS dp
-      | FROM embeddings e, planes p GROUP BY 1, 2, 3),
+      | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) e, planes p GROUP BY 1, 2, 3),
       |buckets AS (
       | SELECT vec_id, tbl,
       |  sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bucket
@@ -6224,23 +6243,23 @@ object SparkEntry {
       | SELECT DISTINCT b.vec_id
       | FROM buckets b JOIN probes pr ON b.tbl = pr.tbl AND b.bucket = pr.bucket
       | WHERE b.vec_id <> 0),
-      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      |q AS (SELECT embedding AS q_emb FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id = 0)
       |SELECT e.vec_id, e.label,
       | round(list_inner_product(e.embedding, q_emb)
       |   / (sqrt(list_inner_product(e.embedding, e.embedding))
       |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
-      |FROM embeddings e JOIN cand USING (vec_id), q
+      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) e JOIN cand USING (vec_id), q
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
   private val knnJoinOracle: String =
     """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-      |           FROM embeddings WHERE vec_id < 5),
+      |           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id < 5),
       |scored AS (
       | SELECT q.q_id, e.vec_id,
       |  round(list_inner_product(e.embedding, q.q_emb)
       |    / (sqrt(list_inner_product(e.embedding, e.embedding))
       |       * sqrt(list_inner_product(q.q_emb, q.q_emb))), 4) AS cos_sim
-      | FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) e, q WHERE e.vec_id <> q.q_id),
       |r AS (SELECT q_id, vec_id, cos_sim,
       |  CAST(row_number() OVER (PARTITION BY q_id
       |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rk

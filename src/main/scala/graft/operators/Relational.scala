@@ -27,7 +27,8 @@ object Relational {
       .join(en.table("orders"), col("l_orderkey") === col("o_orderkey"))
       .join(en.table("customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+      .agg(round(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) " +
+          "* 100, 0) AS BIGINT)")).cast("double") / 100.0, 2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
@@ -487,7 +488,8 @@ object Relational {
       .join(en.table("orders"), col("l_orderkey") === col("o_orderkey"))
       .join(en.table("customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+      .agg(round(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) " +
+          "* 100, 0) AS BIGINT)")).cast("double") / 100.0, 2)
         .as("revenue"))
     Ranks.globalRowNumber(rev, Seq(col("revenue").desc, col("c_custkey")),
         "__rank", totalCol = Some("__n"))
@@ -1697,7 +1699,8 @@ object Relational {
       .join(supNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("supp_nation"), col("cust_nation"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        round(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) " +
+            "* 100, 0) AS BIGINT)")).cast("double") / 100.0, 2)
           .as("revenue"))
       .orderBy(col("supp_nation"), col("cust_nation"))
   }

@@ -1256,15 +1256,28 @@ object Similarity {
         col("b_label").as("other"), col("c"))
       .union(pairs.select(col("b_label").as("label"),
         col("a_label").as("other"), col("c")))
-    ends.groupBy(col("label"))
+    // Portability: the 4dp cosines are DOUBLES, and a double sum is
+    // partial-aggregation-order-dependent — at one fixture scale the
+    // intra mean landed a half-ulp either side of the 6dp grid across
+    // engines. So the sums are exact scaled BIGINTs, and the 6dp mean is
+    // integer HALF_UP on non-negative operands (abs + re-sign — signed
+    // integer div truncates in Spark but floors in DuckDB, the q236
+    // lesson), with the final /1e6 the only float op on both engines.
+    ends
+      .withColumn("c4", expr("CAST(round(c * 10000, 0) AS BIGINT)"))
+      .groupBy(col("label"))
       .agg(count(when(col("label") === col("other"), 1)).as("n_intra"),
         count(when(col("label") =!= col("other"), 1)).as("n_inter"),
-        round(sum(when(col("label") === col("other"), col("c"))) /
-          count(when(col("label") === col("other"), 1)), 6).as("mean_intra"),
-        round(sum(when(col("label") =!= col("other"), col("c"))) /
-          count(when(col("label") =!= col("other"), 1)), 6).as("mean_inter"))
-      .withColumn("separation",
-        round(col("mean_intra") - col("mean_inter"), 6))
+        sum(when(col("label") === col("other"), col("c4"))).as("s4i"),
+        sum(when(col("label") =!= col("other"), col("c4"))).as("s4o"))
+      .withColumn("mi6", expr("CAST(sign(s4i) AS BIGINT) * " +
+        "((2 * abs(s4i) * 100 + n_intra) div (2 * n_intra))"))
+      .withColumn("mo6", expr("CAST(sign(s4o) AS BIGINT) * " +
+        "((2 * abs(s4o) * 100 + n_inter) div (2 * n_inter))"))
+      .select(col("label"), col("n_intra"), col("n_inter"),
+        (col("mi6").cast("double") / 1e6).as("mean_intra"),
+        (col("mo6").cast("double") / 1e6).as("mean_inter"),
+        ((col("mi6") - col("mo6")).cast("double") / 1e6).as("separation"))
       .orderBy(col("label"))
   }
 }

@@ -558,14 +558,21 @@ object EventsStream {
     * Determinism at drain time: the fixture stream simply ends, and a
     * click whose match window the final watermark never closes would sit
     * in state forever — its null row never emits, which would diverge
-    * from any batch oracle. So the query closes its domain: watermarks
-    * are applied BEFORE the event-type filters (each side's watermark
-    * tracks the full stream, max(ts) - 1 h, not its filtered slice), and
-    * clicks are restricted to those at least 2 h older than the newest
-    * event — strictly below the final watermark, so every kept click is
-    * matched-or-nulled exactly once before the drain. The oracle applies
-    * the same 2 h cut. The cutoff is a 1-row driver aggregate over the
-    * batch table; the stream itself never reads batch data.
+    * from any batch oracle. So the query closes its domain: clicks are
+    * restricted to at least 2 h older than the newest event OF EITHER
+    * JOINED TYPE — strictly below the final global watermark, so every
+    * kept click is matched-or-nulled exactly once before the drain. The
+    * per-type maxima (not the full-stream max) are the correct anchor:
+    * although each watermark is declared before its event-type filter,
+    * Catalyst pushes the non-watermark-column filter BELOW the
+    * EventTimeWatermark node, so each side's watermark tracks only its
+    * own slice — max(click ts) - 1 h and max(purchase ts) - 1 h, with
+    * the global watermark their min. A full-stream cutoff left the
+    * newest click above the click-side watermark at one fixture scale
+    * (its null row never emitted — caught by the cross-SF oracle sweep).
+    * The oracle applies the same per-type cut. The cutoff is a 1-row
+    * driver aggregate over the batch table; the stream itself never
+    * reads batch data.
     */
   def purchaseAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
     // typed timestamp math end-to-end: adaptTs normalizes whatever the
@@ -574,7 +581,11 @@ object EventsStream {
     // the fixture moved to timestamp[us])
     val cutoffMicros = graft.cube.Engine
       .adaptTs(spark.read.parquet(s"$dir/events.parquet"))
-      .agg(max(unix_micros(col("ts").cast(TimestampType))))
+      .agg(least(
+        max(when(col("event_type") === "click",
+          unix_micros(col("ts").cast(TimestampType)))),
+        max(when(col("event_type") === "purchase",
+          unix_micros(col("ts").cast(TimestampType))))))
       .collect()(0).getLong(0) - 2L * 3600L * 1000000L
     val ev = streamingEvents(spark, dir)
     val clicks = ev
