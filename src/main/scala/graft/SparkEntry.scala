@@ -598,6 +598,25 @@ object SparkEntry {
       Corpus.sourcePurity(eng(s, d).table("documents"))),
     // users by distinct-type count with mean type-mix entropy
     "q299_user_specialization" -> EventAnalytics.userSpecialization _,
+    // Brown double-exponential-smoothing forecast over daily revenue
+    "q300_brown_forecast" -> Relational.brownForecast _,
+    // count-min-sketch frequency contract (exact counts + live-sketch
+    // bound check, the q38 HLL discipline)
+    "q301_cms_contract" -> ((s, d) => Relational.cmsBrandContract(s, d)),
+    // matryoshka truncation: recall@10 of 16-dim-prefix cosine vs full
+    "q302_matryoshka_recall" -> ((s, d) =>
+      Similarity.matryoshkaRecall(eng(s, d).table("embeddings"))),
+    // pairwise Jensen-Shannon divergence between source unigram dists
+    "q303_source_jsd" -> ((s, d) =>
+      Corpus.sourceJsd(eng(s, d).table("documents"))),
+    // k-anonymity equivalence-class census over customer QI triple
+    "q304_k_anonymity" -> ((s, d) => Relational.kAnonymity(s, d)),
+    // CBO join-cardinality estimate vs actual (uniformity-assumption audit)
+    "q305_join_cardinality" -> Relational.joinCardinalityAudit _,
+    // product-quantization ADC + exact rerank (exhaustive regime == q28's
+    // relation at queryId=1 — the q113 oracle device; production prunes)
+    "q306_pq_rerank" -> ((s, d) =>
+      Similarity.pqRerankTopK(eng(s, d).table("embeddings"), queryId = 1L)),
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -4054,6 +4073,155 @@ object SparkEntry {
         | round(avg(ln(CAST(tot AS DOUBLE)) - nlogn / CAST(tot AS DOUBLE)),
         |  6) AS mean_entropy
         |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q300_brown_forecast" ->
+      """WITH daily AS (
+        | SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) // 100
+        |    AS dollars
+        | FROM orders GROUP BY 1),
+        |p1 AS (
+        | SELECT day, day - k * INTERVAL 1 DAY AS src_day,
+        |  CAST(round(pow(4, k) * pow(5, 6 - k), 0) AS BIGINT) AS w
+        | FROM daily CROSS JOIN range(0, 7) t(k)),
+        |sm1 AS (
+        | SELECT p.day, sum(d.dollars * p.w) AS n1, sum(p.w) AS d1,
+        |  CAST(round(CAST(sum(d.dollars * p.w) AS DOUBLE) / sum(p.w)
+        |    * 100, 0) AS BIGINT) AS s1c
+        | FROM p1 p JOIN daily d ON p.src_day = d.day GROUP BY 1),
+        |p2 AS (
+        | SELECT day, day - k * INTERVAL 1 DAY AS src_day,
+        |  CAST(round(pow(4, k) * pow(5, 6 - k), 0) AS BIGINT) AS w
+        | FROM sm1 CROSS JOIN range(0, 7) t(k)),
+        |sm2 AS (
+        | SELECT p.day, CAST(round(CAST(sum(s.s1c * p.w) AS DOUBLE)
+        |    / sum(p.w), 0) AS BIGINT) AS s2c
+        | FROM p2 p JOIN sm1 s ON p.src_day = s.day GROUP BY 1)
+        |SELECT d.day, d.dollars,
+        | CAST(s1c AS DOUBLE) / 100 AS s1,
+        | CAST(s2c AS DOUBLE) / 100 AS s2,
+        | CAST(s1c * 9 - s2c * 5 AS DOUBLE) / 400 AS forecast_next
+        |FROM daily d JOIN sm1 ON d.day = sm1.day
+        | JOIN sm2 ON d.day = sm2.day
+        |ORDER BY d.day""".stripMargin,
+    "q301_cms_contract" ->
+      """SELECT p_brand AS brand, count(*) AS exact_cnt, TRUE AS cms_ok
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q306_pq_rerank" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings WHERE vec_id = 1)
+        |SELECT vec_id, label,
+        | round(list_inner_product(embedding, q_emb)
+        |   / (sqrt(list_inner_product(embedding, embedding))
+        |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings, q WHERE vec_id <> 1
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q302_matryoshka_recall" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        | FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, emb AS e_a FROM e WHERE vec_id < 128),
+        |p AS (
+        | SELECT a_id, vec_id AS b_id,
+        |  round(list_inner_product(e_a, emb)
+        |    / (sqrt(list_inner_product(e_a, e_a))
+        |       * sqrt(list_inner_product(emb, emb))), 4) AS c_full,
+        |  round(list_inner_product(e_a[1:16], emb[1:16])
+        |    / (sqrt(list_inner_product(e_a[1:16], e_a[1:16]))
+        |       * sqrt(list_inner_product(emb[1:16], emb[1:16]))), 4)
+        |    AS c_trunc
+        | FROM a, e WHERE vec_id <> a_id),
+        |tf AS (
+        | SELECT a_id, b_id FROM (
+        |  SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+        |   ORDER BY c_full DESC, b_id) AS r FROM p) WHERE r <= 10),
+        |tt AS (
+        | SELECT a_id, b_id FROM (
+        |  SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+        |   ORDER BY c_trunc DESC, b_id) AS r FROM p) WHERE r <= 10),
+        |inter AS (
+        | SELECT a_id, count(*) AS n_common
+        | FROM tf JOIN tt USING (a_id, b_id) GROUP BY 1),
+        |ov AS (
+        | SELECT a.a_id, coalesce(i.n_common, 0) AS n_common
+        | FROM a LEFT JOIN inter i ON a.a_id = i.a_id)
+        |SELECT n_common, count(*) AS n_anchors,
+        | round(CAST(n_common AS DOUBLE) / 10, 4) AS recall_at_k
+        |FROM ov GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q303_source_jsd" ->
+      """WITH tf AS (
+        | SELECT source, tok, count(*) AS cnt
+        | FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents)
+        | GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+        |  FROM tf GROUP BY 1),
+        |p AS (SELECT tf.source, tok, cnt, tot FROM tf JOIN tot USING (source)),
+        |j AS (
+        | SELECT a.source AS src_a, b.source AS src_b,
+        |  a.cnt AS ca, a.tot AS ta, b.cnt AS cb, b.tot AS tb
+        | FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source),
+        |co AS (
+        | SELECT src_a, src_b, count(*) AS n_common_terms,
+        |  round(
+        |   sum(ca * log2((2 * ca * tb) / CAST(ca * tb + cb * ta AS DOUBLE)))
+        |     / max(ta) / 2
+        |   + sum(cb * log2((2 * cb * ta) / CAST(ca * tb + cb * ta AS DOUBLE)))
+        |     / max(tb) / 2
+        |   + (1.0 - CAST(sum(ca) AS DOUBLE) / max(ta)) / 2
+        |   + (1.0 - CAST(sum(cb) AS DOUBLE) / max(tb)) / 2, 4) AS jsd
+        | FROM j GROUP BY 1, 2),
+        |grid AS (
+        | SELECT a.source AS src_a, b.source AS src_b
+        | FROM tot a, tot b WHERE a.source < b.source)
+        |SELECT g.src_a, g.src_b,
+        | coalesce(n_common_terms, 0) AS n_common_terms,
+        | coalesce(jsd, 1.0) AS jsd
+        |FROM grid g LEFT JOIN co
+        | ON g.src_a = co.src_a AND g.src_b = co.src_b
+        |ORDER BY 1, 2""".stripMargin,
+    "q304_k_anonymity" ->
+      """WITH cls AS (
+        | SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(CAST(round(c_acctbal * 100, 0) AS BIGINT) / 200000.0)
+        |    AS BIGINT) AS bal_band,
+        |  count(*) AS class_size
+        | FROM customer GROUP BY 1, 2, 3)
+        |SELECT class_size, count(*) AS n_classes,
+        | class_size * count(*) AS n_customers,
+        | class_size < 5 AS at_risk
+        |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin,
+    "q305_join_cardinality" ->
+      """WITH oa AS (
+        | SELECT count(*) AS n_a, count(DISTINCT o_orderkey) AS ndv_a
+        | FROM orders),
+        |ob AS (
+        | SELECT count(*) AS n_b, count(DISTINCT l_orderkey) AS ndv_b
+        | FROM lineitem),
+        |oc AS (
+        | SELECT count(*) AS actual
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |pa AS (
+        | SELECT count(*) AS n_a, count(DISTINCT p_partkey) AS ndv_a
+        | FROM part),
+        |pb AS (
+        | SELECT count(*) AS n_b, count(DISTINCT l_partkey) AS ndv_b
+        | FROM lineitem),
+        |pc AS (
+        | SELECT count(*) AS actual
+        | FROM part JOIN lineitem ON p_partkey = l_partkey)
+        |SELECT * FROM (
+        | SELECT 'orders_lineitem' AS join_name, n_a, ndv_a, n_b, ndv_b,
+        |  (n_a * n_b) // greatest(ndv_a, ndv_b) AS estimated, actual,
+        |  round(CAST((n_a * n_b) // greatest(ndv_a, ndv_b) AS DOUBLE)
+        |    / CAST(actual AS DOUBLE), 4) AS ratio
+        | FROM oa, ob, oc
+        | UNION ALL
+        | SELECT 'part_lineitem', n_a, ndv_a, n_b, ndv_b,
+        |  (n_a * n_b) // greatest(ndv_a, ndv_b), actual,
+        |  round(CAST((n_a * n_b) // greatest(ndv_a, ndv_b) AS DOUBLE)
+        |    / CAST(actual AS DOUBLE), 4)
+        | FROM pa, pb, pc)
+        |ORDER BY join_name""".stripMargin,
     "q188_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id,

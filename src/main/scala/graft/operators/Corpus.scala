@@ -1909,4 +1909,59 @@ object Corpus {
         round(sum(col("gap")), 6).as("profile_l1"))
       .orderBy(col("source"))
   }
+
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions — the mixture-design distance ("how different is
+    * source A's language from source B's?") that q49/q131's sampling
+    * weights want as an input, and the drift metric that flags a
+    * source whose crawl changed character. JSD is symmetric and
+    * bounded [0, 1] in log₂, unlike raw KL which is infinite on any
+    * term the other source lacks; the disjoint-term mass enters in
+    * closed form (a term with q=0 contributes p/2), so only COMMON
+    * terms ever join: `JSD = ½·Sa/ta + ½·Sb/tb + ½(1−Ma/ta) +
+    * ½(1−Mb/tb)` with `Sa = Σ ca·log₂(2·ca·tb / (ca·tb + cb·ta))`
+    * over common terms and `Ma = Σ ca` the common mass.
+    *
+    * Shape: one (source, token) rollup, then a token-keyed self-join —
+    * per-term fan-out is bounded by #sources² (sources are a handful),
+    * never by corpus size, and the log arguments are exact-integer
+    * ratios (the q94 surprisal discipline) so both engines see
+    * identical operands.
+    */
+  def sourceJsd(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = tf.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val p = tf.join(broadcast(totals), "source")
+    val a = p.select(col("source").as("src_a"), col("tok"),
+      col("cnt").as("ca"), col("tot").as("ta"))
+    val b = p.select(col("source").as("src_b"), col("tok"),
+      col("cnt").as("cb"), col("tot").as("tb"))
+    val common = a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common_terms"),
+        sum(expr("ca * log2((2 * ca * tb) / " +
+          "CAST(ca * tb + cb * ta AS DOUBLE))")).as("sa"),
+        sum(expr("cb * log2((2 * cb * ta) / " +
+          "CAST(ca * tb + cb * ta AS DOUBLE))")).as("sb"),
+        sum(col("ca")).as("ma"), sum(col("cb")).as("mb"),
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"))
+      .select(col("src_a"), col("src_b"), col("n_common_terms"),
+        round(
+          col("sa") / col("ta") / 2 + col("sb") / col("tb") / 2 +
+            (lit(1.0) - col("ma").cast("double") / col("ta")) / 2 +
+            (lit(1.0) - col("mb").cast("double") / col("tb")) / 2,
+          4).as("jsd"))
+    // dense pair grid (sources are bounded): a pair sharing NO terms
+    // never joins above but is maximally divergent — JSD exactly 1
+    totals.select(col("source").as("src_a"))
+      .crossJoin(broadcast(totals.select(col("source").as("src_b"))))
+      .filter(col("src_a") < col("src_b"))
+      .join(common, Seq("src_a", "src_b"), "left_outer")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_common_terms"), lit(0L)).as("n_common_terms"),
+        coalesce(col("jsd"), lit(1.0)).as("jsd"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -2606,4 +2606,180 @@ object Relational {
           .as("between_term"))
       .orderBy(col("n_name"))
   }
+
+  /** Brown's double exponential smoothing (linear-trend forecast) over
+    * the daily revenue series: `s1` = truncated-window EWMA of daily
+    * dollars (the q212 form — 7-day lag join with `0.8^k` weights,
+    * renormalized over the lags present), `s2` = the same EWMA applied
+    * to `s1`, and the one-step-ahead forecast
+    * `2·s1 − s2 + (α/(1−α))·(s1 − s2)` with α = 0.2. The recursive
+    * textbook form is a sequential scan; the truncated-window form is
+    * the same statistic to < 0.8⁷ ≈ 5% tail mass and is embarrassingly
+    * parallel — two lag joins over the CALENDAR-grain frame (bounded by
+    * span days, not fact rows), which is why it survives 100 TB while a
+    * driver-side recursion would not.
+    *
+    * Portability: at 8-digit daily dollars a 6dp-rounded weighted MEAN
+    * needs ~14 exact significant digits — past what an order-dependent
+    * double sum guarantees (observed live: a last-ulp flip at sf0.1).
+    * So the weights are the EXACT integers `0.8^k·5⁶ = 4^k·5^(6−k)`,
+    * both smoothing passes sum pure BIGINTs (order-independent), `s1`
+    * requantizes to the integer cents grid before feeding pass two, and
+    * the only float ops are the final num/den divisions — the
+    * semanticOutliers/q284 exact-sum discipline.
+    */
+  def brownForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = e(spark, dir).table("orders")
+      .groupBy(date_trunc("day", col("o_orderdate"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
+      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+      .withColumn("dollars", expr("cents div 100"))
+      .select(col("day"), col("dollars"))
+    // (day, src_day, integer weight 4^k·5^(6-k)) lag probes
+    def probes(src: DataFrame): DataFrame = src
+      .select(col("day"), explode(sequence(lit(0), lit(6))).as("k"))
+      .select(col("day"),
+        expr("day - make_interval(0, 0, 0, k)").as("src_day"),
+        expr("CAST(round(pow(4, k) * pow(5, 6 - k), 0) AS BIGINT)")
+          .as("w"))
+    val s1 = probes(daily)
+      .join(daily.select(col("day").as("src_day"), col("dollars")),
+        "src_day")
+      .groupBy(col("day"))
+      .agg(sum(col("dollars") * col("w")).as("n1"), sum(col("w")).as("d1"))
+      // cents-grid requantization: pass 2 consumes an exact integer
+      .withColumn("s1c",
+        expr("CAST(round(CAST(n1 AS DOUBLE) / d1 * 100, 0) AS BIGINT)"))
+    val s2 = probes(s1)
+      .join(s1.select(col("day").as("src_day"), col("s1c")), "src_day")
+      .groupBy(col("day"))
+      .agg(sum(col("s1c") * col("w")).as("n2"), sum(col("w")).as("d2"))
+      .withColumn("s2c",
+        expr("CAST(round(CAST(n2 AS DOUBLE) / d2, 0) AS BIGINT)"))
+    // every reported value divides an exact integer by a power of 2·5
+    // (100, 400) — terminating decimals, so no 6dp round-boundary a
+    // half-ulp can flip (2·s1−s2+¼(s1−s2) = (9·s1c−5·s2c)/400 on the
+    // cents grid)
+    daily.join(s1, "day").join(s2, "day")
+      .select(col("day"), col("dollars"),
+        (col("s1c").cast("double") / 100).as("s1"),
+        (col("s2c").cast("double") / 100).as("s2"),
+        ((col("s1c") * 9 - col("s2c") * 5).cast("double") / 400)
+          .as("forecast_next"))
+      .orderBy(col("day"))
+  }
+
+  /** Count-min-sketch frequency contract over brand line counts — the
+    * CMS twin of the q38 HLL contract. The registered columns are the
+    * EXACT per-brand line counts plus `cms_ok`, a deterministically-true
+    * bound check over the LIVE sketch estimate (`est ≥ exact` — CMS
+    * never undercounts — and `est ≤ exact + max(2, 3·ε·N)`), so an ANSI
+    * oracle hash-checks the whole row while the sketch genuinely runs on
+    * the data path. The sketch aggregates map-side into one ~KB binary
+    * (width 2/ε × depth ln(1/(1−conf)) counters) — the exact-counts
+    * rollup shuffles 25 brand rows, the sketch shuffles ONE — and at
+    * 100 TB the sketch is the only side that still fits a dashboard
+    * latency budget; the contract is how its error stays audited. The
+    * driver-side reads are the sketch itself and the ≤ 25-brand key
+    * list: model-state-sized by construction.
+    */
+  def cmsBrandContract(spark: SparkSession, dir: String,
+      eps: Double = 1e-4, conf: Double = 0.99): DataFrame = {
+    val en = e(spark, dir)
+    val fact = en.table("lineitem").select(col("l_partkey"))
+      .join(broadcast(en.table("part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"))
+    val exact = fact.groupBy(col("brand")).agg(count(lit(1)).as("exact_cnt"))
+    val skBytes = fact
+      .agg(expr(s"count_min_sketch(brand, CAST($eps AS DOUBLE), " +
+        s"CAST($conf AS DOUBLE), 42)").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val sk = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val slack = math.max(2L, math.ceil(3 * eps * sk.totalCount()).toLong)
+    val brands = exact.select(col("brand")).collect().map(_.getString(0))
+    val estimates = {
+      val s = spark
+      import s.implicits._
+      // the SQL aggregate feeds the sketch UTF-8 BYTES (addBinary), so
+      // the probe must too — estimateCount(String) hashes differently
+      brands.toSeq.map(b => (b, sk.estimateCount(
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        .toDF("brand", "est")
+    }
+    exact.join(broadcast(estimates), "brand")
+      .select(col("brand"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt") &&
+          col("est") <= col("exact_cnt") + lit(slack)).as("cms_ok"))
+      .orderBy(col("brand"))
+  }
+
+  /** k-anonymity census over the customer quasi-identifier triple
+    * (nation, market segment, account-balance band): the size
+    * distribution of QI equivalence classes, plus the re-identification
+    * flag (`at_risk` = class smaller than k) — the privacy audit a
+    * training-data release pipeline runs before shipping user-derived
+    * tables. Balance bands floor exact integer cents (floor-division via
+    * `floor(x/…)`, identical on negatives in both engines — truncating
+    * int division is NOT). One QI-grain shuffle builds the classes; the
+    * census rollup then groups ≤ distinct-class-size rows. At 100 TB the
+    * QI rollup is an ordinary combiner-friendly aggregation; nothing
+    * here is quadratic in rows.
+    */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val classes = e(spark, dir).table("customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)") /
+          lit(200000.0)).cast("long").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+    classes.groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .select(col("class_size"), col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_customers"),
+        (col("class_size") < k).as("at_risk"))
+      .orderBy(col("class_size"))
+  }
+
+  /** Optimizer-stats cardinality audit: the textbook join-size estimate
+    * `|A|·|B| / max(ndv(a), ndv(b))` (the uniform-frequency formula a
+    * cost-based optimizer computes from table stats) versus the ACTUAL
+    * join cardinality, for the two fact joins. On a CLEAN PK–FK join the
+    * formula is exact — ndv(pk) = |A| cancels and the estimate collapses
+    * to |B| — so ratio = 1.0 is the certificate that (a) the stats the
+    * CBO would use are healthy and (b) the FK has no orphans (an orphaned
+    * fact key pushes actual below |B| and the ratio above 1); on non-key
+    * joins the same ratio exposes the uniformity assumption's
+    * skew-blindness (actual/est = 1 + CV² of key frequencies). Inputs
+    * are three exact aggregates per audited join (counts, distinct keys,
+    * join count) — each a combiner-friendly single pass; the 1-row
+    * results cross-join broadcast-free of cost.
+    */
+  def joinCardinalityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    def audit(name: String, a: DataFrame, ak: String,
+        b: DataFrame, bk: String): DataFrame = {
+      val sa = a.agg(count(lit(1)).as("n_a"),
+        count_distinct(col(ak)).as("ndv_a"))
+      val sb = b.agg(count(lit(1)).as("n_b"),
+        count_distinct(col(bk)).as("ndv_b"))
+      val actual = a.join(b, col(ak) === col(bk))
+        .agg(count(lit(1)).as("actual"))
+      sa.crossJoin(broadcast(sb)).crossJoin(broadcast(actual))
+        .select(lit(name).as("join_name"), col("n_a"), col("ndv_a"),
+          col("n_b"), col("ndv_b"),
+          expr("(n_a * n_b) div greatest(ndv_a, ndv_b)").as("estimated"),
+          col("actual"),
+          round(expr("(n_a * n_b) div greatest(ndv_a, ndv_b)")
+            .cast("double") / col("actual").cast("double"), 4).as("ratio"))
+    }
+    val li = en.table("lineitem")
+    audit("orders_lineitem", en.table("orders"), "o_orderkey",
+        li, "l_orderkey")
+      .unionByName(audit("part_lineitem", en.table("part"), "p_partkey",
+        li, "l_partkey"))
+      .orderBy(col("join_name"))
+  }
 }

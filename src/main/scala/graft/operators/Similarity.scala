@@ -1280,4 +1280,120 @@ object Similarity {
         ((col("mi6") - col("mo6")).cast("double") / 1e6).as("separation"))
       .orderBy(col("label"))
   }
+
+  /** Product-quantization ANN with exact rerank: train one `codeK`-way
+    * codebook per `subspaces` subvector slice (on [[kmeans]]'s bounded
+    * sample — driver-sized model state), encode every vector to
+    * `subspaces` small codes in ONE map pass (argmin over
+    * `||c||² − 2·x_j·c`, the per-row `||x_j||²` constant dropped), and
+    * score candidates by asymmetric distance (ADC): the query
+    * precomputes a `codeK`-entry lookup table per subspace, so a
+    * candidate costs `subspaces` array lookups instead of a `dim`-wide
+    * dot product — the memory-bandwidth shape that serves a 100 TB
+    * embedding store from 8 bytes/vector. The top `rerankWidth` by ADC
+    * pay the exact full-precision cosine; top-k of that is emitted.
+    *
+    * Correctness gate uses the q113 exhaustive device: codebooks are
+    * driver-trained model state no ANSI oracle can replay, so the
+    * REGISTERED regime sets `rerankWidth` ≥ any fixture corpus, where
+    * the ADC prune passes everything and the result is exactly
+    * [[bruteForceTopK]]'s relation (embeddings are unit-norm, so ADC's
+    * L2² = 2 − 2·cos is monotone in the rerank key). Production sets
+    * `rerankWidth` ~10·k; PqSpec pins both regimes.
+    */
+  def pqRerankTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+      subspaces: Int = 8, codeK: Int = 16,
+      rerankWidth: Int = 10000): DataFrame = {
+    val qRows = emb.filter(col("vec_id") === queryId).collect()
+    require(qRows.nonEmpty, s"pqRerankTopK: query vec_id=$queryId not found")
+    val qv = embAsDoubles(qRows.head, qRows.head.fieldIndex("embedding"))
+    val dim = qv.length
+    require(dim % subspaces == 0,
+      s"pqRerankTopK: dim $dim not divisible into $subspaces subspaces")
+    val dsub = dim / subspaces
+    // per-subspace codebooks: kmeans over the subvector slice (the
+    // sample inside kmeans is bounded; the returned codebook is
+    // codeK x dsub — model state)
+    val books: Seq[Array[(Int, Array[Double])]] = (0 until subspaces).map {
+      j =>
+        kmeans(emb.select(col("vec_id"),
+            slice(col("embedding"), j * dsub + 1, dsub).as("embedding")),
+          k = codeK)
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+          .sortBy(_._1)
+    }
+    // fused encode + ADC: per subspace, code = argmin_c(||c||²−2·x_j·c)
+    // (ties to lowest cid — array_min on (d, cid) structs), then the
+    // query-side lookup table prices that code
+    val adc = (0 until subspaces).map { j =>
+      val sub = slice(col("embedding"), j * dsub + 1, dsub)
+      val qj = qv.slice(j * dsub, (j + 1) * dsub)
+      val code = array_min(array(books(j).map { case (cid, c) =>
+        val cLit = array(c.map(lit).toIndexedSeq: _*)
+        struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, cLit))
+          .as("d"), lit(cid).as("cid"))
+      }.toIndexedSeq: _*)).getField("cid")
+      val lut = books(j).map { case (_, c) =>
+        c.zip(qj).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      element_at(array(lut.map(lit).toIndexedSeq: _*), code + 1)
+    }.reduce(_ + _)
+    val qLit = array(qv.map(lit).toIndexedSeq: _*)
+    emb.filter(col("vec_id") =!= queryId)
+      .withColumn("__adc", adc)
+      .orderBy(col("__adc").asc, col("vec_id"))
+      .limit(rerankWidth)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), qLit), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Matryoshka truncation audit: recall@k of PREFIX-truncated cosine
+    * search against full-dimension cosine search, as an overlap
+    * histogram (`n_common` of the two top-k lists → anchor count +
+    * recall). The operational question behind MRL-style embeddings:
+    * "can the ANN tier run on the first `truncDim` dims (4× less memory
+    * and bandwidth at `truncDim` = 16 of 64) and keep acceptable
+    * recall before the full-dim rerank?" — measured, not assumed, the
+    * same way q130's int8 rerank prices quantization.
+    *
+    * Shape: anchors are a bounded evaluation slice (`vec_id < maxId` —
+    * recall is a corpus statistic and estimates fine from a slice);
+    * the anchor side BROADCASTS, the corpus streams past it, and the
+    * per-anchor top-k window partitions on the anchor id. The pair
+    * frame is |corpus|·|anchors| rows of (id, id, two cosines) — at
+    * full corpus scale feed a corpus sample or the LSH-bucketed
+    * candidate frame ([[lshNearDupPairs]]-style) as `emb`; the
+    * ranking/overlap tail only ever sees 2·k·|anchors| rows. Cosines
+    * round to 4dp with an id tiebreak before ranking (the q28/q29
+    * determinism contract), so both engines rank identically.
+    */
+  def matryoshkaRecall(emb: DataFrame, k: Int = 10, truncDim: Int = 16,
+      maxId: Long = 128L): DataFrame = {
+    val anchors = emb.filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
+    val pairs = emb.select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+      .join(broadcast(anchors), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("e_a"), col("e_b")), 4).as("c_full"),
+        round(cosine(slice(col("e_a"), 1, truncDim),
+          slice(col("e_b"), 1, truncDim)), 4).as("c_trunc"))
+    def topK(c: String): DataFrame = pairs
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col(c).desc, col("b_id"))))
+      .filter(col("__r") <= k)
+      .select(col("a_id"), col("b_id"))
+    val overlap = topK("c_full").join(topK("c_trunc"), Seq("a_id", "b_id"))
+      .groupBy(col("a_id")).agg(count(lit(1)).as("n_common"))
+    anchors.select(col("a_id"))
+      .join(overlap, Seq("a_id"), "left_outer")
+      .na.fill(0L, Seq("n_common"))
+      .groupBy(col("n_common"))
+      .agg(count(lit(1)).as("n_anchors"))
+      .select(col("n_common"), col("n_anchors"),
+        round(col("n_common").cast("double") / k, 4).as("recall_at_k"))
+      .orderBy(col("n_common"))
+  }
 }

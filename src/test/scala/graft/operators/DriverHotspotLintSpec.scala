@@ -48,8 +48,13 @@ class DriverHotspotLintSpec extends AnyFunSuite {
       "graft/SparkEntry.scala" -> 1,
       // 1-row aggregate: corpus-wide signature count
       "graft/operators/Dedup.scala" -> 1,
-      // k-means centroids (k x dim), 1-row query-vector fetches
-      "graft/operators/Similarity.scala" -> 5,
+      // <= 25-brand key list probing the driver-held CMS (q301 —
+      // sketch + key list are model-state-sized by construction)
+      "graft/operators/Relational.scala" -> 1,
+      // k-means centroids (k x dim), 1-row query-vector fetches, plus
+      // q306 PQ: one query-row fetch + per-subspace codebook collection
+      // (codeK x dsub each — model state)
+      "graft/operators/Similarity.scala" -> 7,
       // 1-row aggregate: the q109 watermark cutoff
       "graft/streaming/EventsStream.scala" -> 1))
   }
