@@ -617,6 +617,21 @@ object SparkEntry {
     // relation at queryId=1 — the q113 oracle device; production prunes)
     "q306_pq_rerank" -> ((s, d) =>
       Similarity.pqRerankTopK(eng(s, d).table("embeddings"), queryId = 1L)),
+    // bloom membership contract (live bloom_filter_agg + exact counts)
+    "q307_bloom_contract" -> Relational.bloomMembershipContract _,
+    // seasonal-naive vs naive forecast error (MASE) by weekday
+    "q308_seasonal_mase" -> Relational.seasonalMase _,
+    // embedding-space decontamination census vs the label-0 eval suite
+    "q309_semantic_decontam" -> ((s, d) =>
+      Similarity.semanticDecontam(eng(s, d).table("embeddings"))),
+    // per-source topic coherence (mean pairwise PMI of top-5 tokens)
+    "q310_source_coherence" -> ((s, d) =>
+      Corpus.sourceCoherence(eng(s, d).table("documents"))),
+    // NDCG@10 of 16-dim-prefix ranking vs full-dim graded relevance
+    "q311_truncation_ndcg" -> ((s, d) =>
+      Similarity.truncationNdcg(eng(s, d).table("embeddings"))),
+    // per-brand price-volume-mix revenue bridge between 1995 and 1996
+    "q312_price_volume_mix" -> ((s, d) => Relational.priceVolumeMix(s, d)),
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -4115,6 +4130,144 @@ object SparkEntry {
         |      * sqrt(list_inner_product(q_emb, q_emb))), 4) AS cos_sim
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings) embeddings, q WHERE vec_id <> 1
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q307_bloom_contract" ->
+      """WITH oc AS (SELECT DISTINCT o_custkey FROM orders)
+        |SELECT count(*) AS n_customers,
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END)
+        |   AS BIGINT) AS n_with_orders,
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_without_orders,
+        | TRUE AS bloom_ok
+        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey""".stripMargin,
+    "q308_seasonal_mase" ->
+      """WITH daily AS (
+        | SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |j AS (
+        | SELECT d.day, d.cents, w.cents AS cents_w, n.cents AS cents_d
+        | FROM daily d
+        |  JOIN daily w ON d.day = w.day + INTERVAL 7 DAY
+        |  JOIN daily n ON d.day = n.day + INTERVAL 1 DAY)
+        |SELECT (CAST(date_diff('day', DATE '1970-01-01',
+        |   CAST(day AS DATE)) AS BIGINT) + 4) % 7 AS weekday,
+        | count(*) AS n_days,
+        | CAST(sum(abs(cents - cents_w)) AS BIGINT)
+        |   AS abs_err_seasonal_cents,
+        | CAST(sum(abs(cents - cents_d)) AS BIGINT) AS abs_err_naive_cents,
+        | CASE WHEN CAST(sum(abs(cents - cents_d)) AS BIGINT) > 0 THEN
+        |  round(CAST(CAST(sum(abs(cents - cents_w)) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(abs(cents - cents_d)) AS BIGINT) AS DOUBLE), 6)
+        | END AS mase
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q309_semantic_decontam" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        | FROM embeddings),
+        |ev AS (SELECT vec_id AS e_id, emb AS e_emb FROM e WHERE label = 0),
+        |mx AS (
+        | SELECT vec_id, max(CAST(round(
+        |   list_inner_product(emb, e_emb)
+        |    / (sqrt(list_inner_product(emb, emb))
+        |       * sqrt(list_inner_product(e_emb, e_emb))) * 10000, 0)
+        |   AS BIGINT)) AS cmax
+        | FROM e JOIN ev ON vec_id <> e_id
+        | WHERE label <> 0 GROUP BY 1)
+        |SELECT (cmax + 10000) // 500 AS bin, count(*) AS n_vecs,
+        | round(CAST(max(cmax) AS DOUBLE) / 10000, 4) AS max_in_bin
+        |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q310_source_coherence" ->
+      """WITH toks AS (
+        | SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |top AS (
+        | SELECT source, tok FROM (
+        |  SELECT source, tok, row_number() OVER (PARTITION BY source
+        |    ORDER BY count(*) DESC, tok) AS r
+        |  FROM toks GROUP BY source, tok) WHERE r <= 5),
+        |inc AS (
+        | SELECT DISTINCT doc_id, tok FROM toks
+        | WHERE tok IN (SELECT tok FROM top)),
+        |dfk AS (SELECT tok, count(*) AS df FROM inc GROUP BY 1),
+        |cooc AS (
+        | SELECT a.tok AS ta, b.tok AS tb, count(*) AS df_ab
+        | FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        | GROUP BY 1, 2),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |pair AS (
+        | SELECT g.source, da.df AS df_a, db.df AS df_b,
+        |  coalesce(c.df_ab, 0) AS df_ab, n_docs
+        | FROM (SELECT a.source, a.tok AS ta, b.tok AS tb
+        |       FROM top a JOIN top b
+        |        ON a.source = b.source AND a.tok < b.tok) g
+        |  JOIN dfk da ON g.ta = da.tok
+        |  JOIN dfk db ON g.tb = db.tok
+        |  LEFT JOIN cooc c ON g.ta = c.ta AND g.tb = c.tb
+        |  CROSS JOIN nd)
+        |SELECT source, count(*) AS n_pairs,
+        | CAST(sum(CASE WHEN df_ab = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_zero_pairs,
+        | round(avg(CASE WHEN df_ab > 0 THEN
+        |   log2(CAST(df_ab * n_docs AS DOUBLE)
+        |     / CAST(df_a * df_b AS DOUBLE)) END), 4) AS mean_pmi
+        |FROM pair GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q311_truncation_ndcg" -> (
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        | FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, emb AS e_a FROM e WHERE vec_id < 128),
+        |p AS (
+        | SELECT a_id, vec_id AS b_id,
+        |  round(list_inner_product(e_a, emb)
+        |    / (sqrt(list_inner_product(e_a, e_a))
+        |       * sqrt(list_inner_product(emb, emb))), 4) AS c_full,
+        |  round(list_inner_product(e_a[1:16], emb[1:16])
+        |    / (sqrt(list_inner_product(e_a[1:16], e_a[1:16]))
+        |       * sqrt(list_inner_product(emb[1:16], emb[1:16]))), 4)
+        |    AS c_trunc
+        | FROM a, e WHERE vec_id <> a_id),
+        |r AS (
+        | SELECT a_id, b_id,
+        |  row_number() OVER (PARTITION BY a_id
+        |    ORDER BY c_full DESC, b_id) AS full_rank,
+        |  row_number() OVER (PARTITION BY a_id
+        |    ORDER BY c_trunc DESC, b_id) AS trunc_rank
+        | FROM p),
+        |n AS (
+        | SELECT a_id, CAST(round(
+        |   sum(CAST(greatest(0, 11 - full_rank) AS DOUBLE)
+        |     / log2(CAST(trunc_rank AS DOUBLE) + 1)) / IDCG * 1e6, 0)
+        |   AS BIGINT) AS ndcg6
+        | FROM r WHERE trunc_rank <= 10 GROUP BY 1)
+        |SELECT ndcg6 // 100000 AS band, count(*) AS n_anchors,
+        | round(CAST(sum(ndcg6) AS BIGINT) / CAST(count(*) AS DOUBLE)
+        |   / 1e6, 6) AS mean_ndcg
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+        .replace("IDCG", graft.operators.Similarity.ndcgIdcg(10).toString)),
+    "q312_price_volume_mix" ->
+      """WITH byr AS (
+        | SELECT p_brand, year(o_orderdate) = 1995 AS is_base,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
+        | FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        | WHERE year(o_orderdate) IN (1995, 1996)
+        | GROUP BY 1, 2),
+        |b0 AS (SELECT p_brand, cents AS r0, qty AS q0 FROM byr
+        |       WHERE is_base),
+        |b1 AS (SELECT p_brand, cents AS r1, qty AS q1 FROM byr
+        |       WHERE NOT is_base)
+        |SELECT p_brand, round(CAST(r0 AS DOUBLE) / 100, 2) AS rev0,
+        | round(CAST(r1 AS DOUBLE) / 100, 2) AS rev1,
+        | round(CAST(r1 - r0 AS DOUBLE) / 100, 2) AS delta,
+        | round((CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0)
+        |   * q1 / 100, 2) AS price_effect,
+        | round(CAST(r0 AS DOUBLE) / q0 * (q1 - q0) / 100, 2)
+        |   AS volume_effect
+        |FROM b0 JOIN b1 USING (p_brand) ORDER BY p_brand""".stripMargin,
     "q302_matryoshka_recall" ->
       """WITH e AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -1964,4 +1964,60 @@ object Corpus {
         coalesce(col("jsd"), lit(1.0)).as("jsd"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Per-source topic coherence: the mean pairwise PMI of each source's
+    * top-`m` tokens, computed from document co-occurrence — the
+    * topic-model evaluation statistic ("do this source's characteristic
+    * terms actually appear TOGETHER?") that separates a coherent domain
+    * source from a mixed-crawl one. `PMI(a,b) = log₂(df_ab·N /
+    * (df_a·df_b))`; positive means the source's top terms co-occur more
+    * than independence predicts.
+    *
+    * Scale: the top-token union is bounded (`sources × m`, broadcast),
+    * and the doc-incidence frame is PRUNED to it BEFORE the doc-keyed
+    * co-occurrence self-join — per-doc fan-out is ≤ C(|selected|, 2)
+    * regardless of corpus size, and df/cooc rollups combine map-side.
+    * Log arguments are exact-integer ratios (the q94 discipline); a
+    * zero-cooccurrence pair is excluded from the mean (log 0 is an
+    * engine-divergent boundary) and surfaced in `n_zero_pairs` instead.
+    */
+  def sourceCoherence(docs: DataFrame, m: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val top = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("__r") <= m)
+      .select(col("source"), col("tok"))
+    val inc = toks.select(col("doc_id"), col("tok")).distinct()
+      .join(broadcast(top.select(col("tok")).distinct()), "tok")
+    val dfTok = inc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val cooc = inc.select(col("doc_id"), col("tok").as("ta"))
+      .join(inc.select(col("doc_id"), col("tok").as("tb")), "doc_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("df_ab"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    top.as("a")
+      .join(top.as("b"), col("a.source") === col("b.source") &&
+        col("a.tok") < col("b.tok"))
+      .select(col("a.source").as("source"), col("a.tok").as("ta"),
+        col("b.tok").as("tb"))
+      .join(broadcast(dfTok.select(col("tok").as("ta"),
+        col("df").as("df_a"))), "ta")
+      .join(broadcast(dfTok.select(col("tok").as("tb"),
+        col("df").as("df_b"))), "tb")
+      .join(broadcast(cooc), Seq("ta", "tb"), "left_outer")
+      .na.fill(0L, Seq("df_ab"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__pmi", when(col("df_ab") > 0,
+        log2((col("df_ab") * col("n_docs")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("df_ab") === 0, 1).otherwise(0)).as("n_zero_pairs"),
+        round(avg(col("__pmi")), 4).as("mean_pmi"))
+      .orderBy(col("source"))
+  }
 }

@@ -2782,4 +2782,133 @@ object Relational {
         li, "l_partkey"))
       .orderBy(col("join_name"))
   }
+
+  /** Bloom-filter membership contract over the has-orders customer set —
+    * the bloom twin of the q38 HLL and q301 CMS contracts. The LIVE
+    * bloom (the same `bloom_filter_agg` expression pair q65's runtime
+    * filter plants) is built over distinct ordering customers and probed
+    * by EVERY customer; the registered columns are the exact partition
+    * counts (semi/anti-join ground truth) plus `bloom_ok`, true iff no
+    * member probed negative (false negatives are impossible by
+    * construction — this is the structural half) and the observed
+    * false-positive rate among true negatives stayed under 1% (the
+    * filter is sized for ~1e-5 nominal FPP, so 1% is a ~1000× margin,
+    * deterministic at any fixture scale). At 100 TB the exact counts are
+    * two combiner-friendly aggregates and the bloom is ONE ~256 KB row
+    * broadcast to the probe side — the contract audits the same filter
+    * the join pruning path trusts.
+    */
+  def bloomMembershipContract(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    val custKeys = en.table("customer").select(col("c_custkey"))
+    val orderCust = en.table("orders").select(col("o_custkey")).distinct()
+    val bloom = orderCust
+      .agg(org.apache.spark.sql.graftbridge.Bridge
+        .bloomFilterAgg(col("o_custkey"), 1000000L, 2097152L).as("__bloom"))
+      .scalar()
+    val probed = custKeys
+      .join(orderCust.withColumnRenamed("o_custkey", "c_custkey")
+        .withColumn("__m", lit(1)), Seq("c_custkey"), "left_outer")
+      .select(
+        coalesce(col("__m"), lit(0)).as("is_member"),
+        org.apache.spark.sql.graftbridge.Bridge
+          .bloomMightContain(bloom, col("c_custkey")).cast("int").as("hit"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("is_member")).as("n_with_orders"),
+        sum(lit(1) - col("is_member")).as("n_without_orders"),
+        sum(col("is_member") * col("hit")).as("member_hits"),
+        sum((lit(1) - col("is_member")) * col("hit")).as("fp_hits"))
+    probed.select(col("n_customers"), col("n_with_orders"),
+      col("n_without_orders"),
+      (col("member_hits") === col("n_with_orders") &&
+        col("fp_hits").cast("double") <=
+          greatest(col("n_without_orders").cast("double") * 0.01, lit(1.0)))
+        .as("bloom_ok"))
+  }
+
+  /** Seasonal-naive forecast accuracy (MASE discipline) over the daily
+    * revenue series: per weekday, the lag-7 (same-weekday) forecast's
+    * absolute error against the lag-1 naive forecast's — the standard
+    * "is there weekly seasonality worth modeling?" audit that gates
+    * whether q300's trend smoother needs a seasonal term. Errors are
+    * exact integer cents (daily cents are BIGINT sums; lag joins are
+    * calendar-grain equi-joins on `day − interval`, never a
+    * single-partition window), so both MAE numerators are
+    * order-independent; the only float ops are the two final divisions
+    * of exact < 2⁵³ integers — bit-identical in any engine — and `mase`
+    * < 1 means the seasonal forecast beats the naive one. Calendar
+    * grain is bounded by span days at any corpus scale.
+    */
+  def seasonalMase(spark: SparkSession, dir: String): DataFrame = {
+    val daily = e(spark, dir).table("orders")
+      .groupBy(date_trunc("day", col("o_orderdate"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
+    def lagged(k: Int, as: String): DataFrame = daily.select(
+      expr(s"day + make_interval(0, 0, 0, $k)").as("day"),
+      col("cents").as(as))
+    daily
+      .join(lagged(7, "cents_w"), "day")
+      .join(lagged(1, "cents_d"), "day")
+      .groupBy(pmod(datediff(col("day").cast("date"),
+        lit("1970-01-01").cast("date")) + 4, lit(7)).cast("long")
+        .as("weekday"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - col("cents_w"))).as("abs_err_seasonal_cents"),
+        sum(abs(col("cents") - col("cents_d"))).as("abs_err_naive_cents"))
+      .select(col("weekday"), col("n_days"),
+        col("abs_err_seasonal_cents"), col("abs_err_naive_cents"),
+        // a constant series makes the naive MAE 0 — pin the boundary
+        // (NaN/Inf render engine-specifically, the q270 lesson)
+        when(col("abs_err_naive_cents") > 0,
+          round(col("abs_err_seasonal_cents").cast("double") /
+            col("abs_err_naive_cents").cast("double"), 6)).as("mase"))
+      .orderBy(col("weekday"))
+  }
+
+  /** Price–volume bridge (PVM decomposition) of per-brand revenue
+    * between two years: `Δrevenue = price_effect + volume_effect` with
+    * `price_effect = (unit₁ − unit₀)·q₁` and `volume_effect =
+    * unit₀·(q₁ − q₀)` — the management-accounting twin of q284's
+    * Laspeyres index (which answers "what did prices do"; the bridge
+    * answers "which brands' revenue moved because of price vs because
+    * of volume", and the two effects reconcile to the exact delta by
+    * construction). Revenue and quantity aggregate as exact BIGINTs at
+    * (brand, year) grain — one combiner-friendly fact pass, 25-brand
+    * output — and each effect is a product/difference of the SAME
+    * exact-integer-derived doubles in both engines, so the 2dp rounding
+    * cannot diverge. Brands are bounded; the dim broadcasts.
+    */
+  def priceVolumeMix(spark: SparkSession, dir: String,
+      baseYear: Int = 1995): DataFrame = {
+    val en = e(spark, dir)
+    val by = en.table("lineitem")
+      .join(en.table("orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(en.table("part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(year(col("o_orderdate")).isin(baseYear, baseYear + 1))
+      .groupBy(col("p_brand"),
+        (year(col("o_orderdate")) === baseYear).as("is_base"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+          .as("cents"),
+        sum(expr("CAST(round(l_quantity, 0) AS BIGINT)")).as("qty"))
+    val b0 = by.filter(col("is_base"))
+      .select(col("p_brand"), col("cents").as("r0"), col("qty").as("q0"))
+    val b1 = by.filter(!col("is_base"))
+      .select(col("p_brand"), col("cents").as("r1"), col("qty").as("q1"))
+    b0.join(b1, "p_brand")
+      .select(col("p_brand"),
+        round(col("r0").cast("double") / 100, 2).as("rev0"),
+        round(col("r1").cast("double") / 100, 2).as("rev1"),
+        round((col("r1") - col("r0")).cast("double") / 100, 2).as("delta"),
+        round((col("r1").cast("double") / col("q1") -
+          col("r0").cast("double") / col("q0")) * col("q1") / 100, 2)
+          .as("price_effect"),
+        round(col("r0").cast("double") / col("q0") *
+          (col("q1") - col("q0")) / 100, 2).as("volume_effect"))
+      .orderBy(col("p_brand"))
+  }
 }

@@ -1396,4 +1396,99 @@ object Similarity {
         round(col("n_common").cast("double") / k, 4).as("recall_at_k"))
       .orderBy(col("n_common"))
   }
+
+  /** Embedding-space decontamination census: for every corpus vector
+    * outside the eval suite, the maximum cosine to ANY eval-suite vector
+    * (here: the `label == evalLabel` slice — the held-out benchmark a
+    * release must not train on), reported as a similarity-bin histogram.
+    * The n-gram decontamination (q61/q119) catches verbatim leakage;
+    * this catches PARAPHRASED leakage the lexical pass misses —
+    * SemDeDup's observation applied across the train/eval boundary. No
+    * similarity threshold is baked in (cutoffs are not portable
+    * contracts): the census gives the release reviewer the full
+    * max-similarity distribution, binned at 0.05.
+    *
+    * Scale: the eval suite is bounded (benchmarks are thousands of rows,
+    * not corpus-scale) → broadcast; the corpus streams past it in ONE
+    * pass; the per-vector max partial-aggregates map-side before the
+    * vec-grain shuffle and the bin census then groups ≤ 41 bins. Cosines
+    * quantize to the exact 1e-4 integer grid BEFORE the max (integer max
+    * is order-free; `max_c4` rebuilds the double from the integer, so
+    * both engines round identical operands).
+    */
+  def semanticDecontam(emb: DataFrame, evalLabel: Int = 0): DataFrame = {
+    val evals = emb.filter(col("label") === evalLabel)
+      .select(col("vec_id").as("e_id"), col("embedding").as("e_emb"))
+    emb.filter(col("label") =!= evalLabel)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(evals), col("vec_id") =!= col("e_id"))
+      .withColumn("__c", cosine(col("embedding"), col("e_emb")))
+      .select(col("vec_id"),
+        expr("CAST(round(__c * 10000, 0) AS BIGINT)").as("c4int"))
+      .groupBy(col("vec_id")).agg(max(col("c4int")).as("cmax"))
+      // +10000 keeps the dividend non-negative: Spark `div` truncates,
+      // ANSI `//` floors — identical only for non-negative operands
+      .groupBy(expr("(cmax + 10000) div 500").as("bin"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("cmax")).as("cm"))
+      .select(col("bin"), col("n_vecs"),
+        round(col("cm").cast("double") / 10000, 4).as("max_in_bin"))
+      .orderBy(col("bin"))
+  }
+
+  /** Rank-aware twin of [[matryoshkaRecall]]: NDCG@k of the
+    * prefix-truncated cosine ranking, using graded relevance from the
+    * full-dimension ranking (`rel = k+1 − full_rank` for the true top-k,
+    * 0 beyond — so swapping positions 1↔2 costs more than 9↔10, which
+    * set-overlap recall cannot see). Reported as an NDCG-band census
+    * over the anchor slice plus each band's exact mean.
+    *
+    * Portability: relevances are INTEGERS, positions are integers, and
+    * IDCG is the same closed-form constant in both engines, so every
+    * DCG term is `int / log2(int + 1)` — identical operands. Per-anchor
+    * NDCG quantizes to the 1e-6 integer grid before the band census;
+    * band means divide exact BIGINT sums (< 2⁵³) once. Scale shape is
+    * the q302 frame: bounded anchor slice broadcast, corpus streamed,
+    * per-anchor windows partitioned by anchor id.
+    */
+  /** Ideal DCG@k for the graded relevances `k..1` — ONE shared double
+    * literal: [[truncationNdcg]] divides by it and the q311 oracle SQL
+    * interpolates the identical `Double.toString` round-trip literal, so
+    * neither engine recomputes the log sum (whose summation order and
+    * libm could differ in the last ulp).
+    */
+  def ndcgIdcg(k: Int): Double =
+    (1 to k).map(i => (k + 1 - i) / (math.log(i + 1) / math.log(2))).sum
+
+  def truncationNdcg(emb: DataFrame, k: Int = 10, truncDim: Int = 16,
+      maxId: Long = 128L): DataFrame = {
+    val anchors = emb.filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
+    val pairs = emb.select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+      .join(broadcast(anchors), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("e_a"), col("e_b")), 4).as("c_full"),
+        round(cosine(slice(col("e_a"), 1, truncDim),
+          slice(col("e_b"), 1, truncDim)), 4).as("c_trunc"))
+    val ranked = pairs
+      .withColumn("full_rank", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("c_full").desc,
+          col("b_id"))))
+      .withColumn("trunc_rank", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("c_trunc").desc,
+          col("b_id"))))
+      .filter(col("trunc_rank") <= k)
+      .withColumn("rel",
+        greatest(lit(0), lit(k + 1) - col("full_rank")).cast("double"))
+    ranked.groupBy(col("a_id"))
+      .agg(expr(
+        "CAST(round(sum(rel / log2(CAST(trunc_rank AS DOUBLE) + 1)) / " +
+          s"${ndcgIdcg(k)} * 1e6, 0) AS BIGINT)").as("ndcg6"))
+      .groupBy(expr("ndcg6 div 100000").as("band"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(col("ndcg6")).as("s6"))
+      .select(col("band"), col("n_anchors"),
+        round(col("s6").cast("double") / col("n_anchors") / 1e6, 6)
+          .as("mean_ndcg"))
+      .orderBy(col("band"))
+  }
 }
