@@ -632,6 +632,21 @@ object SparkEntry {
       Similarity.truncationNdcg(eng(s, d).table("embeddings"))),
     // per-brand price-volume-mix revenue bridge between 1995 and 1996
     "q312_price_volume_mix" -> ((s, d) => Relational.priceVolumeMix(s, d)),
+    // STL-lite weekday decomposition: centered-MA trend, seasonal index
+    "q313_stl_weekday" -> Relational.stlWeekdayDecomposition _,
+    // within-doc repetition quality profile per source
+    "q314_repetition_profile" -> ((s, d) =>
+      Corpus.repetitionProfile(eng(s, d).table("documents"))),
+    // 3-round k-core peel census over the near-dup doc graph
+    "q315_kcore_peel" -> Graph.docKCore _,
+    // order-to-cash cycle decomposition by month
+    "q316_order_cycle" -> Relational.orderCycleByMonth _,
+    // aspect-ratio bucketing + padding waste for multimodal batches
+    "q317_aspect_buckets" -> ((s, d) =>
+      graft.multimodal.Multimodal.aspectBuckets(
+        eng(s, d).table("documents"))),
+    // transition dwell-time matrix (timing twin of q98's counts)
+    "q318_transition_dwell" -> EventAnalytics.transitionDwell _,
     // intra-source top-quartile quality vs mean — score calibration
     "q269_score_calibration" -> ((s, d) =>
       Corpus.scoreCalibration(eng(s, d).table("documents"))),
@@ -4268,6 +4283,135 @@ object SparkEntry {
         | round(CAST(r0 AS DOUBLE) / q0 * (q1 - q0) / 100, 2)
         |   AS volume_effect
         |FROM b0 JOIN b1 USING (p_brand) ORDER BY p_brand""".stripMargin,
+    "q313_stl_weekday" ->
+      """WITH daily AS (
+        | SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |wd AS (
+        | SELECT day, cents,
+        |  CAST(sum(cents) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+        |  count(*) OVER (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+        | FROM daily),
+        |det AS (
+        | SELECT (CAST(date_diff('day', DATE '1970-01-01',
+        |   CAST(day AS DATE)) AS BIGINT) + 4) % 7 AS weekday,
+        |  cents * 7 - t7 AS det7
+        | FROM wd WHERE n7 = 7),
+        |seas AS (
+        | SELECT weekday, count(*) AS n_days,
+        |  CAST(CAST(sum(det7) AS BIGINT) AS DOUBLE) / 7 / count(*) / 100
+        |    AS seasonal_d
+        | FROM det GROUP BY 1)
+        |SELECT d.weekday, count(*) AS n_days,
+        | round(max(s.seasonal_d), 6) AS seasonal,
+        | round(sum(abs(CAST(d.det7 AS DOUBLE) / 700 - s.seasonal_d))
+        |   / count(*), 2) AS mean_abs_residual
+        |FROM det d JOIN seas s USING (weekday)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q314_repetition_profile" ->
+      """WITH base AS (
+        | SELECT doc_id, source, string_split(text, ' ') AS t
+        | FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |uni AS (
+        | SELECT doc_id, source, max(c) AS max_tf,
+        |  CAST(sum(c) AS BIGINT) AS len
+        | FROM (SELECT doc_id, source, g, count(*) AS c
+        |       FROM (SELECT doc_id, source, unnest(t) AS g FROM base)
+        |       GROUP BY 1, 2, 3)
+        | GROUP BY 1, 2),
+        |bi AS (
+        | SELECT doc_id, max(c) AS max_bg
+        | FROM (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(list_transform(
+        |         generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i + 1])) AS g FROM base)
+        |       GROUP BY 1, 2)
+        | GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        | round(avg(CAST(max_tf AS DOUBLE) / len), 6) AS mean_max_tf_ratio,
+        | round(avg(CAST(max_bg AS DOUBLE) / (len - 1)), 6)
+        |   AS mean_top_bigram_ratio
+        |FROM uni JOIN bi USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q315_kcore_peel" ->
+      """WITH s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh
+        | FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |e0 AS (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |d1 AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+        |r1 AS (SELECT src FROM d1 WHERE deg < 2),
+        |e1 AS (SELECT src, dst FROM e0
+        | WHERE src NOT IN (SELECT src FROM r1)
+        |   AND dst NOT IN (SELECT src FROM r1)),
+        |d2 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY 1),
+        |r2 AS (SELECT src FROM d2 WHERE deg < 2),
+        |e2 AS (SELECT src, dst FROM e1
+        | WHERE src NOT IN (SELECT src FROM r2)
+        |   AND dst NOT IN (SELECT src FROM r2)),
+        |d3 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY 1),
+        |r3 AS (SELECT src FROM d3 WHERE deg < 2)
+        |SELECT 1 AS peel_round, (SELECT count(*) FROM d1) AS n_nodes,
+        | (SELECT count(*) FROM r1) AS n_removed
+        |UNION ALL SELECT 2, (SELECT count(*) FROM d2),
+        | (SELECT count(*) FROM r2)
+        |UNION ALL SELECT 3, (SELECT count(*) FROM d3),
+        | (SELECT count(*) FROM r3)
+        |ORDER BY peel_round""".stripMargin,
+    "q316_order_cycle" ->
+      """WITH d AS (
+        | SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |    AS month,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) AS BIGINT) AS d
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT month, count(*) AS n_lines,
+        | round(CAST(CAST(sum(d) AS BIGINT) AS DOUBLE) / count(*), 6)
+        |   AS mean_days_to_ship,
+        | round(quantile_cont(d, 0.95), 4) AS p95_days_to_ship,
+        | round(CAST(CAST(sum(CASE WHEN d > 30 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS DOUBLE) / count(*), 6) AS late30_rate
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q317_aspect_buckets" ->
+      """WITH a AS (
+        | SELECT CAST(16 + doc_id % 64 AS BIGINT) AS w,
+        |  CAST(16 + doc_id % 48 AS BIGINT) AS h
+        | FROM documents),
+        |b AS (
+        | SELECT (10 * w) // h AS bucket, count(*) AS n_assets,
+        |  CAST(max(w) AS BIGINT) AS max_w, CAST(max(h) AS BIGINT) AS max_h,
+        |  CAST(sum(w * h) AS BIGINT) AS px
+        | FROM a GROUP BY 1)
+        |SELECT bucket, n_assets, max_w, max_h,
+        | round(1.0 - CAST(px AS DOUBLE)
+        |   / CAST(n_assets * max_w * max_h AS DOUBLE), 6) AS pad_waste
+        |FROM b ORDER BY bucket""".stripMargin,
+    "q318_transition_dwell" ->
+      """WITH g AS (
+        | SELECT event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type,
+        |  (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id))) // 1000000 AS gap_s
+        | FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n,
+        | round(CAST(CAST(sum(gap_s) AS BIGINT) AS DOUBLE) / count(*), 6)
+        |   AS mean_gap_s,
+        | round(quantile_cont(gap_s, 0.5), 4) AS median_gap_s
+        |FROM g WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q302_matryoshka_recall" ->
       """WITH e AS (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

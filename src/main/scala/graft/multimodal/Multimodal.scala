@@ -178,4 +178,33 @@ object Multimodal {
         countDistinct(col("full_digest")).as("n_distinct_full"))
       .filter(col("n_copies") > 1)
       .orderBy(col("keeper"))
+
+  /** Aspect-ratio bucketing for multimodal training batches: group
+    * assets by quantized width:height ratio (`(10·w) div h` — integer
+    * math, the bucket key NaViT/SDXL-style trainers use so a batch
+    * pads to ITS bucket's max dims instead of the corpus max), and
+    * report per bucket the batchable padding waste — `1 −
+    * Σ(w·h) / (n · max_w · max_h)` — the pixel-budget fraction a
+    * bucket-batched loader burns on padding. The image twin of q62's
+    * sequence-packing waste report.
+    *
+    * All inputs are exact integers from the metadata struct (payloads
+    * are never touched, let alone shuffled); the rollup is one
+    * combiner-friendly pass at bucket grain (≤ a few dozen buckets at
+    * any corpus scale), and the waste ratio is a single division of
+    * exact < 2⁵³ integers — bit-identical in any engine.
+    */
+  def aspectBuckets(docs: DataFrame): DataFrame =
+    withAssets(docs)
+      .select(col("meta.width").cast("long").as("w"),
+        col("meta.height").cast("long").as("h"))
+      .groupBy(expr("(10 * w) div h").as("bucket"))
+      .agg(count(lit(1)).as("n_assets"),
+        max(col("w")).as("max_w"), max(col("h")).as("max_h"),
+        sum(col("w") * col("h")).as("px"))
+      .select(col("bucket"), col("n_assets"), col("max_w"), col("max_h"),
+        round(lit(1.0) - col("px").cast("double") /
+          (col("n_assets") * col("max_w") * col("max_h")).cast("double"),
+          6).as("pad_waste"))
+      .orderBy(col("bucket"))
 }

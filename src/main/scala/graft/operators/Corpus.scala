@@ -2020,4 +2020,45 @@ object Corpus {
         round(avg(col("__pmi")), 4).as("mean_pmi"))
       .orderBy(col("source"))
   }
+
+  /** Within-document repetition profile per source: the mean
+    * max-unigram-frequency ratio (`max tf / len` — a doc stuck on one
+    * token) and the mean top-bigram repeat ratio (`max bigram count /
+    * (len−1)` — boilerplate loops and degenerate generations repeat
+    * BIGRAMS long before their unigram mix looks odd). The standard
+    * repetition quality gate a pretraining filter applies per document;
+    * aggregated per source it localizes which feed ships the loops.
+    *
+    * Shape: one explode→(doc, gram) rollup per gram order, max/sum per
+    * doc, mean per source — every stage combiner-friendly, nothing
+    * pairwise. Per-doc ratios are exact integer ratios (identical
+    * doubles in any engine); only the per-source mean is a float sum,
+    * rounded 6dp. Docs under 2 tokens are excluded deterministically
+    * (their bigram set is empty).
+    */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val uni = base.select(col("doc_id"), col("source"),
+        explode(col("t")).as("g"))
+      .groupBy(col("doc_id"), col("source"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("c")).as("max_tf"), sum(col("c")).as("len"))
+    val bi = base.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_bg"))
+    uni.join(bi, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("max_tf").cast("double") / col("len")), 6)
+          .as("mean_max_tf_ratio"),
+        round(avg(col("max_bg").cast("double") / (col("len") - 1)), 6)
+          .as("mean_top_bigram_ratio"))
+      .orderBy(col("source"))
+  }
 }

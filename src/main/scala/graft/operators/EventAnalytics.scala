@@ -998,4 +998,35 @@ object EventAnalytics {
           col("n_total").cast("double"), 6).as("session_share"))
       .orderBy(col("entry_type"), col("exit_type"))
   }
+
+  /** Transition dwell-time matrix: per (previous event type → event
+    * type) transition, how LONG users sit between the two — count,
+    * mean and median gap seconds. The timing companion of q98's
+    * transition COUNT matrix (which step users stall at, not just which
+    * step they take; the UX/funnel-latency read). Gaps are exact
+    * integer epoch-second deltas from a lag window PARTITIONED by user
+    * (never a global sort); the matrix rollup groups ≤ #types² cells.
+    * Mean divides exact BIGINT sums once; median is the engine-shared
+    * exact interpolated percentile (the q45 contract).
+    */
+  def transitionDwell(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    new graft.cube.Engine(spark, dir).table("events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .withColumn("gap_s", expr("(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+        "unix_micros(CAST(prev_ts AS TIMESTAMP))) div 1000000"))
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap_s")).as("gap_sum"),
+        round(expr("percentile(gap_s, 0.5)"), 4).as("median_gap_s"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("gap_sum").cast("double") / col("n"), 6)
+          .as("mean_gap_s"),
+        col("median_gap_s"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
 }

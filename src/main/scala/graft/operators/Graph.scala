@@ -178,4 +178,52 @@ object Graph {
     triangleCounts(Dedup.minhashPairsShared(docs, dir)
       .select(col("doc_a"), col("doc_b")))
   }
+
+  /** k-core peel census: `rounds` FIXED iterations of the classic
+    * degeneracy peel (drop every node with degree < k, recompute,
+    * repeat) over an undirected pair set, reporting per round how many
+    * nodes were active and how many the round removed. The surviving
+    * set after convergence is the k-core — the dense part of the
+    * near-dup graph where clusters (q41) and triangles (q226) actually
+    * live; the census says how much of the graph is shell vs core.
+    * Fixed rounds keep the result deterministic and expressible as
+    * UNROLLED ANSI SQL (an oracle cannot replay a data-dependent
+    * iteration count); the last row's `n_removed = 0` certifies
+    * convergence on the fixture.
+    *
+    * Scale: each round is one degree rollup plus two anti-joins, all
+    * hash-partitioned on node id — never a global structure; lineage is
+    * truncated per round with localCheckpoint (the [[pageRank]]
+    * barrier discipline). Only the per-round COUNTS (2 longs × rounds)
+    * ever reach the driver.
+    */
+  def kCorePeel(pairs: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
+    val spark = pairs.sparkSession
+    val parallelism =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .repartition(parallelism, col("src"))
+      .localCheckpoint()
+    val census = (1 to rounds).map { r =>
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nNodes = deg.count()
+      val removed = deg.filter(col("deg") < k).select(col("src").as("rm"))
+      val nRemoved = removed.count()
+      edges = edges
+        .join(removed, col("src") === col("rm"), "left_anti")
+        .join(removed, col("dst") === col("rm"), "left_anti")
+        .localCheckpoint()
+      (r, nNodes, nRemoved)
+    }
+    import spark.implicits._
+    census.toDF("peel_round", "n_nodes", "n_removed")
+      .orderBy(col("peel_round"))
+  }
+
+  def docKCore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = new graft.cube.Engine(spark, dir).table("documents")
+    kCorePeel(Dedup.minhashPairsShared(docs, dir)
+      .select(col("doc_a"), col("doc_b")))
+  }
 }

@@ -2867,6 +2867,85 @@ object Relational {
       .orderBy(col("weekday"))
   }
 
+  /** Classical-decomposition seasonal profile (STL-lite) of the daily
+    * revenue series: trend = CENTERED 7-day moving average (the
+    * textbook first step of STL/classical decomposition — symmetric,
+    * unlike q300's trailing forecast smoother), seasonal = per-weekday
+    * mean of the detrended series, residual = what's left. The output
+    * is the weekday seasonal index plus each weekday's mean absolute
+    * residual — "how big is the weekly cycle, and how noisy is each
+    * day once trend and season are removed".
+    *
+    * Exactness: the centered window keeps INTEGER cents (`det7 =
+    * 7·cents − Σ₇cents` is the detrended value scaled by 7, exact
+    * BIGINT), the seasonal index is one division of exact sums, and
+    * only the residual pass sums doubles (rounded 2dp, the repo-wide
+    * float-sum contract). The global window is CALENDAR-grain — ≤ span
+    * days at any corpus scale (allowlisted with its bound); the fact
+    * table shuffles once into the daily rollup.
+    */
+  def stlWeekdayDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val daily = e(spark, dir).table("orders")
+      .groupBy(date_trunc("day", col("o_orderdate"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("t7", sum(col("cents")).over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .filter(col("n7") === 7)
+      .withColumn("det7", col("cents") * 7 - col("t7"))
+      .withColumn("weekday", pmod(datediff(col("day").cast("date"),
+        lit("1970-01-01").cast("date")) + 4, lit(7)).cast("long"))
+    val seasonal = det.groupBy(col("weekday"))
+      .agg(count(lit(1)).as("n_days"), sum(col("det7")).as("s_det7"))
+      .withColumn("seasonal_d",
+        col("s_det7").cast("double") / 7 / col("n_days") / 100)
+    det.join(broadcast(seasonal), "weekday")
+      .groupBy(col("weekday"))
+      .agg(count(lit(1)).as("n_days"),
+        // 6dp: the exact decimal of s/(700·n) terminates well before
+        // 6 digits whenever it terminates at all, so the rounded value
+        // sits ON the grid, never the half-grid (the q164 lesson)
+        round(max(col("seasonal_d")), 6).as("seasonal"),
+        round(sum(abs(col("det7").cast("double") / 700 -
+          col("seasonal_d"))) / count(lit(1)), 2).as("mean_abs_residual"))
+      .orderBy(col("weekday"))
+  }
+
+  /** Fulfillment-latency trend by order month: mean and p95 days from
+    * order to ship plus the share of lines shipping past a 30-day SLA —
+    * the monthly operations trend a supply-chain review reads, where
+    * q186 gives the per-priority SNAPSHOT percentiles. Day deltas are
+    * exact non-negative integers, the sum is BIGINT, the mean is one
+    * division of exact integers, and p95 uses the engine-shared exact
+    * interpolated percentile (the q45 contract). One fact pass,
+    * calendar-month output.
+    */
+  def orderCycleByMonth(spark: SparkSession, dir: String): DataFrame = {
+    val en = e(spark, dir)
+    en.table("lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(en.table("orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("d", datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date")).cast("long"))
+      .groupBy(date_trunc("month", col("o_orderdate"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("d")).as("ship_days"),
+        round(expr("percentile(d, 0.95)"), 4).as("p95_days_to_ship"),
+        sum(when(col("d") > 30, 1L).otherwise(0L)).as("n_late30"))
+      .select(col("month"), col("n_lines"),
+        round(col("ship_days").cast("double") / col("n_lines"), 6)
+          .as("mean_days_to_ship"),
+        col("p95_days_to_ship"),
+        round(col("n_late30").cast("double") / col("n_lines"), 6)
+          .as("late30_rate"))
+      .orderBy(col("month"))
+  }
+
   /** Price–volume bridge (PVM decomposition) of per-brand revenue
     * between two years: `Δrevenue = price_effect + volume_effect` with
     * `price_effect = (unit₁ − unit₀)·q₁` and `volume_effect =

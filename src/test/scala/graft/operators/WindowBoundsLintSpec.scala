@@ -60,7 +60,8 @@ class WindowBoundsLintSpec extends SparkFunSuite {
     "q259_cumulative_reach" -> "calendar-hour frame",
     "q263_pct_of_parent" -> "region/nation rollup (<= 25 rows)",
     "q286_whale_curve" -> "10 decile rows (rank itself is Ranks-based)",
-    "q297_top_brands_other" -> "brand rollup (25 brands)")
+    "q297_top_brands_other" -> "brand rollup (25 brands)",
+    "q313_stl_weekday" -> "calendar-day frame (centered 7-day MA)")
 
   private def globalWindows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
