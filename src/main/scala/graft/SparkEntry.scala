@@ -3725,7 +3725,8 @@ object SparkEntry {
         |  JOIN cn ON e.label = cn.label
         | GROUP BY 1, 2)
         |SELECT label, count(*) AS n_members,
-        | round(avg(cos), 6) AS mean_cos,
+        | round(CAST(CAST(sum(CAST(round(cos * 1000000, 0) AS BIGINT))
+        |   AS BIGINT) AS DOUBLE) / count(*)) / 1000000 AS mean_cos,
         | CAST(sum(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
         |  AS n_outliers
         |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -814,7 +814,11 @@ object Similarity {
     * shuffle carries one row per vector. Cosines are rounded to 6dp
     * BEFORE the threshold test so both engines compare the same
     * quantized value (similarity cutoffs on raw doubles are not
-    * portable).
+    * portable), and the label MEAN sums exact micro-unit BIGINTs
+    * (round(cos·10⁶)) rather than doubles — a float sum of rounded
+    * cosines is partial-aggregation-order-dependent and flipped a
+    * 6dp boundary row live between engines; the integer sum is
+    * order-free, so both engines divide the same exact numerator.
     */
   def semanticOutliers(emb: DataFrame): DataFrame = {
     val exploded = emb.select(col("label"), col("vec_id"),
@@ -834,8 +838,12 @@ object Similarity {
         (sqrt(col("v2")) * sqrt(col("c2"))), 6))
     perVec.groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"),
-        round(avg(col("cos")), 6).as("mean_cos"),
+        sum(round(col("cos") * 1e6).cast("long")).as("__sum_micro"),
         sum(when(col("cos") < 0.5, 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("label"), col("n_members"),
+        (round(col("__sum_micro").cast("double") / col("n_members")) / 1e6)
+          .as("mean_cos"),
+        col("n_outliers"))
       .orderBy(col("label"))
   }
 
