@@ -24,6 +24,15 @@ object Multimodal {
     * Metadata (format/width/height) is deterministically derived — the
     * stand-in for real per-asset metadata.
     */
+  // The synthetic dimension formulas, shared so metadata-only consumers
+  // (aspectBuckets) can project them WITHOUT building the asset struct:
+  // a struct alias referenced more than once blocks CollapseProject, and
+  // the un-collapsed struct keeps its text-derived n_bytes field alive —
+  // dragging the payload stand-in into scans that never need it
+  // (plan-asserted by PlanShapeSpec's q317 test).
+  private def widthExpr = (lit(16) + col("doc_id") % 64).cast("int")
+  private def heightExpr = (lit(16) + col("doc_id") % 48).cast("int")
+
   def withAssets(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"), col("source"),
@@ -31,8 +40,8 @@ object Multimodal {
       struct(
         element_at(array(lit("png"), lit("jpeg"), lit("wav")),
           (col("doc_id") % 3 + 1).cast("int")).as("format"),
-        (lit(16) + col("doc_id") % 64).cast("int").as("width"),
-        (lit(16) + col("doc_id") % 48).cast("int").as("height"),
+        widthExpr.as("width"),
+        heightExpr.as("height"),
         length(col("text").cast("binary")).as("n_bytes")).as("meta"))
 
   /** Per-source asset rollup over the metadata struct (oracle-checkable —
@@ -188,16 +197,17 @@ object Multimodal {
     * bucket-batched loader burns on padding. The image twin of q62's
     * sequence-packing waste report.
     *
-    * All inputs are exact integers from the metadata struct (payloads
-    * are never touched, let alone shuffled); the rollup is one
+    * All inputs are exact integer asset dimensions (the shared
+    * [[withAssets]] formulas, projected straight off the scan — the
+    * payload is never read, let alone shuffled); the rollup is one
     * combiner-friendly pass at bucket grain (≤ a few dozen buckets at
     * any corpus scale), and the waste ratio is a single division of
     * exact < 2⁵³ integers — bit-identical in any engine.
     */
   def aspectBuckets(docs: DataFrame): DataFrame =
-    withAssets(docs)
-      .select(col("meta.width").cast("long").as("w"),
-        col("meta.height").cast("long").as("h"))
+    docs
+      .select(widthExpr.cast("long").as("w"),
+        heightExpr.cast("long").as("h"))
       .groupBy(expr("(10 * w) div h").as("bucket"))
       .agg(count(lit(1)).as("n_assets"),
         max(col("w")).as("max_w"), max(col("h")).as("max_h"),

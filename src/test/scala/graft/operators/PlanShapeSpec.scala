@@ -367,6 +367,33 @@ class PlanShapeSpec extends SparkFunSuite {
     }
   }
 
+  test("transition dwell computes lag over a single user_id exchange") {
+    val plan = finalPlanOf("q318_transition_dwell")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      "the per-user lag window must be the only user-grain shuffle; " +
+        "the matrix rollup regroups on the bounded type pair")
+  }
+
+  test("order cycle prunes the lineitem scan to orderkey + shipdate") {
+    val plan = finalPlanOf("q316_order_cycle")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate"),
+      "at 100 TB the fact scan must read 2 of lineitem's 16 columns:\n" +
+        plan.linesIterator.filter(_.contains("ReadSchema"))
+          .mkString("\n"))
+  }
+
+  test("aspect buckets never read the document text, let alone the payload") {
+    // meta.width/height derive from doc_id alone — the whole report must
+    // come off a 1-column scan; pulling text (the payload stand-in) in
+    // would ship corpus bytes through a metadata rollup
+    val plan = finalPlanOf("q317_aspect_buckets")
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      r.contains("struct<doc_id:bigint>") ||
+        !r.contains("documents") && !r.contains("text")),
+      s"documents scan not pruned to doc_id:\n${reads.mkString("\n")}")
+  }
+
   test("events time-range cut pushes raw-ts bounds into the parquet scan under NTZ") {
     // A range cut on the DERIVED calendar level (date_trunc over ts) is
     // not scan-pushable by itself; Level.rangePrune supplies the superset
