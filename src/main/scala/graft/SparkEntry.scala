@@ -614,9 +614,14 @@ object SparkEntry {
     // CBO join-cardinality estimate vs actual (uniformity-assumption audit)
     "q305_join_cardinality" -> Relational.joinCardinalityAudit _,
     // product-quantization ADC + exact rerank (exhaustive regime == q28's
-    // relation at queryId=1 — the q113 oracle device; production prunes)
+    // relation at queryId=1 — the q113 oracle device; production prunes).
+    // rerankWidth = Int.MaxValue pins the registered entry to the
+    // exhaustive regime at ANY fixture size — a regenerated larger
+    // embeddings table can never silently slip into the approximate
+    // pruned regime and fail the hash check with no pointer at the cause
     "q306_pq_rerank" -> ((s, d) =>
-      Similarity.pqRerankTopK(eng(s, d).table("embeddings"), queryId = 1L)),
+      Similarity.pqRerankTopK(eng(s, d).table("embeddings"), queryId = 1L,
+        rerankWidth = Int.MaxValue)),
     // bloom membership contract (live bloom_filter_agg + exact counts)
     "q307_bloom_contract" -> Relational.bloomMembershipContract _,
     // seasonal-naive vs naive forecast error (MASE) by weekday
@@ -2294,7 +2299,7 @@ object SparkEntry {
     "q209_autocorr" ->
       """WITH daily AS (
         | SELECT date_trunc('day', o_orderdate) AS day,
-        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) // 100
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) // 100
         |    AS dollars
         | FROM orders GROUP BY 1),
         |pairs AS (
@@ -2364,7 +2369,7 @@ object SparkEntry {
     "q212_revenue_ewma" ->
       """WITH daily AS (
         | SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
-        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) // 100
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) // 100
         |    AS dollars
         | FROM orders GROUP BY 1),
         |probes AS (
@@ -2677,7 +2682,7 @@ object SparkEntry {
     "q228_median3_smoothing" ->
       """WITH daily AS (
         | SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
-        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) // 100
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) // 100
         |    AS dollars
         | FROM orders GROUP BY 1),
         |x AS (
@@ -3175,7 +3180,7 @@ object SparkEntry {
     "q253_monthly_seasonality" ->
       """WITH monthly AS (
         | SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
-        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         | FROM orders GROUP BY 1, 2),
         |pm AS (
         | SELECT m, count(*) AS n_months,
@@ -3354,7 +3359,7 @@ object SparkEntry {
         | SELECT CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1
         |    AS INTEGER) AS qidx,
         |  date_trunc('day', o_orderdate) AS day,
-        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
         | FROM orders GROUP BY 1, 2),
         |x AS (
         | SELECT qidx,
@@ -4107,7 +4112,7 @@ object SparkEntry {
     "q300_brown_forecast" ->
       """WITH daily AS (
         | SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
-        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) // 100
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) // 100
         |    AS dollars
         | FROM orders GROUP BY 1),
         |p1 AS (
@@ -4461,9 +4466,11 @@ object SparkEntry {
         |co AS (
         | SELECT src_a, src_b, count(*) AS n_common_terms,
         |  round(
-        |   sum(ca * log2((2 * ca * tb) / CAST(ca * tb + cb * ta AS DOUBLE)))
+        |   sum(ca * log2((2.0 * ca * tb)
+        |     / (CAST(ca AS DOUBLE) * tb + CAST(cb AS DOUBLE) * ta)))
         |     / max(ta) / 2
-        |   + sum(cb * log2((2 * cb * ta) / CAST(ca * tb + cb * ta AS DOUBLE)))
+        |   + sum(cb * log2((2.0 * cb * ta)
+        |     / (CAST(ca AS DOUBLE) * tb + CAST(cb AS DOUBLE) * ta)))
         |     / max(tb) / 2
         |   + (1.0 - CAST(sum(ca) AS DOUBLE) / max(ta)) / 2
         |   + (1.0 - CAST(sum(cb) AS DOUBLE) / max(tb)) / 2, 4) AS jsd

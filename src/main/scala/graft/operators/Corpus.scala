@@ -1924,9 +1924,11 @@ object Corpus {
     *
     * Shape: one (source, token) rollup, then a token-keyed self-join —
     * per-term fan-out is bounded by #sources² (sources are a handful),
-    * never by corpus size, and the log arguments are exact-integer
-    * ratios (the q94 surprisal discipline) so both engines see
-    * identical operands.
+    * never by corpus size, and the log arguments are built from the
+    * same counts in DOUBLE on both engines (the products `ca·tb` are
+    * computed as doubles, not 64-bit integers, so a source whose token
+    * total passes ~2e9 cannot silently wrap in Spark while erroring in
+    * DuckDB — both see identical operands at any corpus scale).
     */
   def sourceJsd(docs: DataFrame): DataFrame = {
     val tf = docs
@@ -1941,10 +1943,14 @@ object Corpus {
     val common = a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_common_terms"),
-        sum(expr("ca * log2((2 * ca * tb) / " +
-          "CAST(ca * tb + cb * ta AS DOUBLE))")).as("sa"),
-        sum(expr("cb * log2((2 * cb * ta) / " +
-          "CAST(ca * tb + cb * ta AS DOUBLE))")).as("sb"),
+        // multiply in DOUBLE, not BIGINT: ca·tb on 64-bit integers wraps
+        // silently in Spark (non-ANSI) but errors in DuckDB once a
+        // source's token total passes ~2e9 — the double product loses
+        // nothing that survives the 4dp round
+        sum(expr("ca * log2((2.0 * ca * tb) / " +
+          "(CAST(ca AS DOUBLE) * tb + CAST(cb AS DOUBLE) * ta))")).as("sa"),
+        sum(expr("cb * log2((2.0 * cb * ta) / " +
+          "(CAST(ca AS DOUBLE) * tb + CAST(cb AS DOUBLE) * ta))")).as("sb"),
         sum(col("ca")).as("ma"), sum(col("cb")).as("mb"),
         max(col("ta")).as("ta"), max(col("tb")).as("tb"))
       .select(col("src_a"), col("src_b"), col("n_common_terms"),

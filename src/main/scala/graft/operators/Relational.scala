@@ -1272,7 +1272,8 @@ object Relational {
   def dailyAutocorr(spark: SparkSession, dir: String): DataFrame = {
     val daily = e(spark, dir).table("orders")
       .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
-      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
       .withColumn("dollars", expr("cents div 100"))
     val lags = Seq(1, 7).map { k =>
       val lagged = daily.select(col("day").as("lday"),
@@ -1381,7 +1382,8 @@ object Relational {
     val daily = e(spark, dir).table("orders")
       .groupBy(date_trunc("day", col("o_orderdate"))
         .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
-      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
       .withColumn("dollars", expr("cents div 100"))
     val probes = daily.select(col("day"), explode(
         sequence(lit(0), lit(6))).as("k"))
@@ -1609,7 +1611,8 @@ object Relational {
     val daily = e(spark, dir).table("orders")
       .groupBy(date_trunc("day", col("o_orderdate"))
         .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
-      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
       .withColumn("dollars", expr("cents div 100"))
     val w = Window.orderBy(col("day"))
     val a = col("prev"); val b = col("dollars"); val c = col("nxt")
@@ -1905,7 +1908,8 @@ object Relational {
     val monthly = e(spark, dir).table("orders")
       .groupBy(year(col("o_orderdate")).as("y"),
         month(col("o_orderdate")).as("m"))
-      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
     val perM = monthly.groupBy(col("m"))
       .agg(count(lit(1)).as("n_months"), sum(col("cents")).as("m_cents"))
     val tot = perM.agg(sum(col("n_months")).as("all_months"),
@@ -2114,7 +2118,8 @@ object Relational {
       .groupBy((year(col("o_orderdate")) * 4 +
           quarter(col("o_orderdate")) - 1).cast("int").as("qidx"),
         date_trunc("day", col("o_orderdate")).as("day"))
-      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
     val wPeak = Window.partitionBy(col("qidx")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
@@ -2632,7 +2637,8 @@ object Relational {
     val daily = e(spark, dir).table("orders")
       .groupBy(date_trunc("day", col("o_orderdate"))
         .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
-      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("cents"))
       .withColumn("dollars", expr("cents div 100"))
       .select(col("day"), col("dollars"))
     // (day, src_day, integer weight 4^k·5^(6-k)) lag probes
@@ -2792,9 +2798,13 @@ object Relational {
     * member probed negative (false negatives are impossible by
     * construction — this is the structural half) and the observed
     * false-positive rate among true negatives stayed under 1% (the
-    * filter is sized for ~1e-5 nominal FPP, so 1% is a ~1000× margin,
-    * deterministic at any fixture scale). At 100 TB the exact counts are
-    * two combiner-friendly aggregates and the bloom is ONE ~256 KB row
+    * filter carries ~33.5 bits per design-point item — 2^25 bits for
+    * 1e6 expected keys — so Spark picks k = round(33.5·ln2) = 23 hash
+    * functions and the nominal FPP at the FULL design load is ~1e-7;
+    * any fixture at or under the design point probes an even emptier
+    * filter, so the 1% gate holds with orders-of-magnitude margin at
+    * every scale factor up to sf10). At 100 TB the exact counts are
+    * two combiner-friendly aggregates and the bloom is ONE ~4 MB row
     * broadcast to the probe side — the contract audits the same filter
     * the join pruning path trusts.
     */
@@ -2804,7 +2814,7 @@ object Relational {
     val orderCust = en.table("orders").select(col("o_custkey")).distinct()
     val bloom = orderCust
       .agg(org.apache.spark.sql.graftbridge.Bridge
-        .bloomFilterAgg(col("o_custkey"), 1000000L, 2097152L).as("__bloom"))
+        .bloomFilterAgg(col("o_custkey"), 1000000L, 1L << 25).as("__bloom"))
       .scalar()
     val probed = custKeys
       .join(orderCust.withColumnRenamed("o_custkey", "c_custkey")
