@@ -55,8 +55,18 @@ object Bench {
     // the artifact alone (cross-round comparisons have been poisoned by
     // both before — see the q99 contamination verdicts).
     val passStarts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // 1-minute loadavg at each pass start: pass-to-pass spreads of 3-7x
+    // on this box are HOST contention, not code (BENCH_BISECT_r10), and
+    // the stamp makes a contaminated pass self-diagnosing from the
+    // artifact alone instead of requiring a re-bench to suspect it.
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def loadAvg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val samples = (1 to Passes).flatMap { _ =>
       passStarts += System.currentTimeMillis() / 1000L
+      passLoads += loadAvg1m()
       // Session-lifetime memos (the shared near-dup pair frame, ANN
       // index layouts) are cleared at the START of every pass: otherwise
       // only the first sample of the first consumer pays the pipeline,
@@ -95,9 +105,20 @@ object Bench {
     // query-path cost = value - builds_total.
     val buildsTotal =
       results.filter(_._1.contains("index_build")).map(_._2).filter(_ >= 0).sum
+    // Min-of-passes companion total: the median absorbs one contention
+    // window but still inflates when two of three passes are noisy; the
+    // per-query MIN is the best contention-free estimate this box
+    // produced, so value_min is the honest lower envelope to compare
+    // across rounds (raw per-pass samples are in bench_full.json).
+    val minResults = names.map { name =>
+      val xs = samples.collect { case (`name`, t) => t }
+      name -> (if (xs.contains(-1.0)) -1.0 else xs.min)
+    }
+    val totalMin = minResults.map(_._2).filter(_ >= 0).sum
     val skipJson = skip.map("\"" + _ + "\"").mkString("[", ",", "]")
     val passJson = passStarts.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"builds_total":$buildsTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","skip":$skipJson,"pass_started_epoch_s":$passJson}"""
+    val loadJson = passLoads.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"value_min":$totalMin,"builds_total":$buildsTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","skip":$skipJson,"pass_started_epoch_s":$passJson,"pass_load_1m":$loadJson}"""
     println(line)
     // Full artifact beside the stdout line: the driver's log tail keeps
     // only the last ~64 per-query entries, so cross-round comparison
@@ -128,6 +149,6 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"builds_total":${r2(buildsTotal)},"unit":"sec","sf":"$sfDir","n":${results.size},"n_err":${results.count(_._2 < 0)},"slowest":$slowest,"queries_in":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"value_min":${r2(totalMin)},"builds_total":${r2(buildsTotal)},"unit":"sec","sf":"$sfDir","n":${results.size},"n_err":${results.count(_._2 < 0)},"load_1m":$loadJson,"slowest":$slowest,"queries_in":"bench_full.json"}""")
   }
 }

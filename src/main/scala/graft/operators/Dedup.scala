@@ -137,6 +137,9 @@ object Dedup {
     joinIndexMemo.keys.filter(_._1 eq spark).foreach { k =>
       joinIndexMemo.remove(k).foreach(idx => release(idx.sh))
     }
+    interMemo.keys.filter(_._1 eq spark).foreach { k =>
+      interMemo.remove(k).foreach(release)
+    }
   }
 
   /** Distinct (idA < idB) pairs of ids sharing a bucket: ONE aggregation
@@ -220,8 +223,9 @@ object Dedup {
     * same df rule, so the contract stays hash-exact either way.
     */
   def jaccardPairs(docs: DataFrame, shingleN: Int = 3,
-      threshold: Double = 0.8, maxDf: Int = 1000): DataFrame =
-    pairIntersections(docs, shingleN, maxDf)
+      threshold: Double = 0.8, maxDf: Int = 1000,
+      datasetKey: Option[String] = None): DataFrame =
+    pairIntersections(docs, shingleN, maxDf, datasetKey)
       // threshold the UNROUNDED ratio, same discipline as [[verifyJaccard]]
       .withColumn("__j", col("__i").cast("double") /
         (col("__na") + col("__nb") - col("__i")))
@@ -229,12 +233,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("__j"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Shared inverted-postings machinery for [[jaccardPairs]] and
-    * [[containmentPairs]]: id-ordered pair intersection counts with both
-    * set sizes attached — (doc_a, doc_b, __i, __na, __nb). Pairs with an
-    * empty (fully capped) intersection do not appear.
+  /** Shared inverted-postings machinery for [[jaccardPairs]],
+    * [[containmentPairs]], [[dupDegree]] and [[jaccardThresholdSweep]]:
+    * id-ordered pair intersection counts with both set sizes attached —
+    * (doc_a, doc_b, __i, __na, __nb). Pairs with an empty (fully
+    * capped) intersection do not appear.
+    *
+    * With a `datasetKey` the frame is session-memoized and
+    * localCheckpoint'ed (the [[minhashPairsShared]] discipline): four
+    * registered queries consume this exact frame at the same
+    * (shingleN, maxDf), and the postings self-join — the expensive part
+    * of all four — is paid once per session instead of once per
+    * consumer. The checkpointed frame is one row per CANDIDATE pair
+    * (intersection ≥ 1 post-cap), bounded by the same maxDf cap that
+    * bounds the join itself; [[invalidateSharedPairs]] releases it.
     */
+  private val interMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
+
   private def pairIntersections(docs: DataFrame, shingleN: Int,
+      maxDf: Int, datasetKey: Option[String] = None): DataFrame =
+    datasetKey match {
+      case Some(k) => interMemo.getOrElseUpdate(
+        (docs.sparkSession, k, shingleN, maxDf),
+        computePairIntersections(docs, shingleN, maxDf).localCheckpoint())
+      case None => computePairIntersections(docs, shingleN, maxDf)
+    }
+
+  private def computePairIntersections(docs: DataFrame, shingleN: Int,
       maxDf: Int): DataFrame = {
     val withSh = Scratch.register(Par.ensure(docs)
       .select(col("doc_id"), TextAnalysis.shingles(col("text"), shingleN).as("sh"))
@@ -266,8 +292,9 @@ object Dedup {
     */
   def jaccardThresholdSweep(docs: DataFrame, shingleN: Int = 3,
       maxDf: Int = 1000,
-      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
-    val j = pairIntersections(docs, shingleN, maxDf)
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      datasetKey: Option[String] = None): DataFrame = {
+    val j = pairIntersections(docs, shingleN, maxDf, datasetKey)
       .withColumn("__j", col("__i").cast("double") /
         (col("__na") + col("__nb") - col("__i")))
     val sweep = j
@@ -310,8 +337,9 @@ object Dedup {
     * jaccard) from inclusions (high overlap, low jaccard).
     */
   def containmentPairs(docs: DataFrame, shingleN: Int = 3,
-      threshold: Double = 0.9, maxDf: Int = 1000): DataFrame =
-    pairIntersections(docs, shingleN, maxDf)
+      threshold: Double = 0.9, maxDf: Int = 1000,
+      datasetKey: Option[String] = None): DataFrame =
+    pairIntersections(docs, shingleN, maxDf, datasetKey)
       .withColumn("__c", col("__i").cast("double") / least(col("__na"), col("__nb")))
       .filter(col("__c") >= threshold)
       .select(col("doc_a"), col("doc_b"),
@@ -337,8 +365,9 @@ object Dedup {
     * bounded-key groupBy on doc_id.
     */
   def dupDegree(docs: DataFrame, shingleN: Int = 3,
-      threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
-    val pairs = pairIntersections(docs, shingleN, maxDf)
+      threshold: Double = 0.8, maxDf: Int = 1000,
+      datasetKey: Option[String] = None): DataFrame = {
+    val pairs = pairIntersections(docs, shingleN, maxDf, datasetKey)
       .withColumn("__j", col("__i").cast("double") /
         (col("__na") + col("__nb") - col("__i")))
       .filter(col("__j") >= threshold)

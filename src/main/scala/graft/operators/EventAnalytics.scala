@@ -467,18 +467,21 @@ object EventAnalytics {
     * appearance — the audience-saturation read (hourly, because this
     * fixture's daily-active population saturates day coverage in two
     * rows; the hour grain shows the actual ramp). Computed as one rollup
-    * at user grain plus a cumulative window over the bounded hourly
-    * frame; the running-distinct never runs on the fact.
+    * at user grain plus a distributed prefix sum ([[Ranks
+    * .globalPrefixSum]]) over the hourly frame; the running-distinct
+    * never runs on the fact, and no single-partition sort runs at all —
+    * the hourly frame is calendar-bounded, but the same curve over an
+    * unbounded grain (per-user, per-document firsts) reuses this exact
+    * plan unchanged.
     */
   def cumulativeReach(spark: SparkSession, dir: String): DataFrame = {
     val firstHour = new graft.cube.Engine(spark, dir).table("events")
       .groupBy(col("user_id"))
       .agg(min(date_trunc("hour", col("ts")))
         .cast(org.apache.spark.sql.types.TimestampNTZType).as("hour"))
-    val w = Window.orderBy(col("hour"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    firstHour.groupBy(col("hour")).agg(count(lit(1)).as("new_users"))
-      .withColumn("cum_users", sum(col("new_users")).over(w))
+    Ranks.globalPrefixSum(
+      firstHour.groupBy(col("hour")).agg(count(lit(1)).as("new_users")),
+      Seq(col("hour")), "new_users", "cum_users")
       .orderBy(col("hour"))
   }
 

@@ -77,6 +77,41 @@ object Ranks {
       .drop("__pid", "__mid", "__poff")
   }
 
+  /** Distributed running (prefix) sum of an INTEGER-valued column under
+    * the total order `order` — the cumulative-curve twin of
+    * [[globalRowNumber]]: range-partition on the order, running-sum
+    * WITHIN each partition (a `partitionBy(__pid)` window — never a
+    * global sort), and add broadcast per-partition value offsets, the
+    * same two-level prefix-sum shape. Restricted to integer values
+    * (counts, cents): integer addends keep every partial sum exact, so
+    * the result is independent of partition count and add order —
+    * a double-valued running sum would NOT be (ulp drift between
+    * groupings), which is why this helper does not accept one.
+    */
+  def globalPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+      outCol: String): DataFrame = {
+    val scratchCols = Seq("__pid", "__psum", "__poff")
+    val clash = (scratchCols :+ outCol).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"globalPrefixSum: input already has column(s) ${clash.mkString(", ")}")
+    val ranged = Scratch.register(df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint())
+    val wPrev = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__psum"))
+      .withColumn("__poff", coalesce(sum(col("__psum")).over(wPrev), lit(0L)))
+      .select(col("__pid"), col("__poff"))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(outCol, sum(col(valueCol)).over(wLocal) + col("__poff"))
+      .drop("__pid", "__poff")
+  }
+
   /** Distributed `ntile(buckets)` under total order `order`: the exact
     * SQL-standard tile arithmetic (first `n % buckets` tiles get
     * `n div buckets + 1` rows, the rest `n div buckets`) applied to a

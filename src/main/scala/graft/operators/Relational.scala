@@ -433,6 +433,12 @@ object Relational {
     * already rounded daily sums, and identical FP op order keeps the
     * derived doubles bit-identical across ANSI engines, whereas
     * re-rounding a subtraction diverges on .xx5 boundaries.
+    *
+    * The lag is a [[Ranks.globalRowNumber]] rank plus an equi-join on
+    * adjacent ranks, NOT an unpartitioned `lag` window: same
+    * previous-PRESENT-row semantics (a calendar gap still lags to the
+    * last observed day, matching SQL `lag`), no single-partition sort —
+    * so the identical plan serves a lag over an unbounded grain.
     */
   def dailyDeltas(spark: SparkSession, dir: String): DataFrame = {
     val daily = e(spark, dir).table("events")
@@ -441,12 +447,15 @@ object Relational {
         .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
       .agg(count(lit(1)).as("n_purchases"),
         round(sum(col("value")), 2).as("day_value"))
-    val w = Window.orderBy(col("day"))
-    daily
-      .withColumn("prev_value", lag(col("day_value"), 1).over(w))
+    val ranked = Ranks.globalRowNumber(daily, Seq(col("day")), "__rn")
+    val prev = ranked.select((col("__rn") + 1).as("__rn"),
+      col("day_value").as("prev_value"))
+    ranked.join(prev, Seq("__rn"), "left_outer")
       .withColumn("delta", col("day_value") - col("prev_value"))
       .withColumn("pct_change",
         (col("day_value") - col("prev_value")) / col("prev_value") * 100.0)
+      .select(col("day"), col("n_purchases"), col("day_value"),
+        col("prev_value"), col("delta"), col("pct_change"))
       .orderBy(col("day"))
   }
 

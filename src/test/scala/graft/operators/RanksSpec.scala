@@ -10,9 +10,11 @@ import graft.operators.Ranks
   * unpartitioned window, and [[Ranks.globalNtile]] must be BIT-IDENTICAL
   * to `ntile(k)` — including the SQL-standard remainder rule (the first
   * `n % k` tiles get one extra row), the `n < k` degenerate case, and
-  * exact-division sizes. Every scale-sensitive operator that swapped a
-  * global window for this machinery (q75, q124, q180, q243, q248, q252,
-  * q262, q286, q290) inherits its correctness from these equivalences.
+  * exact-division sizes, and [[Ranks.globalPrefixSum]] must equal an
+  * unpartitioned running-sum window on integer values. Every
+  * scale-sensitive operator that swapped a global window for this
+  * machinery (q68, q75, q124, q180, q243, q248, q252, q259, q262,
+  * q286, q290) inherits its correctness from these equivalences.
   */
 class RanksSpec extends SparkFunSuite {
 
@@ -62,6 +64,32 @@ class RanksSpec extends SparkFunSuite {
   test("globalNtile rejects non-positive bucket counts") {
     intercept[IllegalArgumentException] {
       Ranks.globalNtile(frame(4), Seq(col("id")), 0, "t")
+    }
+  }
+
+  test("globalPrefixSum equals an unpartitioned running-sum window") {
+    for (n <- Seq(1, 2, 7, 100)) {
+      val df = (1 to n).map(i => (i.toLong, ((i * 37) % 11).toLong))
+        .toDF("id", "x").repartition(7)
+      val expect = df.withColumn("cum",
+        sum(col("x")).over(Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "cum").as[(Long, Long)].collect().sorted.toSeq
+      val full = Ranks.globalPrefixSum(df, Seq(col("id")), "x", "cum")
+      // schema contract: input columns + outCol, NO scratch leakage —
+      // consumers feed this straight to oracle-hashed outputs (q259)
+      assert(full.columns.toSeq == df.columns.toSeq :+ "cum")
+      val got = full
+        .select("id", "cum").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == expect, s"n=$n")
+      graft.operators.Scratch.releaseAll(graft.SparkTestBase.spark)
+    }
+  }
+
+  test("globalPrefixSum refuses clashing columns") {
+    intercept[IllegalArgumentException] {
+      Ranks.globalPrefixSum(frame(4).withColumn("cum", lit(1L)),
+        Seq(col("id")), "v", "cum")
     }
   }
 

@@ -43,7 +43,6 @@ class WindowBoundsLintSpec extends SparkFunSuite {
     * rank-list k) rather than growing with the fact table.
     */
   private val boundedAllowlist: Map[String, String] = Map(
-    "q68_daily_deltas" -> "calendar-day frame (<= span days, not fact grain)",
     "q129_hybrid_rrf" -> "two already-top-k rank lists (fuseK=20 rows each)",
     "q149_vocab_coverage" -> "frame pre-filtered to rank <= max(ks)=100",
     "q156_pareto_front" -> ("stage-2 merge over local-front survivors " +
@@ -57,7 +56,6 @@ class WindowBoundsLintSpec extends SparkFunSuite {
     "q228_median3_smoothing" -> "calendar-day frame",
     "q240_heaps_curve" -> "10 corpus deciles",
     "q243_revenue_lorenz" -> "10 decile rows (rank itself is Ranks-based)",
-    "q259_cumulative_reach" -> "calendar-hour frame",
     "q263_pct_of_parent" -> "region/nation rollup (<= 25 rows)",
     "q286_whale_curve" -> "10 decile rows (rank itself is Ranks-based)",
     "q297_top_brands_other" -> "brand rollup (25 brands)",

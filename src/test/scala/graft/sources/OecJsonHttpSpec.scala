@@ -84,6 +84,27 @@ class OecJsonHttpSpec extends SparkFunSuite {
     }
   }
 
+  test("live endpoint: a comma-valued multi-member cut travels the wire unescaped") {
+    // the reference's wire grammar never URL-escapes cut values
+    // (util.py:1-23 — members join with a literal ','); the route key
+    // below only matches if the GET carries the comma byte-for-byte, so
+    // a transport that percent-encodes it would 404 this read
+    withServer(Map(
+      "cube=trade&Year=1996,1997&drilldowns=Nation" ->
+        """{"data": [{"Nation": "Georgia", "Trade Value": 3},
+          |          {"Nation": "Armenia", "Trade Value": 4}]}""".stripMargin)) {
+      base =>
+        val df = spark.read.format("oecjson")
+          .option("endpoint", base)
+          .option("queries", "cube=trade&Year=1996,1997&drilldowns=Nation")
+          .load()
+        assert(df.columns.toSeq == Seq("nation", "trade_value"))
+        val got = df.orderBy(col("nation")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(got == Seq(("Armenia", 4L), ("Georgia", 3L)))
+    }
+  }
+
   test("live endpoint: a bare URL with no queries option is one response, one partition") {
     withServer(Map(
       "" -> """{"data": [{"Nation": "Georgia", "N": 1}]}""")) { base =>

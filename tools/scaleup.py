@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Generate a 10x scale-up of the sf0.1 fixture for the sf1.0 soak.
+
+Dev/driver-side tooling only (duckdb, like tools/check.py) — the
+library itself never touches this script. The scale-up preserves each
+table's statistical character instead of naively duplicating rows:
+
+- Fact tables (customer/orders/lineitem/part/supplier/events) become 10
+  disjoint key-shifted copies (stride 1e8 > any source key), so every
+  PK stays unique, every FK lands in its own copy, and join
+  selectivities/fan-outs match the source exactly (10 independent
+  shards of the same distribution — what 10x more business would look
+  like).
+- Dimension grids (region/nation) stay fixed: their size is schema
+  semantics, not data volume.
+- documents: copy i rotates each text's word sequence by 7*i+3
+  positions. Unigram statistics (Zipf, language ID, token counts) are
+  IDENTICAL per copy while shingle sets decorrelate, so near-dup pair
+  rates stay at the source's per-capita rate instead of exploding into
+  10-way exact-duplicate megaclusters.
+- embeddings: copy i circularly shifts vector components by i (norm
+  preserved exactly, direction decorrelated) — ANN neighbor structure
+  stays realistic instead of every vector gaining 9 exact twins. Copy
+  0 keeps the original vectors, so probe anchors (vec_id 0/1) are
+  unchanged.
+
+Usage: python3 tools/scaleup.py [src_dir] [dst_dir] [copies]
+"""
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+STRIDE = 100_000_000
+
+import os
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+con.execute(f"SET threads={os.cpu_count()}")
+
+
+def emit(table, select_i):
+    parts = " UNION ALL ".join(select_i(i) for i in range(COPIES))
+    con.execute(
+        f"COPY ({parts}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+    n = con.sql(f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
+    print(f"{table}: {n} rows")
+
+
+def shifted(table, key_cols):
+    def sel(i):
+        cols = con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'")
+        names = [c[0] for c in cols.fetchall()]
+        exprs = [
+            f"{c} + {i * STRIDE} AS {c}" if c in key_cols else c
+            for c in names
+        ]
+        return f"SELECT {', '.join(exprs)} FROM '{SRC}/{table}.parquet'"
+    return sel
+
+
+for t in ("region", "nation"):
+    con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+                f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+    print(f"{t}: copied as-is")
+
+emit("customer", shifted("customer", {"c_custkey"}))
+emit("supplier", shifted("supplier", {"s_suppkey"}))
+emit("part", shifted("part", {"p_partkey"}))
+emit("orders", shifted("orders", {"o_orderkey", "o_custkey"}))
+emit("lineitem",
+     shifted("lineitem", {"l_orderkey", "l_partkey", "l_suppkey"}))
+emit("events", shifted("events", {"event_id", "user_id"}))
+
+emit("documents", lambda i: f"""
+  SELECT doc_id + {i * STRIDE} AS doc_id,
+         CASE WHEN {i} = 0 THEN text ELSE
+           list_aggregate(
+             list_concat(
+               string_split(text, ' ')[{7 * i + 3} + 1:],
+               string_split(text, ' ')[:{7 * i + 3}]),
+             'string_agg', ' ')
+         END AS text,
+         lang, source, n_chars
+  FROM '{SRC}/documents.parquet'""")
+
+emit("embeddings", lambda i: f"""
+  SELECT vec_id + {i * STRIDE} AS vec_id,
+         CASE WHEN {i} = 0 THEN embedding ELSE
+           list_concat(embedding[{i} + 1:], embedding[:{i}])
+         END AS embedding,
+         label
+  FROM '{SRC}/embeddings.parquet'""")
