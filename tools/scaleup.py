@@ -13,11 +13,16 @@ table's statistical character instead of naively duplicating rows:
   like).
 - Dimension grids (region/nation) stay fixed: their size is schema
   semantics, not data volume.
-- documents: copy i rotates each text's word sequence by 7*i+3
-  positions. Unigram statistics (Zipf, language ID, token counts) are
-  IDENTICAL per copy while shingle sets decorrelate, so near-dup pair
-  rates stay at the source's per-capita rate instead of exploding into
-  10-way exact-duplicate megaclusters.
+- documents: copy i reorders each text's words by a per-copy
+  hash-keyed permutation (deterministic: DuckDB hash of copy*1000003 +
+  position). Unigram statistics (Zipf, language ID, token counts) are
+  IDENTICAL per copy while 3-word shingle sets decorrelate almost
+  completely, so near-dup pair rates stay at the source's per-capita
+  rate instead of exploding into 10-way near-duplicate megaclusters.
+  (A circular ROTATION does not work here — it preserves every
+  interior shingle, so copies become high-Jaccard twins and pair
+  operators see ~45x more candidate pairs, which the round-12 soak
+  measured as false superlinearity in q137/q139/q191/q292.)
 - embeddings: copy i circularly shifts vector components by i (norm
   preserved exactly, direction decorrelated) — ANN neighbor structure
   stays realistic instead of every vector gaining 9 exact twins. Copy
@@ -79,13 +84,14 @@ emit("documents", lambda i: f"""
   SELECT doc_id + {i * STRIDE} AS doc_id,
          CASE WHEN {i} = 0 THEN text ELSE
            list_aggregate(
-             list_concat(
-               string_split(text, ' ')[{7 * i + 3} + 1:],
-               string_split(text, ' ')[:{7 * i + 3}]),
+             list_select(w, list_grade_up(
+               list_transform(range(1, len(w) + 1),
+                              j -> hash({i} * 1000003 + j)))),
              'string_agg', ' ')
          END AS text,
          lang, source, n_chars
-  FROM '{SRC}/documents.parquet'""")
+  FROM (SELECT *, string_split(text, ' ') AS w
+        FROM '{SRC}/documents.parquet')""")
 
 emit("embeddings", lambda i: f"""
   SELECT vec_id + {i * STRIDE} AS vec_id,
