@@ -399,7 +399,11 @@ object SparkEntry {
     "q220_centroid_drift" -> ((s, d) =>
       Similarity.centroidDrift(eng(s, d).table("embeddings"))),
     // blocked Jaro-Winkler profile via the native expression (threshold-free)
-    "q221_name_similarity" -> Fuzzy.nameSimilarityProfile _,
+    // hot-block capped (128 smallest keys per block via MinK): the block
+    // vocabulary is bounded, so uncapped all-pairs grows quadratically
+    // with the catalog; at the sf0.01 oracle scale no block hits the cap
+    "q221_name_similarity" -> ((s, d) =>
+      Fuzzy.nameSimilarityProfile(s, d)),
     // TPC-H Q21 shape: unique last-shipping supplier in multi-supplier orders
     "q222_blocking_suppliers" -> Relational.blockingSuppliers _,
     // per-dimension label eta2 over embeddings — feature-selection audit
@@ -2552,16 +2556,23 @@ object SparkEntry {
       """WITH p AS (
         | SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
         | FROM part),
+        |bn AS (SELECT blk, count(*) AS block_n FROM p GROUP BY 1),
+        |kp AS (
+        | SELECT p_partkey, p_name, blk FROM (
+        |  SELECT p.*, row_number()
+        |    OVER (PARTITION BY blk ORDER BY p_partkey) AS rn
+        |  FROM p) WHERE rn <= 128),
         |pr AS (
         | SELECT a.blk,
         |  jaro_winkler_similarity(a.p_name, b.p_name) AS sim
-        | FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
-        |SELECT blk, count(*) AS n_pairs,
+        | FROM kp a JOIN kp b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+        |SELECT pr.blk, bn.block_n, count(*) AS n_pairs,
         | CAST(sum(CASE WHEN sim = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_identical,
         | round(avg(sim), 6) AS mean_sim,
         | round(max(sim), 6) AS max_sim
-        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM pr JOIN bn ON pr.blk = bn.blk
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q222_blocking_suppliers" ->
       """WITH pso AS (
         | SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax

@@ -149,7 +149,7 @@ object Fuzzy {
 
   /** Blocked Jaro-Winkler similarity profile of the part-name namespace:
     * block on the first name token (the standard record-linkage blocking
-    * key), score every within-block pair with the native
+    * key), score within-block pairs with the native
     * [[graft.functions.JaroWinkler]] expression, and roll up per block.
     * The output is deliberately THRESHOLD-FREE — pair counts, identical-
     * name pairs (JW = 1 iff the strings are equal), and rounded
@@ -158,20 +158,37 @@ object Fuzzy {
     * cross-engine contract survives; consumers pick their own cutoff
     * downstream.
     *
-    * Scale shape: the self-join is an equi-join on the block key; the
-    * quadratic blow-up is per block (vocabulary-bounded, ~1/92nd of the
-    * catalog each side), and the scorer is a per-row native expression —
-    * no shuffle beyond the block join, no UDF serialization.
+    * Scale shape — the hot-block cap: the block vocabulary is BOUNDED
+    * (~92 first tokens), so block MEMBERSHIP grows linearly with the
+    * catalog and uncapped all-pairs scoring grows quadratically (the
+    * round-12 soak measured 238× wall for 10× parts). Each block is
+    * therefore profiled over its `maxBlock` smallest part keys — a
+    * deterministic, order-free subset computed by the map-side-bounded
+    * [[graft.functions.MinK]] aggregate (NOT a rank window, which would
+    * ship every member of a hot block to one task). The keep-list is
+    * ≤ |vocabulary| × maxBlock rows — broadcast to the catalog scan —
+    * and the scored volume is ≤ |vocabulary| × C(maxBlock, 2) pairs,
+    * INDEPENDENT of catalog size; `block_n` reports the true block size
+    * so a reader can see when the profile is a subset. At the sf0.01
+    * oracle scale every block is under the cap, so the profile equals
+    * the exhaustive one (pinned in MergeFuzzySpec).
     */
-  def nameSimilarityProfile(spark: SparkSession, dir: String): DataFrame = {
+  def nameSimilarityProfile(spark: SparkSession, dir: String,
+      maxBlock: Int = 128): DataFrame = {
     val p = new Engine(spark, dir).table("part")
       .select(col("p_partkey"), col("p_name"),
         split(col("p_name"), " ").getItem(0).as("blk"))
-    val r = p.select(col("blk"), col("p_partkey").as("pk2"),
+    val blocks = p.groupBy(col("blk"))
+      .agg(graft.functions.MinK.column(col("p_partkey"), maxBlock)
+        .as("__keep"), count(lit(1)).as("block_n"))
+    val keepList = blocks
+      .select(col("blk"), explode(col("__keep")).as("p_partkey"))
+    val kept = p.join(broadcast(keepList), Seq("blk", "p_partkey"))
+    val r = kept.select(col("blk"), col("p_partkey").as("pk2"),
       col("p_name").as("name2"))
     val sim = graft.functions.TextExpressions
       .jaroWinkler(col("p_name"), col("name2"))
-    p.join(r, "blk")
+    kept.join(r, "blk")
       .filter(col("p_partkey") < col("pk2"))
       .select(col("blk"), sim.as("sim"))
       .groupBy(col("blk"))
@@ -179,6 +196,9 @@ object Fuzzy {
         sum(when(col("sim") === 1.0, 1L).otherwise(0L)).as("n_identical"),
         round(avg(col("sim")), 6).as("mean_sim"),
         round(max(col("sim")), 6).as("max_sim"))
+      .join(broadcast(blocks.select(col("blk"), col("block_n"))), "blk")
+      .select(col("blk"), col("block_n"), col("n_pairs"),
+        col("n_identical"), col("mean_sim"), col("max_sim"))
       .orderBy(col("blk"))
   }
 }

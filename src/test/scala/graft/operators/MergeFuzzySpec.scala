@@ -164,4 +164,44 @@ class MergeFuzzySpec extends SparkFunSuite {
     assert(inc.length == full.length)
     inc.zip(full).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("nameSimilarityProfile: cap above every block size is exhaustive") {
+    // sf0.001's largest block is 33 members — the default cap (128) and
+    // an effectively-infinite cap must produce the identical profile, so
+    // the oracle-scale contract (no block capped at sf0.01 either) holds
+    val capped = Fuzzy.nameSimilarityProfile(spark, sf).collect()
+    val full = Fuzzy.nameSimilarityProfile(spark, sf, maxBlock = 1 << 20)
+      .collect()
+    assert(capped.length == full.length && capped.nonEmpty)
+    capped.zip(full).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("nameSimilarityProfile: a binding cap profiles the k smallest keys") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 4
+    val got = Fuzzy.nameSimilarityProfile(spark, sf, maxBlock = k)
+    // scored volume bounded by C(k,2) per block; block_n stays the TRUE
+    // membership so the subset-profile is visible to the reader
+    val rows = got.collect()
+    assert(rows.forall(_.getAs[Long]("n_pairs") <= k.toLong * (k - 1) / 2))
+    assert(rows.exists(_.getAs[Long]("block_n") > k.toLong))
+    // equivalence: capping ≡ exhaustive profile over the k smallest keys
+    // per block (window rank is fine TEST-side; the operator avoids it)
+    val p = new graft.cube.Engine(spark, sf).table("part")
+      .select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+    val smallest = p.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("blk")).orderBy(col("p_partkey"))))
+      .filter(col("__rn") <= k)
+    val r2 = smallest.select(col("blk"), col("p_partkey").as("pk2"),
+      col("p_name").as("name2"))
+    val expectPairs = smallest.join(r2, "blk")
+      .filter(col("p_partkey") < col("pk2"))
+      .groupBy(col("blk")).agg(count(lit(1)).as("n_pairs"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { row =>
+      assert(row.getAs[Long]("n_pairs") ==
+        expectPairs(row.getAs[String]("blk")), row.getAs[String]("blk"))
+    }
+  }
 }
