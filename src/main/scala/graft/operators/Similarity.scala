@@ -153,29 +153,55 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Sign-bit count that keeps expected LSH bucket occupancy near
+    * `targetOccupancy` for an `n`-vector corpus: `ceil(log2(n/occ))`,
+    * floored at 6 (the fixture/oracle regime — corpora ≤ ~1000 vectors
+    * keep the exact 6-bit keys the q30/q118 SQL oracles hard-code) and
+    * capped at 20 (1M buckets/table; past that, per-bucket work is
+    * already O(occ²) ≈ constant and more bits only cost recall). This is
+    * THE near-dup-mining scale lever: with FIXED bits the bucket space
+    * is bounded, occupancy grows linearly with the corpus, and
+    * within-bucket pair candidates grow quadratically (the round-12 soak
+    * measured q30 at 15.7× wall for 10× vectors on fixed 6-bit tables);
+    * occupancy-targeted bits keep candidates ~linear in the corpus.
+    */
+  def autoLshBits(n: Long, targetOccupancy: Int = 16): Int = {
+    val auto = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt
+    math.min(20, math.max(6, auto))
+  }
+
   /** Approximate near-dup pairs via multi-table random-hyperplane LSH:
     * `tables` independent hash tables of `bitsPerTable` sign bits each; a
     * pair is a candidate if it collides in ANY table (recall
     * 1-(1-p^bits)^tables with p = 1-theta/pi), then exact-cosine verified
     * against `threshold`. Shuffle carries (table_id, bucket, vec_id) —
-    * never a cross join; `maxBucketSize` caps degenerate buckets.
+    * never a cross join; `maxBucketSize` caps degenerate buckets, and
+    * `bitsPerTable = 0` (the default) sizes the tables to the corpus via
+    * [[autoLshBits]] so occupancy — and with it candidate volume per
+    * vector — stays constant as the corpus grows.
     *
     * Oracle caveat (q30): the md5-bit planes make the bucket keys and
     * candidate join exactly reproducible in SQL — UNLESS a bucket exceeds
     * `maxBucketSize`, where [[Dedup.bucketPairs]] degrades to its linear
     * star pattern while the all-pairs oracle does not (same caveat as
-    * q27; see [[Dedup.simhashPairs]]).
+    * q27; see [[Dedup.simhashPairs]]). The auto-sized bit count is 6 at
+    * every oracle fixture (≤1000 vectors), so the hard-coded 6-bit SQL
+    * stays exact there.
     */
   def lshNearDupPairs(
       emb: DataFrame,
       threshold: Double = 0.3,
       tables: Int = 4,
-      bitsPerTable: Int = 6,
+      bitsPerTable: Int = 0,
       dim: Int = 64,
       maxBucketSize: Int = 2000): DataFrame = {
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable else autoLshBits(emb.count())
     val keys = array((0 until tables).map { t =>
       struct(lit(t).as("tbl"),
-        lshKeyOffset(col("embedding"), t * bitsPerTable, bitsPerTable, dim).as("bucket"))
+        lshKeyOffset(col("embedding"), t * bits, bits, dim).as("bucket"))
     }: _*)
     val keyed = emb.select(col("vec_id"), explode(keys).as("k"))
       .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))

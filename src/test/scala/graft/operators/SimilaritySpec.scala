@@ -59,6 +59,19 @@ class SimilaritySpec extends SparkFunSuite {
       q0.map(_.getLong(2)).head == 1L)
   }
 
+  test("autoLshBits keeps occupancy-targeted growth with oracle-regime floor") {
+    // <=1024 vectors: floored at 6 — the bit count every SQL oracle
+    // fixture (500-row embeddings) hard-codes; beyond that, one more bit
+    // per corpus doubling (constant expected occupancy); capped at 20
+    assert(Similarity.autoLshBits(1) == 6)
+    assert(Similarity.autoLshBits(500) == 6)
+    assert(Similarity.autoLshBits(1024) == 6)
+    assert(Similarity.autoLshBits(2000) == 7)
+    assert(Similarity.autoLshBits(20000) == 11)
+    assert(Similarity.autoLshBits(4096) == Similarity.autoLshBits(2049))
+    assert(Similarity.autoLshBits(Long.MaxValue) == 20)
+  }
+
   test("lsh near-dup pairs find close vectors and verify with exact cosine") {
     val close = (0 until 64).map(i => math.sin(i * 0.1).toFloat)
     val close2 = close.updated(0, close(0) + 0.01f)
