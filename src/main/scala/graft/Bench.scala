@@ -60,13 +60,9 @@ object Bench {
     // the stamp makes a contaminated pass self-diagnosing from the
     // artifact alone instead of requiring a re-bench to suspect it.
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def loadAvg1m(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     val samples = (1 to Passes).flatMap { _ =>
       passStarts += System.currentTimeMillis() / 1000L
-      passLoads += loadAvg1m()
+      passLoads += GraftSession.loadAvg1m()
       // Session-lifetime memos (the shared near-dup pair frame, ANN
       // index layouts) are cleared at the START of every pass: otherwise
       // only the first sample of the first consumer pays the pipeline,

@@ -50,4 +50,13 @@ object GraftSession {
     graft.functions.VectorExpressions.register(spark)
     spark
   }
+
+  /** 1-minute load average of the host, or -1 where /proc is absent —
+    * the contention stamp both timing mains (Bench, Soak) record per
+    * pass so a noisy sample is self-diagnosing from the artifact.
+    */
+  def loadAvg1m(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 }

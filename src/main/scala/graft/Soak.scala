@@ -6,37 +6,47 @@ package graft
   * same queries timed at sf0.1 and at the 10x `tools/scaleup.py`
   * fixture give measured scale ratios (`tools/scale_report.py` joins
   * the two dumps into SCALE_r{N}.json), replacing "the plan shape
-  * looks right" with numbers. Two passes per query with the session
-  * memos cleared between them — pass 1 prices the cold pipeline
-  * (index builds included), pass 2 the warm one — and a loadavg stamp
-  * per pass makes host contention self-diagnosing, the Bench
-  * discipline.
+  * looks right" with numbers.
   *
-  * Usage: runMain graft.Soak <sfDir> <name,name,...> <out.json>
+  * Both passes are COLD-pipeline passes: the session memos (shared
+  * postings frame, ANN index layouts) are cleared at the start of
+  * EVERY pass, the Bench timing discipline, so each sample prices the
+  * full pipeline including index builds. Two samples exist for
+  * robustness (min-of-passes is the contention-resistant estimate),
+  * NOT as a cold/warm split — only JVM/page-cache warmth differs
+  * between them. A loadavg stamp per pass makes host contention
+  * self-diagnosing.
+  *
+  * Usage: runMain graft.Soak <sfDir> <name,name,...> <out.json> [warmupDir]
   */
 object Soak {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: Soak <sfDir> <names-csv> <out.json>")
+    require(args.length == 3 || args.length == 4,
+      "usage: Soak <sfDir> <names-csv> <out.json> [warmupDir]")
     val (sfDir, out) = (args(0), args(2))
+    val warmupDir =
+      if (args.length > 3) args(3) else "/root/testdata/sf0.001"
     val names = args(1).split(',').toSeq.filter(_.nonEmpty)
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus.toInt)
     // untimed warmup at the smallest sf: JVM/codegen/parquet-footer
-    // one-off costs stay out of pass 1
+    // one-off costs stay out of pass 1. A FAILED warmup silently
+    // shifting those costs into the timed pass would skew ratio_cold,
+    // so failures are logged loudly even though the soak proceeds.
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      try SparkEntry.queries(n)(spark, warmupDir).count()
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[soak] WARMUP FAILED for $n on $warmupDir (pass-1 times " +
+            s"will absorb one-off costs): ${e.getMessage}")
+      }
       graft.operators.Scratch.releaseAll(spark)
     }
-    def loadAvg1m(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val samples = (1 to 2).flatMap { _ =>
-      loads += loadAvg1m()
+      loads += GraftSession.loadAvg1m()
       graft.operators.Dedup.invalidateSharedPairs(spark)
       graft.operators.Similarity.invalidateIndexes(spark)
       names.map { name =>

@@ -178,11 +178,14 @@ object Fuzzy {
     val p = new Engine(spark, dir).table("part")
       .select(col("p_partkey"), col("p_name"),
         split(col("p_name"), " ").getItem(0).as("blk"))
-    val blocks = p.groupBy(col("blk"))
+    // keep-list rows CARRY block_n so the (tiny, ≤ vocabulary × maxBlock
+    // row) MinK aggregation runs once and block_n rides the broadcast —
+    // no second aggregation or join at the end
+    val keepList = p.groupBy(col("blk"))
       .agg(graft.functions.MinK.column(col("p_partkey"), maxBlock)
         .as("__keep"), count(lit(1)).as("block_n"))
-    val keepList = blocks
-      .select(col("blk"), explode(col("__keep")).as("p_partkey"))
+      .select(col("blk"), col("block_n"),
+        explode(col("__keep")).as("p_partkey"))
     val kept = p.join(broadcast(keepList), Seq("blk", "p_partkey"))
     val r = kept.select(col("blk"), col("p_partkey").as("pk2"),
       col("p_name").as("name2"))
@@ -190,15 +193,12 @@ object Fuzzy {
       .jaroWinkler(col("p_name"), col("name2"))
     kept.join(r, "blk")
       .filter(col("p_partkey") < col("pk2"))
-      .select(col("blk"), sim.as("sim"))
-      .groupBy(col("blk"))
+      .select(col("blk"), col("block_n"), sim.as("sim"))
+      .groupBy(col("blk"), col("block_n"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("sim") === 1.0, 1L).otherwise(0L)).as("n_identical"),
         round(avg(col("sim")), 6).as("mean_sim"),
         round(max(col("sim")), 6).as("max_sim"))
-      .join(broadcast(blocks.select(col("blk"), col("block_n"))), "blk")
-      .select(col("blk"), col("block_n"), col("n_pairs"),
-        col("n_identical"), col("mean_sim"), col("max_sim"))
       .orderBy(col("blk"))
   }
 }

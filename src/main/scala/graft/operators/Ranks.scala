@@ -94,6 +94,18 @@ object Ranks {
     val clash = (scratchCols :+ outCol).filter(df.columns.contains)
     require(clash.isEmpty,
       s"globalPrefixSum: input already has column(s) ${clash.mkString(", ")}")
+    // enforce the integer-only contract stated above (also fails fast on
+    // a misspelled column, before the plan does, with a named reason)
+    val vt = df.schema.find(_.name == valueCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"globalPrefixSum: no column '$valueCol' in [${df.columns.mkString(", ")}]")
+    ).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(vt),
+      s"globalPrefixSum: '$valueCol' is $vt — only integer values keep " +
+        "the partitioned prefix sum independent of partition boundaries")
     val ranged = Scratch.register(df
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)

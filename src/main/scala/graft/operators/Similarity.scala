@@ -180,7 +180,13 @@ object Similarity {
     * never a cross join; `maxBucketSize` caps degenerate buckets, and
     * `bitsPerTable = 0` (the default) sizes the tables to the corpus via
     * [[autoLshBits]] so occupancy — and with it candidate volume per
-    * vector — stays constant as the corpus grows.
+    * vector — stays constant as the corpus grows. NOTE the auto path
+    * runs a `count()` ACTION at plan-construction time (bits shape the
+    * plan, so laziness is impossible); it is one cheap scan next to the
+    * bucketing+verify pipeline, and the memoized [[lshNearDupPairsShared]]
+    * entry points were already construction-eager (localCheckpoint).
+    * Callers that know the corpus size can pass explicit bits to stay
+    * lazy.
     *
     * Oracle caveat (q30): the md5-bit planes make the bucket keys and
     * candidate join exactly reproducible in SQL — UNLESS a bucket exceeds

@@ -93,6 +93,19 @@ class RanksSpec extends SparkFunSuite {
     }
   }
 
+  test("globalPrefixSum enforces the integer-value contract") {
+    // a double value column would make the two-level sum depend on the
+    // range-partition boundaries (ulp drift) — must fail fast
+    val dbl = frame(4).withColumn("x", col("v").cast("double"))
+    intercept[IllegalArgumentException] {
+      Ranks.globalPrefixSum(dbl, Seq(col("id")), "x", "cum")
+    }
+    // and a misspelled column fails with a named reason, not a plan error
+    intercept[IllegalArgumentException] {
+      Ranks.globalPrefixSum(frame(4), Seq(col("id")), "nope", "cum")
+    }
+  }
+
   test("globalRowNumber refuses inputs that already carry its output or scratch columns") {
     val clash = frame(4).withColumn("rk", lit(1L))
     intercept[IllegalArgumentException] {

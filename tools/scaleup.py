@@ -29,7 +29,18 @@ table's statistical character instead of naively duplicating rows:
   0 keeps the original vectors, so probe anchors (vec_id 0/1) are
   unchanged.
 
-Usage: python3 tools/scaleup.py [src_dir] [dst_dir] [copies]
+A 4th arg `suffix` produces the DISJOINT-VOCAB variant instead
+(testdata_sf1v in round 12): copies 1..N additionally tag every token
+with `~i`, so each copy's shingle vocabulary is disjoint from every
+other's — the text analog of the key-shifted fact shards. Use it when
+the source's token vocabulary is too small for shingle spaces to grow
+with the corpus (this fixture's ~31-token vocab saturates the 3-shingle
+space at sf0.1, so ANY multiset-preserving reorder still grows
+candidate-pair mass ~99x for 10x docs; the suffixed variant scales it
+exactly 10x — the honest linear-workload read for pair operators, the
+ratio_*_v columns in scale_report.py).
+
+Usage: python3 tools/scaleup.py [src_dir] [dst_dir] [copies] [suffix]
 """
 import sys
 
@@ -38,6 +49,7 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+SUFFIX = len(sys.argv) > 4 and sys.argv[4] == "suffix"
 STRIDE = 100_000_000
 
 import os
@@ -80,18 +92,24 @@ emit("lineitem",
      shifted("lineitem", {"l_orderkey", "l_partkey", "l_suppkey"}))
 emit("events", shifted("events", {"event_id", "user_id"}))
 
-emit("documents", lambda i: f"""
-  SELECT doc_id + {i * STRIDE} AS doc_id,
-         CASE WHEN {i} = 0 THEN text ELSE
-           list_aggregate(
-             list_select(w, list_grade_up(
+def doc_select(i):
+    if i == 0:
+        return (f"SELECT doc_id, text, lang, source, n_chars "
+                f"FROM '{SRC}/documents.parquet'")
+    shuffled = f"""list_select(w, list_grade_up(
                list_transform(range(1, len(w) + 1),
-                              j -> hash({i} * 1000003 + j)))),
-             'string_agg', ' ')
-         END AS text,
+                              j -> hash({i} * 1000003 + j))))"""
+    if SUFFIX:
+        shuffled = f"list_transform({shuffled}, t -> t || '~{i}')"
+    return f"""
+  SELECT doc_id + {i * STRIDE} AS doc_id,
+         list_aggregate({shuffled}, 'string_agg', ' ') AS text,
          lang, source, n_chars
   FROM (SELECT *, string_split(text, ' ') AS w
-        FROM '{SRC}/documents.parquet')""")
+        FROM '{SRC}/documents.parquet')"""
+
+
+emit("documents", doc_select)
 
 emit("embeddings", lambda i: f"""
   SELECT vec_id + {i * STRIDE} AS vec_id,
