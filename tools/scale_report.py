@@ -19,12 +19,15 @@ ratios are the honest linear-workload read for the postings-pair
 operators, recorded as ratio_*_v alongside the saturated-fixture
 ratios.
 
-Usage: scale_report.py soak_sf01.json soak_sf1.json out.json [soak_sf1v.json]
+Usage: scale_report.py soak_a.json soak_b.json out.json [soak_bv.json] [growth]
+
+`growth` (default 10) is the data-growth factor between the two dumps —
+pass 100 when comparing sf0.1 against the 100x testdata_sf10 fixture.
 """
 import json
 import sys
 
-GROWTH = 10.0
+GROWTH = float(sys.argv[5]) if len(sys.argv) > 5 else 10.0
 
 # named causes for queries whose saturated-fixture ratio exceeds GROWTH
 # by construction (workload growth measured independently of wall time)
