@@ -56,7 +56,8 @@ object GraftSession {
     * pass so a noisy sample is self-diagnosing from the artifact.
     */
   def loadAvg1m(): Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 }

@@ -26,7 +26,9 @@ object Soak {
     val (sfDir, out) = (args(0), args(2))
     val warmupDir =
       if (args.length > 3) args(3) else "/root/testdata/sf0.001"
-    val names = args(1).split(',').toSeq.filter(_.nonEmpty)
+    // .distinct: a duplicated name would be timed twice per pass and
+    // emit duplicate JSON keys that most parsers silently collapse
+    val names = args(1).split(',').toSeq.filter(_.nonEmpty).distinct
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

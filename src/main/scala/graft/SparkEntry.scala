@@ -1094,7 +1094,7 @@ object SparkEntry {
     // exactly the corpus (nothing lost or duplicated by the write).
     "q106_lsh_index_build" -> ((s, d) => {
       val emb = eng(s, d).table("embeddings")
-      val path = Similarity.lshIndex(emb, datasetKey = d) // q29's layout
+      val path = Similarity.lshIndex(emb, datasetKey = d).path // q29's layout
       // single pass over the layout: table 0 is one full corpus copy.
       // Completeness must hold PER TABLE, not just in aggregate — a
       // duplicated row in one table plus a missing row in another keeps
@@ -1126,7 +1126,7 @@ object SparkEntry {
       val emb = eng(s, d).table("embeddings")
       val path = Similarity.lshIndexIncremental(
         emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
-        emb.filter(pmod(col("vec_id"), lit(5)) === 0), datasetKey = d)
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), datasetKey = d).path
       s.read.parquet(path)
         .agg(count(when(col("tbl") === 0, lit(1))).as("n_vecs"),
           sum(when(col("tbl") === 0, col("vec_id"))).as("sum_ids"),
@@ -4715,20 +4715,24 @@ object SparkEntry {
         |FROM g""".stripMargin,
     "q182_change_point" ->
       """WITH daily AS (
-        | SELECT date_trunc('day', ts) AS day, round(sum(value), 2) AS total
-        | FROM events GROUP BY 1),
+        | SELECT day, CAST(round(total * 100, 0) AS BIGINT) AS cents
+        | FROM (SELECT date_trunc('day', ts) AS day,
+        |         round(sum(value), 2) AS total
+        |       FROM events GROUP BY 1)),
         |c AS (
-        | SELECT day, total,
-        |  sum(total) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+        | SELECT day,
+        |  CAST(sum(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_cents,
         |  CAST(count(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS i,
-        |  sum(total) OVER () AS tot,
+        |  CAST(sum(cents) OVER () AS BIGINT) AS tot_cents,
         |  CAST(count(*) OVER () AS BIGINT) AS n
         | FROM daily)
         |SELECT day AS split_after_day,
-        | round(cum / i, 6) AS mean_before,
-        | round((tot - cum) / (n - i), 6) AS mean_after,
-        | round(abs(cum / i - (tot - cum) / (n - i)), 6) AS shift
+        | round(cum_cents / 100.0 / i, 6) AS mean_before,
+        | round((tot_cents - cum_cents) / 100.0 / (n - i), 6) AS mean_after,
+        | round(abs(cum_cents / 100.0 / i
+        |   - (tot_cents - cum_cents) / 100.0 / (n - i)), 6) AS shift
         |FROM c WHERE i < n
         |ORDER BY shift DESC, split_after_day LIMIT 1""".stripMargin,
     "q177_asof_forward" ->

@@ -278,7 +278,7 @@ object Corpus {
     val ranged = Scratch.register(sized
       .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint())
+      .transform(Scratch.stage))
     val wRow = Window.partitionBy(col("__pid"))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -436,7 +436,7 @@ object Corpus {
     // the ContextCleaner to GC the plan references; only session memos
     // (Dedup pairs, ANN indexes) outlive the query, via their own
     // invalidate entry points.
-    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).localCheckpoint())
+    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).transform(Scratch.stage))
     val unigram = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
     val total = tc.agg(sum(col("cnt")).cast("double").as("corpus_tokens"))
     tc.join(unigram, "tok")
@@ -482,7 +482,7 @@ object Corpus {
     // Same 3-consumer shape as unigramSurprisal: materialize the exploded
     // (doc_id, bg, cnt) frame once instead of re-running the bigram
     // generate+explode three times over the corpus.
-    val bc = Scratch.register(bigramCounts(Par.ensure(docs)).localCheckpoint())
+    val bc = Scratch.register(bigramCounts(Par.ensure(docs)).transform(Scratch.stage))
     val lm = bc.groupBy(col("bg")).agg(sum(col("cnt")).as("bf"))
     val total = bc.agg(sum(col("cnt")).cast("double").as("corpus_bigrams"))
     bc.join(lm, "bg")
@@ -557,7 +557,7 @@ object Corpus {
       ks: Seq[Int] = Seq(10, 20, 50, 100)): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), "vocabCoverage needs positive probes")
     import docs.sparkSession.implicits._
-    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).localCheckpoint())
+    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).transform(Scratch.stage))
     val tf = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("f"))
     val total = tc.agg(sum(col("cnt")).cast("double").as("tt"))
     val ranked = Ranks.globalRowNumber(
@@ -596,8 +596,8 @@ object Corpus {
     */
   def collocations(docs: DataFrame, minCount: Long = 5,
       topK: Int = 20): DataFrame = {
-    val bc = Scratch.register(bigramCounts(Par.ensure(docs)).localCheckpoint())
-    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).localCheckpoint())
+    val bc = Scratch.register(bigramCounts(Par.ensure(docs)).transform(Scratch.stage))
+    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).transform(Scratch.stage))
     val bf = bc.groupBy(col("bg")).agg(sum(col("cnt")).as("n"))
     val totB = bc.agg(sum(col("cnt")).cast("double").as("tb"))
     val tf = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
@@ -669,7 +669,7 @@ object Corpus {
         avg(size(toks).cast("double")).as("avgdl"))
     // two consumers (the score join and df) — materialize the tiny
     // post-filter frame once, as in the surprisal family
-    val tf = Scratch.register(bm25Tf(docs, terms).localCheckpoint())
+    val tf = Scratch.register(bm25Tf(docs, terms).transform(Scratch.stage))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
@@ -728,7 +728,7 @@ object Corpus {
       .select(col("query_id"), explode(col("terms")).as("tok")).distinct()
     // two consumers (df and the score join) — materialize once
     val tf = Scratch.register(
-      bm25TfForQueries(docs, qterms, broadcastQueries).localCheckpoint())
+      bm25TfForQueries(docs, qterms, broadcastQueries).transform(Scratch.stage))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
     val scored = tf.join(Similarity.queryRegime(dfreq, broadcastQueries), "tok")
       .crossJoin(broadcast(stats))
@@ -788,7 +788,7 @@ object Corpus {
       .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"), "left_semi")
       .groupBy(col("doc_id"), col("chunk_idx"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint())
+      .transform(Scratch.stage))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
     val scored = tf.join(broadcast(dfreq), "tok")
       .join(lens, Seq("doc_id", "chunk_idx"))
@@ -870,7 +870,7 @@ object Corpus {
       .select(col("doc_id"), col("source"),
         graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
           .as("toks"))
-      .localCheckpoint())
+      .transform(Scratch.stage))
     val wCol = element_at(
       map(weights.toSeq.sortBy(_._1)
         .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
@@ -913,7 +913,7 @@ object Corpus {
         explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint())
+      .transform(Scratch.stage))
     val vocab = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
       .orderBy(col("tf").desc, col("tok")).limit(vocabSize)
       .select(col("tok"), lit(1).as("__v"))
@@ -971,7 +971,7 @@ object Corpus {
   def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
     // Two consumers (the scored frame and its df side) — materialize the
     // exploded counts once, as in the surprisal family.
-    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).localCheckpoint())
+    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).transform(Scratch.stage))
     val dfCounts = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val score = (col("cnt").cast("double") / col("total")) *
@@ -1832,7 +1832,7 @@ object Corpus {
         explode(graft.functions.TextAnalysis.shingles(col("text"), 3))
           .as("tok"))
       .withColumn("cnt", lit(1L))
-      .localCheckpoint())
+      .transform(Scratch.stage))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val kept = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

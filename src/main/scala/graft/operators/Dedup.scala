@@ -83,7 +83,7 @@ object Dedup {
     // map work — a single-file local scan would run them on one task.
     val withSh = Scratch.register(Par.ensure(docs).select(col("doc_id"),
       TextAnalysis.shingles(col("text"), shingleN).as("sh"))
-      .localCheckpoint())
+      .transform(Scratch.stage))
     val sig = withSh.select(col("doc_id"),
       bandHashes(graft.functions.TextExpressions.minhashSig(col("sh"), numPerms),
         bands, r).as("bands"))
@@ -117,7 +117,7 @@ object Dedup {
 
   def minhashPairsShared(docs: DataFrame, datasetKey: String): DataFrame =
     pairsMemo.getOrElseUpdate((docs.sparkSession, datasetKey),
-      minhashPairs(docs).localCheckpoint())
+      minhashPairs(docs).transform(Scratch.stage))
 
   /** Drop every memoized pair frame of `spark`, explicitly unpersisting
     * the localCheckpoint blocks each one holds (ContextCleaner would
@@ -256,7 +256,7 @@ object Dedup {
     datasetKey match {
       case Some(k) => interMemo.getOrElseUpdate(
         (docs.sparkSession, k, shingleN, maxDf),
-        computePairIntersections(docs, shingleN, maxDf).localCheckpoint())
+        computePairIntersections(docs, shingleN, maxDf).transform(Scratch.stage))
       case None => computePairIntersections(docs, shingleN, maxDf)
     }
 
@@ -264,7 +264,7 @@ object Dedup {
       maxDf: Int): DataFrame = {
     val withSh = Scratch.register(Par.ensure(docs)
       .select(col("doc_id"), TextAnalysis.shingles(col("text"), shingleN).as("sh"))
-      .localCheckpoint())
+      .transform(Scratch.stage))
     val post = withSh.select(col("doc_id"), explode(col("sh")).as("g"))
     // count-then-semi-join (not collect_list-then-filter): a mega-hot gram
     // must never be materialized as one giant postings array on a single row
@@ -398,7 +398,7 @@ object Dedup {
     val r = numPerms / bands
     val ck = Par.ensure(df).select(col("doc_id").as(idAs),
       TextAnalysis.shingles(col("text"), shingleN).as(shAs))
-      .localCheckpoint()
+      .transform(Scratch.stage)
     val withSh = if (scratch) Scratch.register(ck) else ck
     val ex = withSh.select(col(idAs),
       explode(bandHashes(
@@ -537,7 +537,7 @@ object Dedup {
     val edges = Scratch.register(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .distinct().localCheckpoint())
+        .distinct().transform(Scratch.stage))
     // Seed label = min(id, min direct neighbor): one aggregation that is
     // exactly the first propagation round for free. For the typical shape
     // (near-dup clusters are near-cliques) every member sees the cluster
@@ -545,7 +545,7 @@ object Dedup {
     // no-change check.
     var labels = Scratch.register(edges.groupBy(col("src").as("id"))
       .agg(least(first(col("src")), min(col("dst"))).as("label"))
-      .localCheckpoint())
+      .transform(Scratch.stage))
     // Labels are node ids and only ever decrease, so sum(label) strictly
     // decreases until the fixed point: a one-column aggregate over the
     // just-checkpointed frame replaces a join-based change detector.
@@ -567,7 +567,7 @@ object Dedup {
           col("id") === col("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint() // the jump self-joins this frame — don't recompute it
+        .transform(Scratch.stage) // the jump self-joins this frame — don't recompute it
         .transform(Scratch.register)
       val propSum = labelSum(propagated)
       if (propSum.compareTo(prevSum) == 0) {
@@ -583,7 +583,7 @@ object Dedup {
             col("a.label") === col("jid"), "left")
           .select(col("a.id").as("id"),
             least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"))
-          .localCheckpoint()
+          .transform(Scratch.stage)
           .transform(Scratch.register)
         prevSum = labelSum(updated)
         labels = updated
@@ -670,7 +670,7 @@ object Dedup {
     val sigd = Scratch.register(Par.ensure(docs).select(col("doc_id"),
       graft.functions.TextExpressions.simhashFp(
         TextAnalysis.tokens(col("text"))).as("fp"))
-      .localCheckpoint())
+      .transform(Scratch.stage))
     val mask = if (width == 64) -1L else (1L << width) - 1
     val exploded = sigd.select(col("doc_id"),
       explode(array((0 until chunks).map { c =>

@@ -281,25 +281,28 @@ object EventAnalytics {
     */
   def changePoint(spark: SparkSession, dir: String): DataFrame = {
     val events = new graft.cube.Engine(spark, dir).table("events")
+    // Daily totals as exact BIGINT cents (the q300 discipline): integer
+    // addends make every partial sum independent of partition grouping,
+    // which is what lets the running sums ride the DISTRIBUTED two-level
+    // prefix sum (Ranks.globalPrefixSum) instead of a single-partition
+    // global window — the oracle sums the same integers, so the match is
+    // exact, not ulp-lucky.
     val daily = events
       .groupBy(date_trunc("day", col("ts"))
         .cast(org.apache.spark.sql.types.TimestampNTZType).as("day"))
       .agg(round(sum(col("value")), 2).as("total"))
-    val wCum = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    daily
-      .withColumn("cum", sum(col("total")).over(wCum))
-      .withColumn("i", count(lit(1)).over(wCum))
-      .withColumn("tot", sum(col("total")).over(wAll))
-      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("cents", round(col("total") * 100, 0).cast("long"))
+    val ranked = Ranks.globalRowNumber(daily, Seq(col("day")), "i", Some("n"))
+    val cum = Ranks.globalPrefixSum(ranked, Seq(col("day")), "cents", "cum_cents")
+    val tot = daily.agg(sum(col("cents")).as("tot_cents"))
+    cum.crossJoin(broadcast(tot))
       // a split needs both sides non-empty: candidate = last day BEFORE
       // the break, excluded for the final day
       .filter(col("i") < col("n"))
-      .withColumn("mean_before", col("cum") / col("i"))
+      .withColumn("mean_before", col("cum_cents") / lit(100.0) / col("i"))
       .withColumn("mean_after",
-        (col("tot") - col("cum")) / (col("n") - col("i")))
+        (col("tot_cents") - col("cum_cents")) / lit(100.0) /
+          (col("n") - col("i")))
       .select(col("day").as("split_after_day"),
         round(col("mean_before"), 6).as("mean_before"),
         round(col("mean_after"), 6).as("mean_after"),
@@ -861,7 +864,7 @@ object EventAnalytics {
     val p = trans.join(totals, "cur")
       .select(col("cur"), col("nxt"),
         (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
-      .localCheckpoint()
+      .transform(Scratch.stage)
     val states = p.select(col("cur").as("state")).distinct()
     val n = states.count().toDouble // bounded: #event types
     var r = states.select(col("state"), lit(1.0 / n).as("prob"))

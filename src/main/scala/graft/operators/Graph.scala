@@ -51,13 +51,13 @@ object Graph {
         .groupBy(col("node"))
         .agg((lit((1.0 - damping) / n) +
           lit(damping) * coalesce(sum(col("c")), lit(0.0))).as("rank"))
-      if (i % 2 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 2 == 0 && i < iters) ranks = ranks.transform(Scratch.stage)
     }
     // Materialize the final ranks (localCheckpoint is eager), then release
     // the per-call caches — repeated invocations in one session must not
     // accumulate orphaned cached RDDs (same deterministic-release
     // discipline as [[Dedup.invalidateSharedPairs]]).
-    val out = ranks.localCheckpoint()
+    val out = ranks.transform(Scratch.stage)
     e.unpersist()
     nodes.unpersist()
     out
@@ -129,7 +129,7 @@ object Graph {
     val counts = triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
-      .localCheckpoint()
+      .transform(Scratch.stage)
     directed.unpersist()
     counts.orderBy(col("doc_id"))
   }
@@ -204,7 +204,7 @@ object Graph {
     var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .repartition(parallelism, col("src"))
-      .localCheckpoint()
+      .transform(Scratch.stage)
     val census = (1 to rounds).map { r =>
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val nNodes = deg.count()
@@ -213,7 +213,7 @@ object Graph {
       edges = edges
         .join(removed, col("src") === col("rm"), "left_anti")
         .join(removed, col("dst") === col("rm"), "left_anti")
-        .localCheckpoint()
+        .transform(Scratch.stage)
       (r, nNodes, nRemoved)
     }
     import spark.implicits._

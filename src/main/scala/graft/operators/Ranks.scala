@@ -55,7 +55,7 @@ object Ranks {
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint())
+      .transform(Scratch.stage))
     val wPrev = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.orderBy(col("__pid"))
@@ -110,7 +110,7 @@ object Ranks {
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint())
+      .transform(Scratch.stage))
     val wPrev = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged.groupBy(col("__pid"))

@@ -20,10 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scratch: they have their own invalidation entry points
   * ([[Dedup.invalidateSharedPairs]], [[Similarity.invalidateIndexes]]).
   *
-  * LOCAL vs RELIABLE checkpoints — the decision, made once here: every
-  * engine checkpoint is `localCheckpoint` (executor-local MEMORY_AND_DISK
-  * blocks, no replication). The frames involved are (a) short-lived —
-  * scratch dies at the query boundary, iteration barriers
+  * LOCAL vs RELIABLE checkpoints — the decision, made once here, in
+  * [[stage]], the ONLY checkpoint call site in the engine (lint-gated by
+  * CheckpointModeSpec): the default is `localCheckpoint` (executor-local
+  * MEMORY_AND_DISK blocks, no replication). The frames involved are (a)
+  * short-lived — scratch dies at the query boundary, iteration barriers
   * (label propagation, PageRank) die with the loop — and (b) cheap to
   * recompute relative to the reliable alternative's cost: `checkpoint()`
   * writes every block to the cluster-wide checkpoint dir and reads it
@@ -33,11 +34,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a localCheckpoint block fails the query, not the session (memos
   * recompute on next use; Verify/Bench rerun the query). A deployment on
   * preemptible/spot executors — where mid-query executor loss is the
-  * NORM, not the tail — inverts that trade: swap sites to
-  * `df.checkpoint()` with `sparkContext.setCheckpointDir` on shared
-  * storage (same call shape; see `Ranks.globalRowNumber`'s note), and
-  * this registry still applies — release then deletes checkpoint files
-  * instead of unpersisting blocks.
+  * NORM, not the tail — inverts that trade: set
+  * `spark.graft.reliableCheckpoint=true` plus
+  * `sparkContext.setCheckpointDir` on shared storage and every [[stage]]
+  * site becomes a durable `checkpoint()` with the same plan shape. The
+  * registry still applies in that mode — reliable RDDs simply resolve to
+  * nothing at unpersist time; their files are reclaimed by Spark's
+  * ContextCleaner when `spark.cleaner.referenceTracking.cleanCheckpoints`
+  * is on (recommended alongside the flag) or at context stop.
   */
 object Scratch {
   // The registry records RDD IDs, never object references: a strong
@@ -52,9 +56,37 @@ object Scratch {
   private val reg = scala.collection.concurrent.TrieMap
     .empty[SparkSession, scala.collection.mutable.ArrayBuffer[Int]]
 
-  /** Register an already-localCheckpoint'ed intermediate for release at
+  /** Truncate `df`'s lineage with an EAGER checkpoint — the engine's
+    * single checkpoint chokepoint. `spark.graft.reliableCheckpoint=false`
+    * (default) uses `localCheckpoint` (executor-local MEMORY_AND_DISK —
+    * fast, executor-churn-unsafe); `=true` uses reliable `checkpoint`
+    * (durable blocks in the cluster checkpoint dir — survives executor
+    * loss, the preemptible/spot-fleet mode). Identical plan shape and
+    * results either way (CheckpointModeSpec asserts both); the reliable
+    * mode requires `sparkContext.setCheckpointDir` and fails fast with a
+    * pointer when it's missing rather than letting Spark throw a bare
+    * "checkpoint directory has not been set" deep inside a job.
+    */
+  def stage(df: DataFrame): DataFrame = {
+    val reliable = df.sparkSession.conf
+      .get("spark.graft.reliableCheckpoint", "false").toBoolean
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "spark.graft.reliableCheckpoint=true requires " +
+          "sparkContext.setCheckpointDir(<shared storage path>)")
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
+  /** [[stage]] + [[register]] in one call — the shape most scratch
+    * frames want: lineage cut now, blocks released at the next query
+    * boundary.
+    */
+  def staged(df: DataFrame): DataFrame = register(stage(df))
+
+  /** Register an already-[[stage]]d intermediate for release at
     * the next query boundary. Returns the frame, so call sites stay
-    * one-liners: `Scratch.register(df.localCheckpoint())`.
+    * one-liners: `Scratch.register(Scratch.stage(df))`.
     */
   def register(df: DataFrame): DataFrame = {
     pruneStopped(_.sparkContext.isStopped)

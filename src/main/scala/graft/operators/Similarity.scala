@@ -252,7 +252,7 @@ object Similarity {
   private val ivfMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), IvfIndex]
   private val lshMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int, Int), String]
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int, Int), LshLayout]
 
   def invalidateIndexes(spark: org.apache.spark.sql.SparkSession): Unit = {
     ivfMemo.keys.filter(_._1 eq spark).foreach(ivfMemo.remove)
@@ -282,7 +282,7 @@ object Similarity {
   def lshNearDupPairsShared(emb: DataFrame, datasetKey: String,
       threshold: Double = 0.3): DataFrame =
     embPairsMemo.getOrElseUpdate((emb.sparkSession, datasetKey, threshold),
-      lshNearDupPairs(emb, threshold).localCheckpoint())
+      lshNearDupPairs(emb, threshold).transform(Scratch.stage))
 
   /** Root directory for index layouts: `spark.graft.indexDir` if set
     * (on a cluster, point it at the shared filesystem — HDFS/S3 — so
@@ -303,23 +303,54 @@ object Similarity {
       s"${spark.sparkContext.applicationId}_$base"
   }
 
+  /** An LSH layout on disk plus the directory-granularity shift its
+    * partition keys were written with (probes must shift identically).
+    */
+  final case class LshLayout(path: String, shift: Int)
+
+  /** Directory-granularity shift for an LSH layout over an `n`-vector
+    * corpus: partition directories key on `bucket >> shift`, sized so a
+    * directory holds ~`dirOccupancy` rows per table instead of a fixed
+    * `2^planes` fan-out. The EXACT bucket stays a data column, so probe
+    * semantics (and the q29/q151 oracles) are untouched — only the
+    * physical pruning granularity coarsens, and only at SMALL corpora:
+    * at `n ≥ dirOccupancy · 2^planes` the shift is 0 and every bucket
+    * gets its own directory, the 100 TB shape. This is the layout twin
+    * of [[autoLshBits]]: fixed fan-out made q106/q154 pay ~1024
+    * file-commit round-trips for a 2000-vector fixture (measured ~5-6 s,
+    * pure metadata) while a real corpus amortizes the same directories
+    * over millions of rows.
+    */
+  def lshDirShift(n: Long, planes: Int, dirOccupancy: Int = 64): Int = {
+    val dirBits = math.ceil(
+      math.log(math.max(1.0, n.toDouble / dirOccupancy)) /
+        math.log(2.0)).toInt
+    math.max(0, planes - math.max(0, math.min(planes, dirBits)))
+  }
+
   /** Build (once per session+dataset+params) the MULTI-TABLE bucket-
     * partitioned LSH index: `tables` independent plane families (the same
     * per-table offsets [[lshNearDupPairs]] uses), the corpus written once
-    * per table, Hive-partitioned by (tbl, bucket). A single-table probe's
+    * per table, Hive-partitioned by (tbl, bucket-prefix) with the
+    * occupancy-sized [[lshDirShift]] granularity (exact bucket kept as a
+    * data column for the probe's residual filter). A single-table probe's
     * recall is capped by one family's S-curve; independent tables multiply
-    * the miss probabilities, so a probe reading tables×(planes+1)
+    * the miss probabilities, so a probe reading at most tables×(planes+1)
     * directories — still O(1) of the corpus — recovers what one table at
     * the same read bound cannot. The layout is `tables`× the corpus: the
-    * standard LSH trade, paid once at build, amortized over probes.
+    * standard LSH trade, paid once at build, amortized over probes. The
+    * sizing `count()` is a construction-time action over the corpus —
+    * one cheap scan next to the layout write, the [[lshNearDupPairs]]
+    * auto-bits discipline.
     */
   def lshIndex(emb: DataFrame, datasetKey: String,
-      planes: Int = 8, dim: Int = 64, tables: Int = DefaultLshTables): String =
+      planes: Int = 8, dim: Int = 64, tables: Int = DefaultLshTables): LshLayout =
     lshMemo.getOrElseUpdate((emb.sparkSession, datasetKey, tables, planes, dim), {
       val path = indexPath(emb.sparkSession, s"lsh${tables}t${planes}x$dim", datasetKey)
+      val shift = lshDirShift(emb.count(), planes)
       graft.sources.Sink.writePartitioned(
-        lshLayoutRows(emb, planes, dim, tables), path, Seq("tbl", "bucket"))
-      path
+        lshLayoutRows(emb, planes, dim, tables, shift), path, Seq("tbl", "bpfx"))
+      LshLayout(path, shift)
     })
 
   /** The banded layout relation both the build and the incremental
@@ -330,15 +361,18 @@ object Similarity {
     * one writer set and AQE coalesces the small shuffle.
     */
   private def lshLayoutRows(emb: DataFrame, planes: Int, dim: Int,
-      tables: Int): DataFrame = {
+      tables: Int, shift: Int): DataFrame = {
     val keys = array((0 until tables).map { t =>
       struct(lit(t).as("tbl"),
         lshKeyOffset(col("embedding"), t * planes, planes, dim).as("bucket"))
     }: _*)
     emb.select(col("vec_id"), col("label"), col("embedding"),
       explode(keys).as("k"))
+      // bucket is a DATA column (the probe's exact residual filter,
+      // parquet-pushed); bpfx is the occupancy-sized partition key
       .select(col("vec_id"), col("label"), col("embedding"),
-        col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+        col("k.tbl").as("tbl"), col("k.bucket").as("bucket"),
+        shiftright(col("k.bucket"), shift).as("bpfx"))
       // EXPLICIT partition count: a column-only repartition is an
       // AQE-coalescible shuffle, and the layout frame is small in BYTES
       // while fanning out to tables × 2^planes directories — AQE merges
@@ -347,7 +381,7 @@ object Similarity {
       // the delta append when pinned). The count pins one writer SET per
       // directory (hash clustering is by the partition cols either way);
       // file count is unchanged.
-      .repartition(layoutParallelism(emb), col("tbl"), col("bucket"))
+      .repartition(layoutParallelism(emb), col("tbl"), col("bpfx"))
   }
 
   /** Writer parallelism for layout builds: the session's shuffle
@@ -387,24 +421,30 @@ object Similarity {
     */
   def lshIndexIncremental(base: DataFrame, delta: DataFrame,
       datasetKey: String, planes: Int = 8, dim: Int = 64,
-      tables: Int = DefaultLshTables): String =
+      tables: Int = DefaultLshTables): LshLayout =
     lshMemo.getOrElseUpdate(
       (base.sparkSession, s"${datasetKey}_incr", tables, planes, dim), {
         val spark = base.sparkSession
         val path = indexPath(spark, s"lsh${tables}t${planes}x$dim",
           s"${datasetKey}_incr")
+        // Shift is sized on the BASE corpus (the 80% bulk) so a
+        // post-invalidation warm call — where only the delta re-writes —
+        // recomputes the SAME granularity the disk-memoized base subtree
+        // was laid out with (the base count is stable per JVM by the
+        // same dataset-content contract the memo key carries).
+        val shift = lshDirShift(base.count(), planes)
         val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val baseDone =
           new org.apache.hadoop.fs.Path(s"$path/gen=base/_SUCCESS")
         if (!fs.exists(baseDone))
           graft.sources.Sink.writePartitioned(
-            lshLayoutRows(base, planes, dim, tables),
-            s"$path/gen=base", Seq("tbl", "bucket"))
+            lshLayoutRows(base, planes, dim, tables, shift),
+            s"$path/gen=base", Seq("tbl", "bpfx"))
         graft.sources.Sink.writePartitioned(
-          lshLayoutRows(delta, planes, dim, tables),
-          s"$path/gen=delta", Seq("tbl", "bucket"))
-        path
+          lshLayoutRows(delta, planes, dim, tables, shift),
+          s"$path/gen=delta", Seq("tbl", "bpfx"))
+        LshLayout(path, shift)
       })
 
   /** Top-k probe through the incrementally-appended LSH layout: exactly
@@ -415,7 +455,8 @@ object Similarity {
   def lshIncrementalTopK(base: DataFrame, delta: DataFrame, queryId: Long,
       k: Int, planes: Int = 8, dim: Int = 64,
       tables: Int = DefaultLshTables, datasetKey: String): DataFrame =
-    lshProbeTopK(lshIndexIncremental(base, delta, datasetKey, planes, dim, tables),
+    lshProbeTopK(
+      lshIndexIncremental(base, delta, datasetKey, planes, dim, tables),
       base.unionByName(delta), queryId, k, planes, dim, tables)
 
   /** Bucketed ANN top-k through the multi-table LSH index: in EACH table
@@ -440,8 +481,9 @@ object Similarity {
     * probe path of [[lshTopK]] and [[lshIncrementalTopK]]. `lookup` only
     * supplies the query vector and its buckets (1-row driver fetch).
     */
-  private def lshProbeTopK(path: String, lookup: DataFrame, queryId: Long,
+  private def lshProbeTopK(layout: LshLayout, lookup: DataFrame, queryId: Long,
       k: Int, planes: Int, dim: Int, tables: Int): DataFrame = {
+    val path = layout.path
     val emb = lookup
     // 1-row driver fetch: the query vector and its per-table buckets
     // (computed by the SAME column expressions the index used)
@@ -480,9 +522,15 @@ object Similarity {
       else Seq.empty
     }
     val subRoots = if (genDirs.isEmpty) Seq("") else genDirs.map(g => s"$g/")
+    // Directory keys are the occupancy-sized bucket PREFIXES the layout
+    // was written with (lshDirShift); Hamming-1 siblings on the shifted
+    // low bits collapse into one directory, so the listed-dir count is
+    // AT MOST tables × (planes + 1) × generations. The exact-bucket
+    // residual stays in probeFilter as a parquet-pushed data filter.
     val probeDirs = admitted
-      .flatMap { case (t, b) =>
-        subRoots.map(g => s"$path/${g}tbl=$t/bucket=$b") }
+      .map { case (t, b) => (t, b >> layout.shift) }.distinct
+      .flatMap { case (t, p) =>
+        subRoots.map(g => s"$path/${g}tbl=$t/bpfx=$p") }
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     val qLit = array(embAsDoubles(q.head, 0).map(lit).toIndexedSeq: _*)
     val indexed =
@@ -1361,11 +1409,14 @@ object Similarity {
     *
     * Correctness gate uses the q113 exhaustive device: codebooks are
     * driver-trained model state no ANSI oracle can replay, so the
-    * REGISTERED regime sets `rerankWidth` ≥ any fixture corpus, where
-    * the ADC prune passes everything and the result is exactly
+    * REGISTERED regime sets `rerankWidth = Int.MaxValue`, where the ADC
+    * prune would pass everything and the result is exactly
     * [[bruteForceTopK]]'s relation (embeddings are unit-norm, so ADC's
-    * L2² = 2 − 2·cos is monotone in the rerank key). Production sets
-    * `rerankWidth` ~10·k; PqSpec pins both regimes.
+    * L2² = 2 − 2·cos is monotone in the rerank key) — so that regime
+    * SKIPS codebook training and the stage-1 sort entirely instead of
+    * emitting a degenerate full-table global sort + single-partition
+    * limit of the whole store. Production sets `rerankWidth` ~10·k;
+    * PqSpec pins both regimes.
     */
   def pqRerankTopK(emb: DataFrame, queryId: Long, k: Int = 10,
       subspaces: Int = 8, codeK: Int = 16,
@@ -1377,39 +1428,47 @@ object Similarity {
     require(dim % subspaces == 0,
       s"pqRerankTopK: dim $dim not divisible into $subspaces subspaces")
     val dsub = dim / subspaces
-    // per-subspace codebooks: kmeans over the subvector slice (the
-    // sample inside kmeans is bounded; the returned codebook is
-    // codeK x dsub — model state)
-    val books: Seq[Array[(Int, Array[Double])]] = (0 until subspaces).map {
-      j =>
-        kmeans(emb.select(col("vec_id"),
-            slice(col("embedding"), j * dsub + 1, dsub).as("embedding")),
-          k = codeK)
-          .collect()
-          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-          .sortBy(_._1)
-    }
-    // fused encode + ADC: per subspace, code = argmin_c(||c||²−2·x_j·c)
-    // (ties to lowest cid — array_min on (d, cid) structs), then the
-    // query-side lookup table prices that code
-    val adc = (0 until subspaces).map { j =>
-      val sub = slice(col("embedding"), j * dsub + 1, dsub)
-      val qj = qv.slice(j * dsub, (j + 1) * dsub)
-      val code = array_min(array(books(j).map { case (cid, c) =>
-        val cLit = array(c.map(lit).toIndexedSeq: _*)
-        struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, cLit))
-          .as("d"), lit(cid).as("cid"))
-      }.toIndexedSeq: _*)).getField("cid")
-      val lut = books(j).map { case (_, c) =>
-        c.zip(qj).map { case (a, b) => (a - b) * (a - b) }.sum
-      }
-      element_at(array(lut.map(lit).toIndexedSeq: _*), code + 1)
-    }.reduce(_ + _)
     val qLit = array(qv.map(lit).toIndexedSeq: _*)
-    emb.filter(col("vec_id") =!= queryId)
-      .withColumn("__adc", adc)
-      .orderBy(col("__adc").asc, col("vec_id"))
-      .limit(rerankWidth)
+    val base = emb.filter(col("vec_id") =!= queryId)
+    // Exhaustive regime: the ADC prune is an identity, so training
+    // codebooks and globally sorting the whole store by __adc only to
+    // keep every row would be a degenerate full-table sort + a
+    // single-partition GlobalLimit shuffle. Feed all candidates
+    // straight to the exact rerank — same relation, no stage 1.
+    val candidates = if (rerankWidth == Int.MaxValue) base else {
+      // per-subspace codebooks: kmeans over the subvector slice (the
+      // sample inside kmeans is bounded; the returned codebook is
+      // codeK x dsub — model state)
+      val books: Seq[Array[(Int, Array[Double])]] =
+        (0 until subspaces).map { j =>
+          kmeans(emb.select(col("vec_id"),
+              slice(col("embedding"), j * dsub + 1, dsub).as("embedding")),
+            k = codeK)
+            .collect()
+            .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+            .sortBy(_._1)
+        }
+      // fused encode + ADC: per subspace, code = argmin_c(||c||²−2·x_j·c)
+      // (ties to lowest cid — array_min on (d, cid) structs), then the
+      // query-side lookup table prices that code
+      val adc = (0 until subspaces).map { j =>
+        val sub = slice(col("embedding"), j * dsub + 1, dsub)
+        val qj = qv.slice(j * dsub, (j + 1) * dsub)
+        val code = array_min(array(books(j).map { case (cid, c) =>
+          val cLit = array(c.map(lit).toIndexedSeq: _*)
+          struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, cLit))
+            .as("d"), lit(cid).as("cid"))
+        }.toIndexedSeq: _*)).getField("cid")
+        val lut = books(j).map { case (_, c) =>
+          c.zip(qj).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        element_at(array(lut.map(lit).toIndexedSeq: _*), code + 1)
+      }.reduce(_ + _)
+      base.withColumn("__adc", adc)
+        .orderBy(col("__adc").asc, col("vec_id"))
+        .limit(rerankWidth)
+    }
+    candidates
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), qLit), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

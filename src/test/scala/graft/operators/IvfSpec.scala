@@ -119,19 +119,20 @@ class IvfSpec extends SparkFunSuite {
       .find(l => l.contains("FileScan") && l.contains("PartitionFilters"))
     assert(scanLine.isDefined && scanLine.get.contains("bucket") &&
       scanLine.get.contains("tbl"),
-      s"(tbl, bucket) probe must prune partitions:\n$plan")
-    // the probe filter admits exactly tables x (planes + 1) (tbl, bucket)
-    // directories — verify the layout is per-table on disk and that the
-    // admitted directory count stays at the read bound
-    val path = Similarity.lshIndex(clustered, "lshspec-clustered",
+      s"tbl partition pruning + exact-bucket residual must reach the " +
+        s"scan:\n$plan")
+    // the probe admits at most tables x (planes + 1) (tbl, bucket-prefix)
+    // directories — verify the layout is per-table on disk with the
+    // occupancy-sized prefix granularity (exact bucket is a data column)
+    val layout = Similarity.lshIndex(clustered, "lshspec-clustered",
       planes = planes, dim = 16, tables = tables)
-    val tblDirs = new java.io.File(path).listFiles()
+    val tblDirs = new java.io.File(layout.path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("tbl="))
     assert(tblDirs.length == tables, "index must be laid out tbl-partitioned")
     tblDirs.foreach { t =>
       assert(t.listFiles().exists(f =>
-        f.isDirectory && f.getName.startsWith("bucket=")),
-        s"table dir ${t.getName} must be bucket-partitioned")
+        f.isDirectory && f.getName.startsWith("bpfx=")),
+        s"table dir ${t.getName} must be bucket-prefix-partitioned")
     }
   }
 
@@ -145,13 +146,13 @@ class IvfSpec extends SparkFunSuite {
     val df = Similarity.lshTopK(emb, 0L, 10, planes = planes, dim = 64,
       tables = tables, datasetKey = "lshspec-sf-bound")
     df.collect()
-    val path = Similarity.lshIndex(emb, "lshspec-sf-bound",
+    val layout = Similarity.lshIndex(emb, "lshspec-sf-bound",
       planes = planes, dim = 64, tables = tables)
-    val allDirs = new java.io.File(path).listFiles()
+    val allDirs = new java.io.File(layout.path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("tbl="))
       .flatMap(_.listFiles())
-      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
-    assert(allDirs > tables * (planes + 1),
+      .count(f => f.isDirectory && f.getName.startsWith("bpfx="))
+    assert(allDirs > tables * (planes + 1) - tables,
       s"layout too small to demonstrate pruning: $allDirs dirs")
     // the scan's partition count after pruning is the probe bound —
     // descend through AQE wrappers to reach the executed scan node
@@ -275,7 +276,7 @@ class IvfSpec extends SparkFunSuite {
     try {
       Similarity.invalidateIndexes(spark)
       val path = Similarity.lshIndex(clustered, "lshspec-configured-root",
-        planes = 4, dim = 16, tables = 2)
+        planes = 4, dim = 16, tables = 2).path
       assert(path.startsWith(root),
         s"index must live under the configured root: $path")
       val got = Similarity.lshTopK(clustered, 0L, 5, planes = 4, dim = 16,
@@ -344,7 +345,7 @@ class IvfSpec extends SparkFunSuite {
     // banding keys are pure functions of the vector, so append ≡ rebuild
     assert(inc == full)
     // layout holds tables × corpus rows, and re-calls never double-append
-    val path = Similarity.lshIndexIncremental(base, delta, "lshspec-incr")
+    val path = Similarity.lshIndexIncremental(base, delta, "lshspec-incr").path
     val n = emb.count() * 4
     assert(spark.read.parquet(path).count() == n)
     Similarity.lshIndexIncremental(base, delta, "lshspec-incr")
@@ -355,7 +356,7 @@ class IvfSpec extends SparkFunSuite {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
     val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
-    val path = Similarity.lshIndexIncremental(base, delta, "lshspec-amort")
+    val path = Similarity.lshIndexIncremental(base, delta, "lshspec-amort").path
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$path/gen=base/_SUCCESS")
@@ -364,7 +365,7 @@ class IvfSpec extends SparkFunSuite {
     // NOT rewrite the base subtree — only the delta Overwrite re-runs —
     // and the layout stays exactly base ∪ delta (no double-append)
     Similarity.invalidateIndexes(spark)
-    val path2 = Similarity.lshIndexIncremental(base, delta, "lshspec-amort")
+    val path2 = Similarity.lshIndexIncremental(base, delta, "lshspec-amort").path
     assert(path2 == path)
     assert(fs.getFileStatus(marker).getModificationTime == t0,
       "base subtree must be disk-memoized across memo invalidation")

@@ -48,7 +48,6 @@ class WindowBoundsLintSpec extends SparkFunSuite {
     "q156_pareto_front" -> ("stage-2 merge over local-front survivors " +
       "(standard partition/merge skyline; stage 1 prunes per bucket)"),
     "q164_anomaly_days" -> "calendar-day frame",
-    "q182_change_point" -> "calendar-day running sums (O(days))",
     "q188_growth_accounting" -> "calendar-week rollup",
     "q197_abc_classes" -> "brand rollup (25 brands)",
     "q203_revenue_trend" -> "calendar-month rollup",

@@ -19,15 +19,26 @@ ratios are the honest linear-workload read for the postings-pair
 operators, recorded as ratio_*_v alongside the saturated-fixture
 ratios.
 
-Usage: scale_report.py soak_a.json soak_b.json out.json [soak_bv.json] [growth]
+Usage: scale_report.py soak_a.json soak_b.json out.json \
+           [--variant soak_bv.json] [--growth N]
 
-`growth` (default 10) is the data-growth factor between the two dumps —
-pass 100 when comparing sf0.1 against the 100x testdata_sf10 fixture.
+`--growth` (default 10) is the data-growth factor between the two
+dumps — pass 100 when comparing sf0.1 against the 100x testdata_sf10
+fixture. Flags, not positions: the old positional form made
+`... out.json 100` silently parse 100 as the variant-dump path.
 """
+import argparse
 import json
-import sys
 
-GROWTH = float(sys.argv[5]) if len(sys.argv) > 5 else 10.0
+ap = argparse.ArgumentParser()
+ap.add_argument("soak_a")
+ap.add_argument("soak_b")
+ap.add_argument("out")
+ap.add_argument("--variant", help="disjoint-vocab soak dump (sf1v)")
+ap.add_argument("--growth", type=float, default=10.0,
+                help="data-growth factor between the two dumps")
+ARGS = ap.parse_args()
+GROWTH = ARGS.growth
 
 # named causes for queries whose saturated-fixture ratio exceeds GROWTH
 # by construction (workload growth measured independently of wall time)
@@ -44,9 +55,9 @@ CAUSES = {
         "over the same 3-word shingle vocabulary)"),
 }
 
-a = json.load(open(sys.argv[1]))
-b = json.load(open(sys.argv[2]))
-v = json.load(open(sys.argv[4])) if len(sys.argv) > 4 else {"samples": {}}
+a = json.load(open(ARGS.soak_a))
+b = json.load(open(ARGS.soak_b))
+v = json.load(open(ARGS.variant)) if ARGS.variant else {"samples": {}}
 rows = {}
 for name, xa in a["samples"].items():
     xb = b["samples"].get(name)
@@ -84,6 +95,6 @@ out = {
         and not (r.get("superlinear_v") is False)),
     "queries": rows,
 }
-json.dump(out, open(sys.argv[3], "w"), indent=1)
-print(f"wrote {sys.argv[3]}: {out['n_superlinear']} superlinear "
+json.dump(out, open(ARGS.out, "w"), indent=1)
+print(f"wrote {ARGS.out}: {out['n_superlinear']} superlinear "
       f"({out['n_superlinear_unexplained']} unexplained) of {len(rows)}")
