@@ -24,11 +24,16 @@ import graft.cube.Engine
   * distance — one insertion shifts every later segment boundary, e.g.
   * "abcdef"/"abcdeXf" at d=1 share no aligned segment.
   *
-  * Scale shape: each right row emits d+1 keys, each left row at most
-  * (2d+1)²·(d+1) (75 at d=2, deduped) — candidate volume is bounded by
-  * exact 10-char-ish substring collisions, not by the length histogram
-  * (the previous length-band form degenerated to a near-cross-join within
-  * each band: ~4M distance evals at sf0.1 on part names). Recall is exact;
+  * Scale shape: the block-and-verify core runs over DISTINCT strings —
+  * each distinct right string emits d+1 keys, each distinct left string
+  * at most (2d+1)²·(d+1) (75 at d=2, deduped) — so candidate volume is
+  * bounded by exact 10-char-ish substring collisions over the NAME
+  * SPACE, not by row counts or the length histogram (the previous
+  * length-band form degenerated to a near-cross-join within each band:
+  * ~4M distance evals at sf0.1 on part names; the row-grain form
+  * multiplied candidates by the product of the two sides' per-name
+  * multiplicities and OOM'd the 100x soak). Row multiplicity re-enters
+  * only via linear equi-joins on matched names. Recall is exact;
   * candidates are verified with the true distance predicate.
   */
 object Fuzzy {
@@ -108,6 +113,19 @@ object Fuzzy {
   def editDistanceJoin(left: DataFrame, right: DataFrame,
       leftCol: String, rightCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    // Distance work runs at STRING grain, not row grain: real catalogs
+    // (and the key-shifted 100x fixture) carry heavy name multiplicity,
+    // and the segment-block equi-join multiplies candidates by the
+    // PRODUCT of the two sides' per-name multiplicities — the 100x soak
+    // measured the row-grain form OOMing on exactly that (the same ~20k
+    // distinct names on each side at 100 copies each = 10,000x the
+    // candidate volume for 100x the rows). Matching distinct strings
+    // bounds the candidate volume and every distance eval by the NAME
+    // SPACE, which grows far slower than the fact tables; row
+    // multiplicity returns only through two linear equi-joins on the
+    // matched names.
+    val ln = left.select(col(leftCol)).distinct()
+    val rn = right.select(col(rightCol)).distinct()
     // threshold-bounded levenshtein: banded DP, O(d·n) per pair instead
     // of O(n²), returns -1 past the bound. Eval-count discipline (the
     // hot loop is distance evals over the multiplied candidates):
@@ -118,11 +136,28 @@ object Fuzzy {
     //   - `dist` is projected only after the distinct, over true matches
     //     (the Aggregate is an inlining barrier), so the total is
     //     |raw candidates| + |matches| evals, not 3x|raw candidates|.
-    rawCandidates(left, right, leftCol, rightCol, maxDist)
+    val namePairs = rawCandidates(ln, rn, leftCol, rightCol, maxDist)
       .filter(levenshtein(col(leftCol), col(rightCol), maxDist) =!= -1)
       .distinct()
       .withColumn("dist",
         levenshtein(col(leftCol), col(rightCol), maxDist))
+    // distinct inputs make the re-expansion duplicate-free, which is the
+    // documented set semantics without a full-output-width distinct.
+    // Both frames are hash-repartitioned ON THEIR JOIN KEY at default
+    // parallelism: the re-expansion joins multiply rows by per-name
+    // multiplicity, and AQE coalesces the small post-distinct exchanges
+    // to ONE partition (the map-stage stats cannot see the blow-up), so
+    // without the explicit width the entire expansion lands on a single
+    // task (measured: 534 s for q82 at the 100x fixture; spread it is
+    // seconds). Keying the repartition on the join column lets the
+    // equi-joins reuse the exchange — no additional shuffle, just an
+    // AQE-proof width.
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    left.distinct().repartition(par, col(leftCol))
+      .join(namePairs, leftCol)
+      .join(right.distinct().repartition(par, col(rightCol)), rightCol)
+      .select(left.columns.map(col) ++ right.columns.map(col)
+        :+ col("dist"): _*)
   }
 
   /** Fixture wiring (q82): resolve typo'd probe names back to the part
