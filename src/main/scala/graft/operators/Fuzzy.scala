@@ -58,7 +58,8 @@ object Fuzzy {
     */
   private[operators] def candidatePairs(left: DataFrame, right: DataFrame,
       leftCol: String, rightCol: String, maxDist: Int): DataFrame =
-    rawCandidates(left, right, leftCol, rightCol, maxDist).distinct()
+    rawCandidates(Par.ensure(left), right, leftCol, rightCol, maxDist)
+      .distinct()
 
   /** Segment-block collision pairs WITH witness multiplicity (a pair
     * appears once per colliding (segment, offset) witness, ~2x on the
@@ -95,10 +96,15 @@ object Fuzzy {
         col(leftCol).substr(start + 1, li).as("s"))).otherwise(lit(null))
     }
     // The left side carries the expansion (up to 75 probe keys/row) and,
-    // post-join, every candidate's distance eval — without the guard a
-    // single-file left input runs all of it on one task (right is tiny
-    // and broadcast, so the join inherits LEFT's partitioning).
-    val l = Par.ensure(left).withColumn("__seg",
+    // post-join, every candidate's distance eval — a single-partition
+    // left input would run all of it on one task (right is tiny and
+    // broadcast, so the join inherits LEFT's partitioning). Callers are
+    // responsible for width: editDistanceJoin hands in an explicitly
+    // repartitioned frame (a lazy width — probing partition count here
+    // via queryExecution.toRdd would eagerly finalize the AQE plan and
+    // run any upstream shuffle's map stage in a throwaway job);
+    // candidatePairs wraps its shuffle-free input in Par.ensure.
+    val l = left.withColumn("__seg",
       explode(array_distinct(filter(array(probes: _*), _.isNotNull))))
     l.join(r, Seq("__seg")).drop("__seg")
   }
@@ -113,6 +119,17 @@ object Fuzzy {
   def editDistanceJoin(left: DataFrame, right: DataFrame,
       leftCol: String, rightCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    // The final re-expansion resolves output columns BY NAME across both
+    // inputs, so a shared column name (or a pre-existing `dist`) would
+    // become an ambiguous reference deep inside the join — surface the
+    // contract violation here instead (mergeUpsert-style schema check).
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left and right column names must be disjoint, both have: " +
+        overlap.toSeq.sorted.mkString(", "))
+    require(!left.columns.contains("dist") && !right.columns.contains("dist"),
+      "neither input may already contain a 'dist' column (reserved for " +
+        "the output distance)")
     // Distance work runs at STRING grain, not row grain: real catalogs
     // (and the key-shifted 100x fixture) carry heavy name multiplicity,
     // and the segment-block equi-join multiplies candidates by the
@@ -124,8 +141,19 @@ object Fuzzy {
     // SPACE, which grows far slower than the fact tables; row
     // multiplicity returns only through two linear equi-joins on the
     // matched names.
-    val ln = left.select(col(leftCol)).distinct()
-    val rn = right.select(col(rightCol)).distinct()
+    // Explicit-width name frames: repartition BEFORE the distinct, keyed
+    // on the name column, so the aggregate reuses the exchange (no second
+    // shuffle) and the post-distinct stage — which carries the probe
+    // expansion and every distance eval — keeps `par` partitions. AQE
+    // respects a user-specified partition count, where it would coalesce
+    // the small post-distinct exchange to one task; and unlike a
+    // partition-count probe (queryExecution.toRdd) this is fully lazy —
+    // no throwaway job re-running the distinct's map stage.
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val ln = left.select(col(leftCol))
+      .repartition(par, col(leftCol)).distinct()
+    val rn = right.select(col(rightCol))
+      .repartition(par, col(rightCol)).distinct()
     // threshold-bounded levenshtein: banded DP, O(d·n) per pair instead
     // of O(n²), returns -1 past the bound. Eval-count discipline (the
     // hot loop is distance evals over the multiplied candidates):
@@ -152,7 +180,6 @@ object Fuzzy {
     // seconds). Keying the repartition on the join column lets the
     // equi-joins reuse the exchange — no additional shuffle, just an
     // AQE-proof width.
-    val par = left.sparkSession.sparkContext.defaultParallelism
     left.distinct().repartition(par, col(leftCol))
       .join(namePairs, leftCol)
       .join(right.distinct().repartition(par, col(rightCol)), rightCol)
