@@ -41,12 +41,29 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // inert under the default localCheckpoint mode; with
+      // spark.graft.reliableCheckpoint=true it lets the ContextCleaner
+      // reclaim reliable checkpoint FILES when their RDDs are GC'd
+      // (Scratch.releaseAll drains the blocks; without this the durable
+      // files would accumulate until context stop)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Local session sized to `cpus` threads (the harness shape). */
+  /** Local session sized to `cpus` threads (the harness shape).
+    *
+    * `SPARK_GRAFT_RELIABLE_CKPT_DIR=<dir>` switches the session into the
+    * durable-checkpoint mode (`spark.graft.reliableCheckpoint=true` +
+    * `setCheckpointDir`) so every harness main — Verify, Bench, Soak —
+    * can run the preemptible-cluster configuration unmodified; the
+    * measured cost delta of that mode lives in SCALE_r14.json.
+    */
   def local(cpus: Int): SparkSession = {
     val spark = builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_RELIABLE_CKPT_DIR").foreach { dir =>
+      spark.conf.set("spark.graft.reliableCheckpoint", "true")
+      spark.sparkContext.setCheckpointDir(dir)
+    }
     graft.functions.VectorExpressions.register(spark)
     spark
   }
