@@ -35,6 +35,11 @@ ap.add_argument("soak_a")
 ap.add_argument("soak_b")
 ap.add_argument("out")
 ap.add_argument("--variant", help="disjoint-vocab soak dump (sf1v)")
+ap.add_argument("--reliable",
+                help="soak dump over the SAME fixture as soak_b but run "
+                     "with SPARK_GRAFT_RELIABLE_CKPT_DIR set (durable "
+                     "checkpoint mode); emits a 'reliable' section with "
+                     "per-query ratio vs the default mode")
 ap.add_argument("--growth", type=float, default=10.0,
                 help="data-growth factor between the two dumps")
 ARGS = ap.parse_args()
@@ -90,6 +95,33 @@ for name, xa in a["samples"].items():
         rows[name]["superlinear_v"] = rows[name]["ratio_best_v"] > GROWTH
     if rows[name]["superlinear"] and name in CAUSES:
         rows[name]["cause"] = CAUSES[name]
+# durable-checkpoint mode: same fixture as soak_b, flag on — the cost
+# of spark.graft.reliableCheckpoint=true (checkpoint() write+read per
+# Scratch.stage barrier instead of executor-local blocks). min-vs-min,
+# same-box same-fixture, so the ratio IS the mode's price per query;
+# queries with no Scratch.stage in their plan should sit at ~1.0.
+reliable = None
+if ARGS.reliable:
+    r = json.load(open(ARGS.reliable))
+    rq = {}
+    for name, xr in r["samples"].items():
+        xb = b["samples"].get(name)
+        if xb is None or -1.0 in xr or -1.0 in xb:
+            rq[name] = {"err": "missing or failed"}
+            continue
+        rq[name] = {
+            "default_s": [round(x, 2) for x in xb],
+            "reliable_s": [round(x, 2) for x in xr],
+            "ratio_reliable": round(min(xr) / min(xb), 2),
+        }
+    ok = [q["ratio_reliable"] for q in rq.values() if "ratio_reliable" in q]
+    reliable = {
+        "load_1m": r.get("load_1m"),
+        "median_ratio": round(sorted(ok)[len(ok) // 2], 2) if ok else None,
+        "max_ratio": max(ok) if ok else None,
+        "queries": rq,
+    }
+
 out = {
     "growth": GROWTH,
     "load_1m_sf01": a.get("load_1m"),
@@ -101,6 +133,8 @@ out = {
         and not (r.get("superlinear_v") is False)),
     "queries": rows,
 }
+if reliable is not None:
+    out["reliable"] = reliable
 json.dump(out, open(ARGS.out, "w"), indent=1)
 print(f"wrote {ARGS.out}: {out['n_superlinear']} superlinear "
       f"({out['n_superlinear_unexplained']} unexplained) of {len(rows)}")
