@@ -24,30 +24,35 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt)
-    // Untimed warmup at the smallest scale factor: pays the one-off JVM /
-    // codegen / parquet-footer costs so per-query timings measure the
-    // queries, not class loading.
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count()
-      catch { case _: Throwable => () }
-      graft.operators.Scratch.releaseAll(spark)
-    }
     // ANN index builds (q106-q108) run FIRST in each pass, right after
     // the memo invalidation: they are timed as their own entries (the
     // amortized build cost), and by populating the memos they make the
     // probe queries (q29/q46/q101) measure PROBE latency against a warm
     // index — the figure that matters at scale — instead of conflating
     // build + probe as one number.
-    // Dev-loop filter: comma-separated substrings of query names to skip
-    // (A/B isolation of one query's residue). Unset for driver runs.
+    // Dev-loop filters: comma-separated substrings of query names to skip
+    // (A/B isolation of one query's residue) or to keep exclusively
+    // (targeted timing of one family). Unset for driver runs.
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val names = {
       val all = SparkEntry.queries.keys.toSeq
         .filterNot(n => skip.exists(n.contains))
+        .filter(n => only.isEmpty || only.exists(n.contains))
       val (builds, rest) = all.partition(_.contains("index_build"))
       builds.sorted ++ rest
+    }
+    // Untimed warmup at the smallest scale factor: pays the one-off JVM /
+    // codegen / parquet-footer costs so per-query timings measure the
+    // queries, not class loading. Warms only the selected names so a
+    // filtered dev loop doesn't pay the full 318-query warmup.
+    val warmDir = "/root/testdata/sf0.001"
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+      graft.operators.Scratch.releaseAll(spark)
     }
     // Self-identification: the emitted JSON names the active skip list
     // and each pass's wall-clock start, so a filtered run or one whose
@@ -111,7 +116,8 @@ object Bench {
       name -> (if (xs.contains(-1.0)) -1.0 else xs.min)
     }
     val totalMin = minResults.map(_._2).filter(_ >= 0).sum
-    val skipJson = skip.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skipJson = (skip ++ only.map("only:" + _))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val passJson = passStarts.mkString("[", ",", "]")
     val loadJson = passLoads.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"value_min":$totalMin,"builds_total":$buildsTotal,"unit":"sec","queries":$qs,"sf":"$sfDir","skip":$skipJson,"pass_started_epoch_s":$passJson,"pass_load_1m":$loadJson}"""

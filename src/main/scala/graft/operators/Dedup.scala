@@ -534,10 +534,71 @@ object Dedup {
     // localCheckpoint (not cache) after every round: iterative plans grow
     // exponentially in lineage otherwise — planning itself OOMs past a
     // handful of iterations. Checkpointing truncates the logical plan.
-    val edges = Scratch.register(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .distinct().transform(Scratch.stage))
+    // Two-level CC: contract each PARTITION's subgraph to min-rooted
+    // stars with a local union-find before the distributed loop. Every
+    // original pair lives in exactly one partition, so (a,b) in p gives
+    // root_p(a)=root_p(b)=r and star edges a–r, b–r — components are
+    // preserved exactly — while the loop's effective diameter drops from
+    // the longest NODE chain to roughly the number of partitions the
+    // chain crosses (O(log(#partitions)) rounds instead of O(log(chain))
+    // — measured 11 -> ~3 rounds on the threshold-0.3 embedding pair
+    // graph). The contraction runs on the RAW pair frame (union-find is
+    // direction- and duplicate-insensitive), so the loop's edge frame is
+    // node-sized stars instead of the 2x|pairs| undirected closure — on
+    // near-clique graphs (the minhash families) that also shrinks the
+    // per-round joins from k^2 clique edges to k star edges. Memory is
+    // bounded by nodes-per-partition, which maxPartitionBytes bounds at
+    // any corpus size; roots are local MIN ids, so the loop still
+    // converges to the global component min. Non-integral id types skip
+    // contraction (nothing ships one today) and take the closure path;
+    // integral labels are cast back to the source id type on emit.
+    val idType = pairs.schema(pairs.schema.fieldIndex("doc_a")).dataType
+    val integral = idType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val edges = if (!integral) {
+      Scratch.register(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .distinct().transform(Scratch.stage))
+    } else {
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      val stars = pairs
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) { // min id becomes the root
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            } else { parent.getOrElseUpdate(ra, ra); () }
+          }
+          // keys snapshotted first: find() path-compresses (value
+          // writes) while we emit. Self-edges (local roots) stay in —
+          // they keep self-paired singletons in the output node set
+          // exactly like the uncontracted edge frame did.
+          parent.keysIterator.toArray.iterator.map(n => (n, find(n)))
+        }
+        .toDF("src", "dst")
+      Scratch.register(
+        stars.union(stars.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+          .select(col("src").cast(idType), col("dst").cast(idType))
+          .transform(Scratch.stage))
+    }
     // Seed label = min(id, min direct neighbor): one aggregation that is
     // exactly the first propagation round for free. For the typical shape
     // (near-dup clusters are near-cliques) every member sees the cluster
@@ -567,27 +628,32 @@ object Dedup {
           col("id") === col("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .transform(Scratch.stage) // the jump self-joins this frame — don't recompute it
+      // Pointer jumping: label(x) <- min(label(x), label(label(x))).
+      // Labels are node ids, so the jump is a self-join; it halves the
+      // distance-to-root each round, making adversarial near-dup CHAINS
+      // (worst case of a viral template) converge in O(log d) rounds.
+      // The jump is COMPOSED onto the unstaged propagated frame so each
+      // round materializes once and sums once (2 eager jobs/round, not
+      // 4): the self-join's two references share identical exchanges,
+      // which ReusedExchange dedups inside the single staged job, and
+      // `labels` is a checkpoint barrier so the copied subtree stays
+      // shallow. Composing a SECOND jump doubles the subtree fan-out
+      // past what exchange reuse pays for (measured pathological) —
+      // one jump per round is the sweet spot.
+      val updated = propagated.as("a")
+        .join(propagated.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("a.label") === col("jid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"))
+        .transform(Scratch.stage)
         .transform(Scratch.register)
-      val propSum = labelSum(propagated)
-      if (propSum.compareTo(prevSum) == 0) {
-        converged = true // propagation fixed point — the jump cannot move it
-        labels = propagated
-      } else {
-        // Pointer jumping: label(x) <- min(label(x), label(label(x))).
-        // Labels are node ids, so the jump is a self-join; it halves the
-        // distance-to-root each round, making adversarial near-dup CHAINS
-        // (worst case of a viral template) converge in O(log d) rounds.
-        val updated = propagated.as("a")
-          .join(propagated.select(col("id").as("jid"), col("label").as("jlabel")),
-            col("a.label") === col("jid"), "left")
-          .select(col("a.id").as("id"),
-            least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"))
-          .transform(Scratch.stage)
-          .transform(Scratch.register)
-        prevSum = labelSum(updated)
-        labels = updated
-      }
+      // Labels only decrease, so an unchanged sum across a combined
+      // propagate+jump round means neither step moved — a propagation
+      // fixed point (the jump cannot move what propagation didn't).
+      val newSum = labelSum(updated)
+      if (newSum.compareTo(prevSum) == 0) converged = true
+      prevSum = newSum
+      labels = updated
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -325,6 +325,24 @@ class DedupTextSpec extends SparkFunSuite {
     assert(c.toSeq == Seq(0L))
   }
 
+  test("clusters: partition-spanning chain contracts and converges; " +
+    "self-pair singleton survives") {
+    import graft.SparkTestBase.spark.implicits._
+    // 300-node chain scattered over 8 partitions by hash — every local
+    // union-find sees a random SUBSET of the chain's edges, so the star
+    // graph must stitch the fragments back across partitions. Plus one
+    // self-paired node (42042), which must stay in the node set as its
+    // own singleton cluster (the contraction must not drop self-edges).
+    val n = 300L
+    val pairs = ((0L until n - 1).map(i => (i, i + 1)) :+ (42042L, 42042L))
+      .toDF("doc_a", "doc_b").repartition(8)
+    val c = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(c.length == n.toInt + 1, s"node set must be preserved: ${c.length}")
+    val byLabel = c.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel == Map(0L -> n.toInt, 42042L -> 1))
+  }
+
   test("langId recognizes marker-heavy texts and CJK; und on no evidence") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
