@@ -10,7 +10,8 @@ import org.apache.spark.sql.types._
   * batch-only, SURVEY §2.9 — provided as [EXT] engine surface).
   *
   * The batch parquet drives the stream synchronously (memory sink +
-  * processAllAvailable), so results are deterministic and oracle-checkable
+  * Trigger.AvailableNow, awaited to self-termination), so results are
+  * deterministic and oracle-checkable
   * against the equivalent batch SQL. At scale the same plans run against a
   * real source (Kafka/files) with the watermark bounding state: the
   * tumbling-window agg keeps one row per (window, type) per trigger, and
@@ -81,11 +82,20 @@ object EventsStream {
       math.min(prev.toInt, target.toInt).toString)
     val ckpt = scratchCheckpoint(spark, name)
     try {
+      // AvailableNow, not default-trigger + processAllAvailable + stop:
+      // the end offsets are computed once at start, the engine runs
+      // exactly the needed micro-batches (including the no-data batch
+      // that advances the watermark and flushes append-finalized state —
+      // the reason AvailableNow replaced Trigger.Once upstream) and then
+      // terminates itself — no trigger-poll idle cycles and no
+      // stop-handshake against a live trigger thread. Semantics per
+      // batch are identical; StreamSemanticsSpec pins the absolute
+      // counts either way.
       val writer = df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       ckpt.foreach(writer.option("checkpointLocation", _))
       val q = writer.start()
-      q.processAllAvailable()
-      q.stop()
+      q.awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       ckpt.foreach(resetSink(spark, _))
@@ -347,10 +357,10 @@ object EventsStream {
           .write.mode("append").parquet(sink)
         ()
       }
+    writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     ckpt.foreach(writer.option("checkpointLocation", _))
     val q = writer.start()
-    q.processAllAvailable()
-    q.stop()
+    q.awaitTermination() // AvailableNow self-terminates — see runToMemory
     ckpt.foreach(resetSink(spark, _))
     val out = if (!sinkExists(spark, sink))
       Similarity.ivfKnnJoin(corpus, corpus.limit(0), k = 3,
@@ -410,10 +420,10 @@ object EventsStream {
         gate(batch).write.mode("append").parquet(sink)
         ()
       }
+    writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     ckpt.foreach(writer.option("checkpointLocation", _))
     val q = writer.start()
-    q.processAllAvailable()
-    q.stop()
+    q.awaitTermination() // AvailableNow self-terminates — see runToMemory
     ckpt.foreach(resetSink(spark, _))
     val out = if (!sinkExists(spark, sink)) gate(docs.filter(lit(false)))
     else spark.read.parquet(sink)
