@@ -519,16 +519,20 @@ object Dedup {
 
   /** Connected components over an undirected near-dup pair graph:
     * (doc_id, cluster_id) with cluster_id = min doc_id reachable.
-    * Label propagation with pointer jumping: each round takes the min
-    * label over graph neighbors (one join + min-aggregate) and then
-    * shortcuts label(x) <- min(label(x), label(label(x))) — labels are
-    * always node ids, so the jump is a self-join. Propagation alone
-    * needs diameter rounds; with the jump the distance-to-root halves
-    * each round, so adversarial near-dup CHAINS (the worst case a viral
-    * template produces) converge in O(log d) rounds — that, not the
-    * typical tiny cluster, is what matters on a 100 TB corpus.
-    * `maxIters` stays as a hard bound. The driver loop only
-    * orchestrates; all data movement is joins.
+    * Two-level: a per-partition union-find first contracts each
+    * partition's subgraph to min-rooted stars (one narrow pass, memory
+    * bounded by nodes-per-partition), then label propagation with
+    * pointer jumping runs on the node-sized star graph — each round
+    * takes the min label over star neighbors (one join + min-aggregate)
+    * composed with the shortcut label(x) <- min(label(x),
+    * label(label(x))); labels are always node ids, so the jump is a
+    * self-join. Propagation alone needs diameter rounds; contraction +
+    * jumping make adversarial near-dup CHAINS (the worst case a viral
+    * template produces) converge in O(log #partitions-crossed) rounds —
+    * that, not the typical tiny cluster, is what matters on a 100 TB
+    * corpus. `maxIters` stays as a hard bound. The driver loop only
+    * orchestrates; all data movement is one mapPartitions pass plus
+    * joins.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // localCheckpoint (not cache) after every round: iterative plans grow

@@ -53,8 +53,10 @@ class DriverHotspotLintSpec extends AnyFunSuite {
       "graft/operators/Relational.scala" -> 1,
       // k-means centroids (k x dim), 1-row query-vector fetches, plus
       // q306 PQ: one query-row fetch + per-subspace codebook collection
-      // (codeK x dsub each — model state)
-      "graft/operators/Similarity.scala" -> 7,
+      // (codeK x dsub each — model state), plus q309's eval-suite fetch
+      // (bounded benchmark set by contract, require-guarded <= 1e6,
+      // broadcast to the decontam max-dot kernel)
+      "graft/operators/Similarity.scala" -> 8,
       // 1-row aggregate: the q109 watermark cutoff
       "graft/streaming/EventsStream.scala" -> 1))
   }
