@@ -553,9 +553,11 @@ object Dedup {
     // per-round joins from k^2 clique edges to k star edges. Memory is
     // bounded by nodes-per-partition, which maxPartitionBytes bounds at
     // any corpus size; roots are local MIN ids, so the loop still
-    // converges to the global component min. Non-integral id types skip
-    // contraction (nothing ships one today) and take the closure path;
-    // integral labels are cast back to the source id type on emit.
+    // converges to the global component min. Integral labels are cast
+    // back to the source id type on emit. Non-integral ids are rejected
+    // up front: the loop's sum-based convergence detector needs numeric
+    // labels (a string id would null the decimal cast and NPE deep in
+    // the loop — map such ids to longs, e.g. xxhash64, before calling).
     val idType = pairs.schema(pairs.schema.fieldIndex("doc_a")).dataType
     val integral = idType match {
       case _: org.apache.spark.sql.types.ByteType |
@@ -564,12 +566,10 @@ object Dedup {
            _: org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    val edges = if (!integral) {
-      Scratch.register(
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .distinct().transform(Scratch.stage))
-    } else {
+    require(integral,
+      s"clusters needs an integral id column, got ${idType.sql}: map ids " +
+        "to longs (e.g. xxhash64) before clustering")
+    val edges = {
       val sp = pairs.sparkSession
       import sp.implicits._
       val stars = pairs

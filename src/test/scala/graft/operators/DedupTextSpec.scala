@@ -343,6 +343,15 @@ class DedupTextSpec extends SparkFunSuite {
     assert(byLabel == Map(0L -> n.toInt, 42042L -> 1))
   }
 
+  test("clusters rejects non-integral id columns with a named error") {
+    import graft.SparkTestBase.spark.implicits._
+    // the loop's sum-based convergence detector needs numeric labels; a
+    // string id used to NPE deep inside the loop instead
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException](Dedup.clusters(pairs))
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("langId recognizes marker-heavy texts and CJK; und on no evidence") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
