@@ -53,6 +53,7 @@ CAUSES = {
         "shingle space saturates; see module docstring) -- wall growth "
         "far below 99x means the operator is sublinear in its true "
         "workload; disjoint-vocab variant ratio is the linear read"),
+    "q136_jaccard_pairs": "same postings frame as q137 (shared memo)",
     "q139_dup_degree": "same postings frame as q137 (shared memo)",
     "q191_jaccard_sweep": "same postings frame as q137 (shared memo)",
     "q292_tfidf_cosine_pairs": (
