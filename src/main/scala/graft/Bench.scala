@@ -77,6 +77,7 @@ object Bench {
       // later consumers still measure the intended shared-frame shape.
       graft.operators.Dedup.invalidateSharedPairs(spark)
       graft.operators.Similarity.invalidateIndexes(spark)
+      graft.operators.Corpus.invalidateSharedCounts(spark)
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()

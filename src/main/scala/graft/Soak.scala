@@ -51,6 +51,7 @@ object Soak {
       loads += GraftSession.loadAvg1m()
       graft.operators.Dedup.invalidateSharedPairs(spark)
       graft.operators.Similarity.invalidateIndexes(spark)
+      graft.operators.Corpus.invalidateSharedCounts(spark)
       names.map { name =>
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }

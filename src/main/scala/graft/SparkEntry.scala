@@ -738,11 +738,13 @@ object SparkEntry {
       // the API (determinism gated by IvfSpec) but off the parity surface
       Multimodal.resizeAndSample(eng(s, d).table("documents")).drop("checksum")),
     "q48_quality_filter" -> ((s, d) =>
-      Corpus.qualityFilter(eng(s, d).table("documents"))),
+      Corpus.qualityFilter(eng(s, d).table("documents"),
+        datasetKey = Some(d))),
     "q49_train_split" -> ((s, d) =>
       Corpus.trainSplitStats(eng(s, d).table("documents"))),
     "q50_tfidf" -> ((s, d) =>
-      Corpus.tfidfTopTerms(eng(s, d).table("documents"))),
+      Corpus.tfidfTopTerms(eng(s, d).table("documents"),
+        datasetKey = Some(d))),
     "q51_asof_join" -> AsOf.clickLastPurchase _,
     "q52_pivot" -> Relational.returnFlagPivot _,
     "q53_range_join" -> ((s, d) => RangeJoin.nearbyEventCounts(s, d)),
@@ -752,7 +754,8 @@ object SparkEntry {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
     "q56_curation" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
-      Corpus.curate(docs, Dedup.minhashPairsShared(docs, d))
+      Corpus.curate(docs, Dedup.minhashPairsShared(docs, d),
+        datasetKey = Some(d))
     }),
     // Gopher-style duplicate n-gram fractions: shingles() is distinct, so
     // dup ratio = 1 - distinct/(n_tokens - n + 1); single-pass per row
@@ -811,7 +814,8 @@ object SparkEntry {
     // has no false negatives and the semi join removes false positives.
     "q65_bloom_join" -> ((s, d) => RuntimeFilter.bloomNationLineitems(s, d)),
     "q66_inverted_index" -> ((s, d) =>
-      Corpus.invertedIndex(eng(s, d).table("documents"))),
+      Corpus.invertedIndex(eng(s, d).table("documents"),
+        datasetKey = Some(d))),
     "q67_chars_histogram" -> ((s, d) => Relational.charsHistogram(s, d)),
     "q68_daily_deltas" -> ((s, d) => Relational.dailyDeltas(s, d)),
     "q69_latest_snapshot" -> Relational.latestSnapshot _,
@@ -840,7 +844,8 @@ object SparkEntry {
     // publishes alongside its shards
     "q80_datacard" -> ((s, d) => {
       val docs = eng(s, d).table("documents")
-      val kept = Corpus.curate(docs, Dedup.minhashPairsShared(docs, d))
+      val kept = Corpus.curate(docs, Dedup.minhashPairsShared(docs, d),
+        datasetKey = Some(d))
         .select(col("doc_id"), lit(1).as("kept"))
       docs.join(kept, Seq("doc_id"), "left")
         .groupBy(col("source"), col("lang"))
@@ -928,7 +933,8 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"))
     }),
     "q94_unigram_surprisal" -> ((s, d) =>
-      Corpus.unigramSurprisal(eng(s, d).table("documents"))),
+      Corpus.unigramSurprisal(eng(s, d).table("documents"),
+        datasetKey = Some(d))),
     // Two-phase (salted) aggregation parity: result must equal the plain
     // groupBy — the oracle IS the unsalted SQL aggregate, proving the
     // hot-key path's semantics on the data path. Aggregates chosen
@@ -956,17 +962,19 @@ object SparkEntry {
     }),
     "q98_event_transitions" -> EventAnalytics.eventTransitions _,
     "q99_bigram_surprisal" -> ((s, d) =>
-      Corpus.bigramSurprisal(eng(s, d).table("documents"))),
+      Corpus.bigramSurprisal(eng(s, d).table("documents"),
+        datasetKey = Some(d))),
     // CCNet-style head/middle/tail terciles over the corpus's own
     // unigram+bigram LM score — the quality-stratification cut mixture
     // recipes consume; global rank via the distributed Ranks machinery
     "q141_perplexity_buckets" -> ((s, d) =>
-      Corpus.perplexityBuckets(eng(s, d).table("documents"))),
+      Corpus.perplexityBuckets(eng(s, d).table("documents"),
+        datasetKey = Some(d))),
     // PMI collocations: adjacent pairs co-occurring beyond what unigram
     // frequencies predict, hapax-floored — the MWE/stop-phrase miner
     "q147_collocations" -> ((s, d) =>
       Corpus.collocations(eng(s, d).table("documents"),
-        minCount = 5, topK = 20)),
+        minCount = 5, topK = 20, datasetKey = Some(d))),
     // point-in-time enrichment: purchases joined to the SCD2 state
     // valid AT event time via the single-shuffle as-of — the
     // leak-free historical feature join
@@ -978,7 +986,8 @@ object SparkEntry {
     // vocabulary coverage curve: corpus token mass covered by the top-k
     // types at k in {10,20,50,100} — the vocab-budget knee finder
     "q149_vocab_coverage" -> ((s, d) =>
-      Corpus.vocabCoverage(eng(s, d).table("documents"))),
+      Corpus.vocabCoverage(eng(s, d).table("documents"),
+        datasetKey = Some(d))),
     // langid eval: labeled lang vs q24's predicted lang, the confusion
     // matrix of the heuristic classifier
     "q150_langid_confusion" -> ((s, d) => eng(s, d).table("documents")
@@ -1211,7 +1220,8 @@ object SparkEntry {
     // Zipf/token-distribution fingerprint: log-log frequency-rank slope
     // plus top-10 mass — the cross-ingest drift metric
     "q124_zipf_report" -> ((s, d) =>
-      Corpus.zipfReport(eng(s, d).table("documents"))),
+      Corpus.zipfReport(eng(s, d).table("documents"),
+        datasetKey = Some(d))),
     // Best-of-per-group curation pick: top-5 quality docs per language
     // (merit-ordered complement of q55's hash-random cap)
     "q125_top_quality" -> ((s, d) =>

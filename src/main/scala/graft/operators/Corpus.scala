@@ -42,6 +42,57 @@ object Corpus {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Session-memoized full-corpus counts frames — the token-level analog
+    * of the [[Dedup]] pair memo: eight registered queries aggregate the
+    * exploded (doc_id, tok, cnt) relation and three the bigram form,
+    * each over the same documents table, so with a `datasetKey` the
+    * tokenize+explode+count shuffle is paid once per session instead of
+    * once per consumer (8 corpus scans → 1 at any corpus size — at the
+    * 100 TB point that is the difference between reading the text eight
+    * times and once). Keyed by (session, kind, datasetKey); an entry
+    * lives until [[invalidateSharedCounts]] — a caller rewriting the
+    * dataset mid-session must invalidate, the pair-memo contract.
+    * Without a key the frame is built per call, exactly as before.
+    */
+  private val countsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String), DataFrame]
+
+  private def sharedCounts(docs: DataFrame, kind: String,
+      datasetKey: Option[String])(build: DataFrame => DataFrame): DataFrame =
+    datasetKey match {
+      case Some(k) => countsMemo.getOrElseUpdate(
+        (docs.sparkSession, kind, k),
+        build(Par.ensure(docs)).transform(Scratch.stage))
+      case None =>
+        Scratch.register(build(Par.ensure(docs)).transform(Scratch.stage))
+    }
+
+  /** [[tokenCounts]] through the session memo (keyed) or as per-call
+    * scratch (no key) — the multi-consumer entry point. */
+  def tokenCountsShared(docs: DataFrame,
+      datasetKey: Option[String] = None): DataFrame =
+    sharedCounts(docs, "tok", datasetKey)(tokenCounts)
+
+  /** [[bigramCounts]] through the session memo (keyed) or as per-call
+    * scratch (no key). */
+  def bigramCountsShared(docs: DataFrame,
+      datasetKey: Option[String] = None): DataFrame =
+    sharedCounts(docs, "bg", datasetKey)(bigramCounts)
+
+  /** Drop every memoized counts frame of `spark`, unpersisting the
+    * checkpoint blocks each holds — the [[Dedup.invalidateSharedPairs]]
+    * contract; benchmarks call it per pass so every pass pays the real
+    * build cost. */
+  def invalidateSharedCounts(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    countsMemo.keys.filter(_._1 eq spark).foreach { k =>
+      countsMemo.remove(k).foreach { df =>
+        df.queryExecution.logical.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
+      }
+    }
+
   /** Gopher-style per-document repetition metrics and a keep flag:
     *   - dup_ratio: 1 - distinct/total tokens (repeated-token mass);
     *   - top_ratio: most frequent token's share of the document;
@@ -55,11 +106,15 @@ object Corpus {
       docs: DataFrame,
       minTokens: Int = 20,
       maxDupRatio: Double = 0.6,
-      maxTopRatio: Double = 0.15): DataFrame = {
+      maxTopRatio: Double = 0.15,
+      datasetKey: Option[String] = None): DataFrame = {
     val total = col("n_tokens").cast("double")
     val dup = lit(1.0) - col("distinct_tokens").cast("double") / total
     val top = col("top_count").cast("double") / total
-    tokenCounts(docs)
+    // single consumer: un-keyed calls keep the streamlined one-pass plan
+    // (no materialization); keyed calls read the shared counts frame
+    datasetKey.map(_ => tokenCountsShared(docs, datasetKey))
+      .getOrElse(tokenCounts(docs))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).cast("int").as("n_tokens"),
         count(lit(1)).cast("int").as("distinct_tokens"),
@@ -197,8 +252,10 @@ object Corpus {
     */
   def curate(docs: DataFrame, pairs: DataFrame,
       minTokens: Int = 20, maxDupRatio: Double = 0.6,
-      maxTopRatio: Double = 0.15): DataFrame = {
-    val qualityKeep = qualityFilter(docs, minTokens, maxDupRatio, maxTopRatio)
+      maxTopRatio: Double = 0.15,
+      datasetKey: Option[String] = None): DataFrame = {
+    val qualityKeep =
+      qualityFilter(docs, minTokens, maxDupRatio, maxTopRatio, datasetKey)
       .filter(col("keep")).select(col("doc_id"))
     val dedupKeep = Dedup.keepList(docs, pairs)
     splitAssign(docs).select(col("doc_id"), col("lang"), col("split"))
@@ -392,9 +449,11 @@ object Corpus {
     * all postings. The window and the aggregate share the token hash
     * partitioning, so the cap costs no extra shuffle.
     */
-  def invertedIndex(docs: DataFrame, maxPostings: Int = 20): DataFrame = {
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 20,
+      datasetKey: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
-    tokenCounts(docs)
+    datasetKey.map(_ => tokenCountsShared(docs, datasetKey))
+      .getOrElse(tokenCounts(docs))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("tok").as("token"))
       .agg(count(lit(1)).as("df"),
@@ -422,21 +481,20 @@ object Corpus {
     * the 1-row corpus total is broadcast. Two aggregations + one join,
     * all over the exploded (doc_id, tok) relation.
     */
-  def unigramSurprisal(docs: DataFrame): DataFrame = {
+  def unigramSurprisal(docs: DataFrame,
+      datasetKey: Option[String] = None): DataFrame = {
     // Three consumers read the exploded counts frame (the LM aggregation,
     // the corpus total, and the probe side of the join) — without a
     // materialization each re-runs tokenize/explode over the whole corpus,
     // i.e. 3 corpus scans where 1 suffices. Same discipline as the
     // minhash shingle frame (Dedup.minhashPairs): localCheckpoint the
     // post-aggregation (doc_id, tok, cnt) frame — orders of magnitude
-    // smaller than the text it replaces re-scanning. Lifetime: per-call
-    // checkpoints (here and in bigramSurprisal/bm25/oovRate/tfidf) are
-    // SCRATCH — registered for deterministic release at the harness's
-    // next query boundary (Scratch.releaseAll) rather than waiting for
-    // the ContextCleaner to GC the plan references; only session memos
-    // (Dedup pairs, ANN indexes) outlive the query, via their own
-    // invalidate entry points.
-    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).transform(Scratch.stage))
+    // smaller than the text it replaces re-scanning. Lifetime: keyed
+    // calls ride the session counts memo (shared with every other
+    // full-corpus token consumer); un-keyed checkpoints are SCRATCH —
+    // registered for deterministic release at the harness's next query
+    // boundary (Scratch.releaseAll).
+    val tc = tokenCountsShared(docs, datasetKey)
     val unigram = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
     val total = tc.agg(sum(col("cnt")).cast("double").as("corpus_tokens"))
     tc.join(unigram, "tok")
@@ -478,11 +536,12 @@ object Corpus {
     * skew-free) and NOT broadcast; one shuffle join + two aggregations
     * over the exploded relation; only the 1-row total is broadcast.
     */
-  def bigramSurprisal(docs: DataFrame): DataFrame = {
+  def bigramSurprisal(docs: DataFrame,
+      datasetKey: Option[String] = None): DataFrame = {
     // Same 3-consumer shape as unigramSurprisal: materialize the exploded
     // (doc_id, bg, cnt) frame once instead of re-running the bigram
     // generate+explode three times over the corpus.
-    val bc = Scratch.register(bigramCounts(Par.ensure(docs)).transform(Scratch.stage))
+    val bc = bigramCountsShared(docs, datasetKey)
     val lm = bc.groupBy(col("bg")).agg(sum(col("cnt")).as("bf"))
     val total = bc.agg(sum(col("cnt")).cast("double").as("corpus_bigrams"))
     bc.join(lm, "bg")
@@ -524,10 +583,11 @@ object Corpus {
     * scores (hash-stable across engines, q94/q99-proven) with doc_id as
     * the tie-break, so the cut is deterministic everywhere.
     */
-  def perplexityBuckets(docs: DataFrame): DataFrame = {
-    val uni = unigramSurprisal(docs)
+  def perplexityBuckets(docs: DataFrame,
+      datasetKey: Option[String] = None): DataFrame = {
+    val uni = unigramSurprisal(docs, datasetKey)
       .select(col("doc_id"), col("avg_surprisal").as("__u"))
-    val bi = bigramSurprisal(docs)
+    val bi = bigramSurprisal(docs, datasetKey)
       .select(col("doc_id"), col("avg_surprisal").as("__b"))
     val scored = uni.join(bi, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -554,10 +614,11 @@ object Corpus {
     * (coverage 1.0 via the null-join coalesce).
     */
   def vocabCoverage(docs: DataFrame,
-      ks: Seq[Int] = Seq(10, 20, 50, 100)): DataFrame = {
+      ks: Seq[Int] = Seq(10, 20, 50, 100),
+      datasetKey: Option[String] = None): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), "vocabCoverage needs positive probes")
     import docs.sparkSession.implicits._
-    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).transform(Scratch.stage))
+    val tc = tokenCountsShared(docs, datasetKey)
     val tf = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("f"))
     val total = tc.agg(sum(col("cnt")).cast("double").as("tt"))
     val ranked = Ranks.globalRowNumber(
@@ -595,9 +656,9 @@ object Corpus {
     * after the count floor is vocabulary-sized, not corpus-sized.
     */
   def collocations(docs: DataFrame, minCount: Long = 5,
-      topK: Int = 20): DataFrame = {
-    val bc = Scratch.register(bigramCounts(Par.ensure(docs)).transform(Scratch.stage))
-    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).transform(Scratch.stage))
+      topK: Int = 20, datasetKey: Option[String] = None): DataFrame = {
+    val bc = bigramCountsShared(docs, datasetKey)
+    val tc = tokenCountsShared(docs, datasetKey)
     val bf = bc.groupBy(col("bg")).agg(sum(col("cnt")).as("n"))
     val totB = bc.agg(sum(col("cnt")).cast("double").as("tb"))
     val tf = tc.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
@@ -968,10 +1029,11 @@ object Corpus {
     * the unrounded score (identical FP op order on both engines), ties
     * broken by term; the surfaced score is rounded.
     */
-  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3,
+      datasetKey: Option[String] = None): DataFrame = {
     // Two consumers (the scored frame and its df side) — materialize the
     // exploded counts once, as in the surprisal family.
-    val tc = Scratch.register(tokenCounts(Par.ensure(docs)).transform(Scratch.stage))
+    val tc = tokenCountsShared(docs, datasetKey)
     val dfCounts = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val score = (col("cnt").cast("double") / col("total")) *
@@ -1084,8 +1146,10 @@ object Corpus {
     * single-partition window; the final regression is a 1-row aggregate
     * (`regr_slope`, sum-based and engine-portable inside round(4)).
     */
-  def zipfReport(docs: DataFrame): DataFrame = {
-    val tf = tokenCounts(Par.ensure(docs))
+  def zipfReport(docs: DataFrame,
+      datasetKey: Option[String] = None): DataFrame = {
+    val tf = datasetKey.map(_ => tokenCountsShared(docs, datasetKey))
+      .getOrElse(tokenCounts(Par.ensure(docs)))
       .groupBy(col("tok")).agg(sum(col("cnt")).as("f"))
     val ranked = Ranks.globalRowNumber(tf,
       Seq(col("f").desc, col("tok")), "rk")

