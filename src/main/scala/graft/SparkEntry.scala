@@ -445,7 +445,8 @@ object SparkEntry {
       Similarity.knnConfusion(eng(s, d).table("embeddings"))),
     // held-out bigram LM eval: train-split model scores the val split
     "q238_heldout_perplexity" -> ((s, d) =>
-      Corpus.heldoutPerplexity(eng(s, d).table("documents"))),
+      Corpus.heldoutPerplexity(eng(s, d).table("documents"),
+        datasetKey = Some(d))),
     // hash-sampling calibration at 10/25/50% against the full totals
     "q239_sampling_calibration" -> Relational.samplingCalibration _,
     // Heaps-law vocabulary growth over corpus deciles

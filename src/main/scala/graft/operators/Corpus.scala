@@ -1768,21 +1768,31 @@ object Corpus {
     * floating point. One gram-keyed shuffle for the LM, one for the
     * scoring join — text itself never reshuffles.
     */
-  def heldoutPerplexity(docs: DataFrame): DataFrame = {
-    val s = splitAssign(docs)
-    val train = s.filter(col("split") === "train")
-    val valD = s.filter(col("split") === "val")
-    val trainLm = bigramCounts(train).groupBy(col("bg"))
-      .agg(sum(col("cnt")).as("bf"))
+  def heldoutPerplexity(docs: DataFrame,
+      datasetKey: Option[String] = None): DataFrame = {
+    // Bigrams never cross document boundaries, so the per-doc counts of
+    // each split are exactly the full-corpus counts frame filtered by
+    // split membership — derive both sides from ONE (possibly shared)
+    // bigram counts frame instead of generating+exploding the text once
+    // per split (2 corpus scans → 0 when another token query already
+    // built the memo this session). The split flag joins on via the
+    // doc-grain (doc_id, split, lang) projection, never the text.
+    val s = splitAssign(docs).select(col("doc_id"), col("split"), col("lang"))
+    val bySplit = bigramCountsShared(docs, datasetKey)
+      .join(s, "doc_id")
+    val trainLm = bySplit.filter(col("split") === "train")
+      .groupBy(col("bg")).agg(sum(col("cnt")).as("bf"))
     val stats = trainLm.agg(sum(col("bf")).as("tot"),
       count(lit(1)).as("vsz"))
-    val valBg = bigramCounts(valD)
+    val valBg = bySplit.filter(col("split") === "val")
+      .select(col("doc_id"), col("bg"), col("cnt"))
     valBg.join(trainLm, Seq("bg"), "left")
       .crossJoin(broadcast(stats))
       .withColumn("bits", -col("cnt").cast("double") *
         log2((coalesce(col("bf"), lit(0L)) + 1).cast("double") /
           (col("tot") + col("vsz")).cast("double")))
-      .join(valD.select(col("doc_id"), col("lang")), "doc_id")
+      .join(s.filter(col("split") === "val")
+        .select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         sum(col("cnt")).as("n_bigrams"),
