@@ -186,8 +186,12 @@ object Dedup {
     */
   def verifyJaccard(cand: DataFrame, withSh: DataFrame, threshold: Double): DataFrame =
     cand
-      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      // Both join inputs grow with the corpus (pairs × shingle sets) —
+      // pinned to the shuffle regime, never broadcast (Par.shuffleJoin).
+      .join(Par.shuffleJoin(
+        withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), "doc_a")
+      .join(Par.shuffleJoin(
+        withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), "doc_b")
       // Threshold the UNROUNDED ratio (a pair with true jaccard in
       // [threshold - 5e-5, threshold) must not sneak in via round-up);
       // round only for the result surface. Oracles filter the same way.
@@ -272,16 +276,22 @@ object Dedup {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select(col("g"))
-    val keptPost = post.join(keptGrams, "g")
+    // Gram keep-list, postings self-join, and set-size lookups all join
+    // corpus-growing inputs (vocabulary / postings / per-doc sizes) —
+    // every one pinned to the shuffle regime (Par.shuffleJoin).
+    val keptPost = post.join(Par.shuffleJoin(keptGrams), "g")
     val inter = keptPost.select(col("g"), col("doc_id").as("doc_a"))
-      .join(keptPost.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+      .join(Par.shuffleJoin(
+        keptPost.select(col("g"), col("doc_id").as("doc_b"))), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("__i"))
     val sz = withSh.select(col("doc_id"), size(col("sh")).cast("long").as("__n"))
     inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("__n").as("__na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("__n").as("__nb")), "doc_b")
+      .join(Par.shuffleJoin(
+        sz.select(col("doc_id").as("doc_a"), col("__n").as("__na"))), "doc_a")
+      .join(Par.shuffleJoin(
+        sz.select(col("doc_id").as("doc_b"), col("__n").as("__nb"))), "doc_b")
   }
 
   /** Dedup threshold-tuning curve: candidate-pair and affected-document
@@ -442,11 +452,13 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val l = keyedSide(left, "probe_id", "sh_a",
       idx.shingleN, idx.numPerms, idx.nBands, scratch = true)
-    val cand = l.bands.join(idx.bands, Seq("band", "sig"))
+    // Bipartite band join and both verification lookups: every input
+    // grows with its corpus side — shuffle regime, never broadcast.
+    val cand = l.bands.join(Par.shuffleJoin(idx.bands), Seq("band", "sig"))
       .select(col("probe_id"), col("match_id")).distinct()
     cand
-      .join(l.sh, "probe_id")
-      .join(idx.sh, "match_id")
+      .join(Par.shuffleJoin(l.sh), "probe_id")
+      .join(Par.shuffleJoin(idx.sh), "match_id")
       // Unrounded threshold, rounded display — same as [[verifyJaccard]].
       .withColumn("__j",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -749,9 +761,14 @@ object Dedup {
       }: _*)).as("c"))
       .select(col("doc_id"), col("c.chunk").as("chunk"), col("c.sig").as("sig"))
     val cand = bucketPairs(exploded, Seq("chunk", "sig"), "doc_id", maxBucketSize)
+    // Candidate pairs × fingerprints: both sides corpus-grain — shuffle
+    // regime (q27 died at the 100x fixture when AQE broadcast the 1.4 GiB
+    // candidate frame off its compressed-shuffle underestimate).
     cand
-      .join(sigd.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
-      .join(sigd.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .join(Par.shuffleJoin(
+        sigd.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))), "doc_a")
+      .join(Par.shuffleJoin(
+        sigd.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))), "doc_b")
       .withColumn("hamming",
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxDist)

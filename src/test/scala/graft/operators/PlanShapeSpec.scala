@@ -26,6 +26,43 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(graft.operators.Par.ensure(narrow).rdd.getNumPartitions == target)
   }
 
+  test("pair-family verification joins stay in the shuffle regime") {
+    // Both sides of every candidate-verification join grow with the
+    // corpus (pairs x signatures/shingles/set-sizes). AQE's broadcast
+    // pick off the COMPRESSED shuffle size under-prices id/hash frames
+    // 20x+ -- q27 died at the 100x fixture collecting 1.4 GiB of task
+    // results into BroadcastExchange. Par.shuffleJoin pins these joins
+    // to sort-merge at every scale; this lint keeps them pinned.
+    // Direct un-keyed operator calls: the keyed (memoized) registrations
+    // eagerly stage the pair frame in a separate query execution, which
+    // would hide the verification joins from the registered query's
+    // executed plan — the build plans below contain every join.
+    import org.apache.spark.sql.functions.col
+    val docs = new graft.cube.Engine(spark, sf).table("documents")
+    def assertShuffleOnly(name: String,
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"$name must not broadcast a corpus-grain join side")
+      assert(plan.contains("ShuffledHashJoin") ||
+          plan.contains("SortMergeJoin"),
+        s"$name lost its verification joins — lint target drifted")
+      graft.operators.Scratch.releaseAll(spark)
+    }
+    assertShuffleOnly("jaccardPairs",
+      graft.operators.Dedup.jaccardPairs(docs))
+    assertShuffleOnly("minhashPairs",
+      graft.operators.Dedup.minhashPairs(docs))
+    assertShuffleOnly("simhashPairs",
+      graft.operators.Dedup.simhashPairs(docs))
+    assertShuffleOnly("minhashJoin",
+      graft.operators.Dedup.minhashJoin(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)))
+  }
+
   test("banded range join never falls back to a nested-loop join") {
     val plan = planOf("q53_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"))
