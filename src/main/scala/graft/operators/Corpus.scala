@@ -1082,12 +1082,12 @@ object Corpus {
       .unionAll(pairs.select(col("doc_b").as("doc_id"),
         col("doc_a").as("partner"), col("jaccard")))
     val splits = splitAssign(docs).select(col("doc_id"), col("split"))
-    // shuffle joins on doc ids: the pair frame is unbounded at corpus
-    // scale, so no broadcast hint on either pass (AQE may still pick one
-    // when the measured size is small)
-    val withOwn = splits.join(sym, "doc_id")
+    // shuffle joins on doc ids, PINNED (Par.shuffleJoin): both the split
+    // flags and the pair frame grow with the corpus, and AQE's "measured
+    // size" is the compressed map output — the q27 failure shape.
+    val withOwn = splits.join(Par.shuffleJoin(sym), "doc_id")
     splits.select(col("doc_id").as("partner"), col("split").as("partner_split"))
-      .join(withOwn, "partner")
+      .join(Par.shuffleJoin(withOwn), "partner")
       .filter(col("split") =!= "train" && col("partner_split") === "train")
       .groupBy(col("doc_id"), col("split"))
       .agg(count(lit(1)).cast("int").as("n_leaks"),
@@ -1264,7 +1264,9 @@ object Corpus {
     // one aggregation yields the cleaned text AND both counts; the struct
     // sort key is blk, restoring original span order regardless of
     // partitioning
-    val rebuilt = spans.join(counts, "span")
+    // span df lookup: both sides corpus-grain — shuffle regime, never
+    // broadcast (Par.shuffleJoin), same for the final doc_id stitch
+    val rebuilt = spans.join(Par.shuffleJoin(counts), "span")
       .groupBy(col("doc_id"))
       .agg(
         array_join(
@@ -1276,7 +1278,7 @@ object Corpus {
         count(col("blk")).as("n_spans"),
         count(when(col("__nd") > 1, lit(1))).as("n_dropped"))
     docs.select(col("doc_id"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .join(Par.shuffleJoin(rebuilt), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -1910,7 +1912,10 @@ object Corpus {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val kept = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val weighted = tc.join(kept, "tok")
+    // Keep-list, postings self-join, and both norm lookups all join
+    // corpus-growing inputs — pinned to the shuffle regime
+    // (Par.shuffleJoin; the 1-row nDocs crossJoin broadcast is fine).
+    val weighted = tc.join(Par.shuffleJoin(kept), "tok")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("tok"),
         (col("cnt").cast("double") *
@@ -1919,14 +1924,16 @@ object Corpus {
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     weighted.select(col("tok"), col("doc_id").as("doc_a"), col("w").as("wa"))
-      .join(weighted.select(col("tok"), col("doc_id").as("doc_b"),
-        col("w").as("wb")), Seq("tok"))
+      .join(Par.shuffleJoin(weighted.select(col("tok"),
+        col("doc_id").as("doc_b"), col("w").as("wb"))), Seq("tok"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("wa") * col("wb")).as("dot"))
-      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+      .join(Par.shuffleJoin(
+        norms.select(col("doc_id").as("doc_a"), col("nrm").as("na"))),
         "doc_a")
-      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+      .join(Par.shuffleJoin(
+        norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb"))),
         "doc_b")
       .withColumn("__c", round(col("dot") / (col("na") * col("nb")), 6))
       .filter(col("__c") >= threshold)

@@ -180,9 +180,13 @@ object Fuzzy {
     // seconds). Keying the repartition on the join column lets the
     // equi-joins reuse the exchange — no additional shuffle, just an
     // AQE-proof width.
+    // Par.shuffleJoin: AQE would otherwise BROADCAST the matched-pair
+    // frame off its compressed size (it grows with the name space — the
+    // q27 failure shape) and ignore the exchanges staged above.
     left.distinct().repartition(par, col(leftCol))
-      .join(namePairs, leftCol)
-      .join(right.distinct().repartition(par, col(rightCol)), rightCol)
+      .join(Par.shuffleJoin(namePairs), leftCol)
+      .join(Par.shuffleJoin(
+        right.distinct().repartition(par, col(rightCol))), rightCol)
       .select(left.columns.map(col) ++ right.columns.map(col)
         :+ col("dist"): _*)
   }

@@ -61,6 +61,10 @@ class PlanShapeSpec extends SparkFunSuite {
       graft.operators.Dedup.minhashJoin(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1)))
+    assertShuffleOnly("tfidfCosinePairs",
+      graft.operators.Corpus.tfidfCosinePairs(docs))
+    assertShuffleOnly("dedupSpans",
+      graft.operators.Corpus.dedupSpans(docs))
   }
 
   test("banded range join never falls back to a nested-loop join") {
