@@ -84,6 +84,32 @@ object Scratch {
     */
   def staged(df: DataFrame): DataFrame = register(stage(df))
 
+  /** [[stage]] for SESSION-MEMOIZED multi-consumer frames (the shared
+    * pair/postings/counts memos). Identical to [[stage]] in the default
+    * localCheckpoint mode (the blocks are already MEMORY_AND_DISK). In
+    * the reliable mode, `checkpoint()` leaves the frame backed by FILES
+    * only — every consumer of the memo then re-reads the whole frame
+    * from the checkpoint dir (measured: q139 1.36 s → 4.08 s, q191
+    * 1.28 s → 4.05 s at the 10× fixture, SCALE_r14.json `x10.reliable`),
+    * which defeats the point of memoizing. This variant additionally
+    * persists the checkpointed RDD MEMORY_AND_DISK so consumers read
+    * blocks while the durable files still back recovery: a lost block
+    * recomputes by re-reading its checkpoint file, never by re-running
+    * corpus lineage. The memo invalidation entry points unpersist these
+    * RDDs exactly as in the default mode, and the ContextCleaner
+    * reclaims the files when the RDDs are GC'd
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints`).
+    */
+  def stageShared(df: DataFrame): DataFrame = {
+    val ck = stage(df)
+    val reliable = df.sparkSession.conf
+      .get("spark.graft.reliableCheckpoint", "false").toBoolean
+    if (reliable) ck.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ck
+  }
+
   /** Register an already-[[stage]]d intermediate for release at
     * the next query boundary. Returns the frame, so call sites stay
     * one-liners: `Scratch.register(Scratch.stage(df))`.

@@ -282,7 +282,7 @@ object Similarity {
   def lshNearDupPairsShared(emb: DataFrame, datasetKey: String,
       threshold: Double = 0.3): DataFrame =
     embPairsMemo.getOrElseUpdate((emb.sparkSession, datasetKey, threshold),
-      lshNearDupPairs(emb, threshold).transform(Scratch.stage))
+      lshNearDupPairs(emb, threshold).transform(Scratch.stageShared))
 
   /** Root directory for index layouts: `spark.graft.indexDir` if set
     * (on a cluster, point it at the shared filesystem — HDFS/S3 — so

@@ -66,9 +66,13 @@ class ScratchSpec extends SparkFunSuite {
     val docs = Seq((1L, "a b a c"), (2L, "b b c d"), (3L, "e"))
       .toDF("doc_id", "text")
     val key = s"countsspec_${System.nanoTime()}"
-    val plain = Corpus.unigramSurprisal(docs).collect().toSeq
+    // collect() row order is plan-dependent (AQE coalesce can reorder
+    // partitions between the keyed and un-keyed plans) — compare sorted
+    def sorted(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(_.toString).sorted.toSeq
+    val plain = sorted(Corpus.unigramSurprisal(docs).collect())
     Scratch.releaseAll(s2)
-    val keyed = Corpus.unigramSurprisal(docs, Some(key)).collect().toSeq
+    val keyed = sorted(Corpus.unigramSurprisal(docs, Some(key)).collect())
     assert(keyed == plain, "memoized counts must not change results")
     // the memo survives the scratch drain and keeps serving consumers
     Scratch.releaseAll(s2)
@@ -76,12 +80,32 @@ class ScratchSpec extends SparkFunSuite {
       datasetKey = Some(key)).count() >= 1)
     assert(Corpus.zipfReport(docs, Some(key)).count() == 1)
     // bigram memo: keyed equals un-keyed for the second-order family too
-    val biPlain = Corpus.bigramSurprisal(docs).collect().toSeq
+    val biPlain = sorted(Corpus.bigramSurprisal(docs).collect())
     Scratch.releaseAll(s2)
-    assert(Corpus.bigramSurprisal(docs, Some(key)).collect().toSeq == biPlain)
+    assert(sorted(Corpus.bigramSurprisal(docs, Some(key)).collect()) == biPlain)
     Corpus.invalidateSharedCounts(s2)
     // after invalidation a fresh build still answers correctly
-    assert(Corpus.unigramSurprisal(docs, Some(key)).collect().toSeq == plain)
+    assert(sorted(Corpus.unigramSurprisal(docs, Some(key)).collect()) == plain)
+    Corpus.invalidateSharedCounts(s2)
+  }
+
+  test("shared counts memo rejects a different docs frame under the same key") {
+    // the memo key is trusted and the docs frame otherwise ignored on a
+    // hit — a filtered/derived frame reusing a key would silently read
+    // another frame's counts; the semanticHash guard fails fast instead
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "c d")).toDF("doc_id", "text")
+    val key = s"guardspec_${System.nanoTime()}"
+    Corpus.unigramSurprisal(docs, Some(key)).collect()
+    val filtered = docs.filter($"doc_id" === 1L)
+    val e = intercept[IllegalArgumentException] {
+      Corpus.unigramSurprisal(filtered, Some(key)).collect()
+    }
+    assert(e.getMessage.contains("datasetKey"))
+    // the same frame re-built identically still hits the memo
+    val again = Seq((1L, "a b a"), (2L, "c d")).toDF("doc_id", "text")
+    assert(Corpus.unigramSurprisal(again, Some(key)).count() > 0)
     Corpus.invalidateSharedCounts(s2)
   }
 
