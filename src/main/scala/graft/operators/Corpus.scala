@@ -53,16 +53,41 @@ object Corpus {
     * lives until [[invalidateSharedCounts]] — a caller rewriting the
     * dataset mid-session must invalidate, the pair-memo contract.
     * Without a key the frame is built per call, exactly as before.
+    *
+    * The key is TRUSTED and the docs frame is otherwise ignored on a
+    * hit, so `datasetKey` must uniquely identify the EXACT docs frame —
+    * a filtered/derived frame must pass `None` (per-call plan) or its
+    * own distinct key. Unlike the Dedup/Similarity memos, datasetKey
+    * here is a defaulted parameter on many public operators
+    * (qualityFilter, invertedIndex, zipfReport, …), so misuse is
+    * guarded: each entry records the semanticHash of the analyzed docs
+    * plan it was built from, and a keyed call whose docs frame does not
+    * semantically match the memoized entry's fails fast instead of
+    * silently returning another frame's counts.
     */
   private val countsMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, String), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, String, String),
+      (Int, DataFrame)]
 
   private def sharedCounts(docs: DataFrame, kind: String,
       datasetKey: Option[String])(build: DataFrame => DataFrame): DataFrame =
     datasetKey match {
-      case Some(k) => countsMemo.getOrElseUpdate(
-        (docs.sparkSession, kind, k),
-        build(Par.ensure(docs)).transform(Scratch.stage))
+      case Some(k) =>
+        // semanticHash is plan-analysis only (no job): same source +
+        // same transformations hash equal, a different or filtered
+        // frame reusing the key is caught at the call site.
+        val docsHash = docs.queryExecution.analyzed.semanticHash()
+        val (memoHash, frame) = countsMemo.getOrElseUpdate(
+          (docs.sparkSession, kind, k),
+          (docsHash,
+            build(Par.ensure(docs)).transform(Scratch.stageShared)))
+        require(memoHash == docsHash,
+          s"shared counts memo for datasetKey='$k' (kind=$kind) was built " +
+            "from a semantically different docs frame — a datasetKey must " +
+            "uniquely identify the exact docs frame; pass None (or a " +
+            "distinct key) for filtered/derived frames, or " +
+            "invalidateSharedCounts first if the dataset was rewritten")
+        frame
       case None =>
         Scratch.register(build(Par.ensure(docs)).transform(Scratch.stage))
     }
@@ -86,7 +111,7 @@ object Corpus {
   def invalidateSharedCounts(
       spark: org.apache.spark.sql.SparkSession): Unit =
     countsMemo.keys.filter(_._1 eq spark).foreach { k =>
-      countsMemo.remove(k).foreach { df =>
+      countsMemo.remove(k).foreach { case (_, df) =>
         df.queryExecution.logical.collect {
           case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
         }.foreach(_.unpersist(blocking = false))
@@ -1779,6 +1804,14 @@ object Corpus {
     // per split (2 corpus scans → 0 when another token query already
     // built the memo this session). The split flag joins on via the
     // doc-grain (doc_id, split, lang) projection, never the text.
+    // INTENTIONAL divergence from the "un-keyed calls keep their old
+    // per-call plans" convention (qualityFilter/zipfReport): the old
+    // un-keyed path tokenized the corpus TWICE (once per split, ~90% of
+    // rows total); the shared-frame path tokenizes once (100% of rows,
+    // including the unused test split) — scan+explode dominates the
+    // extra split's aggregation mass, so one full pass beats two
+    // near-full passes even without a memo hit. Un-keyed, the frame is
+    // per-call scratch (registered, drained at the query boundary).
     val s = splitAssign(docs).select(col("doc_id"), col("split"), col("lang"))
     val bySplit = bigramCountsShared(docs, datasetKey)
       .join(s, "doc_id")
@@ -1923,10 +1956,19 @@ object Corpus {
           .as("w"))
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    // self-join + dot aggregate at the forecast-proportional width: at
+    // cores-wide partitioning the map-side partial agg over the pair
+    // expansion spilled hundreds of sort files and the merge OOM'd an
+    // 8 GiB executor (local-cluster soak, 10× fixture — the round-15
+    // catch); see Par.pairExpansionWidth.
+    val width = Par.pairExpansionWidth(tc, "tok", maxDf)
     weighted.select(col("tok"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .repartition(width, col("tok"))
       .join(Par.shuffleJoin(weighted.select(col("tok"),
-        col("doc_id").as("doc_b"), col("w").as("wb"))), Seq("tok"))
+        col("doc_id").as("doc_b"), col("w").as("wb"))
+        .repartition(width, col("tok"))), Seq("tok"))
       .filter(col("doc_a") < col("doc_b"))
+      .repartition(width, col("doc_a"), col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("wa") * col("wb")).as("dot"))
       .join(Par.shuffleJoin(

@@ -117,7 +117,7 @@ object Dedup {
 
   def minhashPairsShared(docs: DataFrame, datasetKey: String): DataFrame =
     pairsMemo.getOrElseUpdate((docs.sparkSession, datasetKey),
-      minhashPairs(docs).transform(Scratch.stage))
+      minhashPairs(docs).transform(Scratch.stageShared))
 
   /** Drop every memoized pair frame of `spark`, explicitly unpersisting
     * the localCheckpoint blocks each one holds (ContextCleaner would
@@ -260,7 +260,8 @@ object Dedup {
     datasetKey match {
       case Some(k) => interMemo.getOrElseUpdate(
         (docs.sparkSession, k, shingleN, maxDf),
-        computePairIntersections(docs, shingleN, maxDf).transform(Scratch.stage))
+        computePairIntersections(docs, shingleN, maxDf)
+          .transform(Scratch.stageShared))
       case None => computePairIntersections(docs, shingleN, maxDf)
     }
 
@@ -278,12 +279,22 @@ object Dedup {
       .select(col("g"))
     // Gram keep-list, postings self-join, and set-size lookups all join
     // corpus-growing inputs (vocabulary / postings / per-doc sizes) —
-    // every one pinned to the shuffle regime (Par.shuffleJoin).
+    // every one pinned to the shuffle regime (Par.shuffleJoin). The
+    // self-join and the pair-grain aggregate additionally run at the
+    // FORECAST-proportional width (Par.pairExpansionWidth): their
+    // output grows quadratically in per-gram df while the inputs stay
+    // postings-sized, and at cores-wide partitioning the map-side
+    // aggregate's spill-merge OOMs an executor-sized heap (measured,
+    // q292's twin pipeline at the 10× fixture under 8 GiB executors).
+    val width = Par.pairExpansionWidth(post, "g", maxDf)
     val keptPost = post.join(Par.shuffleJoin(keptGrams), "g")
     val inter = keptPost.select(col("g"), col("doc_id").as("doc_a"))
+      .repartition(width, col("g"))
       .join(Par.shuffleJoin(
-        keptPost.select(col("g"), col("doc_id").as("doc_b"))), Seq("g"))
+        keptPost.select(col("g"), col("doc_id").as("doc_b"))
+          .repartition(width, col("g"))), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
+      .repartition(width, col("doc_a"), col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("__i"))
     val sz = withSh.select(col("doc_id"), size(col("sh")).cast("long").as("__n"))
@@ -406,10 +417,13 @@ object Dedup {
       shingleN: Int, numPerms: Int, bands: Int,
       scratch: Boolean): MinhashJoinIndex = {
     val r = numPerms / bands
-    val ck = Par.ensure(df).select(col("doc_id").as(idAs),
+    // session-lifetime (scratch=false) sides are multi-consumer — in the
+    // reliable-checkpoint mode they must not re-read files per probe
+    val raw = Par.ensure(df).select(col("doc_id").as(idAs),
       TextAnalysis.shingles(col("text"), shingleN).as(shAs))
-      .transform(Scratch.stage)
-    val withSh = if (scratch) Scratch.register(ck) else ck
+    val withSh =
+      if (scratch) Scratch.register(raw.transform(Scratch.stage))
+      else raw.transform(Scratch.stageShared)
     val ex = withSh.select(col(idAs),
       explode(bandHashes(
         graft.functions.TextExpressions.minhashSig(col(shAs), numPerms),

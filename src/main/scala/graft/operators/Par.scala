@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
 
 /** Parallelism guard for heavy per-row map stages.
   *
@@ -22,7 +23,7 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Par {
 
-  /** Pin a corpus-grain join input to the SHUFFLE regime (a sort-merge
+  /** Pin a corpus-grain join input to the SHUFFLE regime (a shuffle-hash
     * hint — AQE's skew split still applies; the hint only forbids the
     * broadcast strategy for the join directly above).
     *
@@ -46,6 +47,56 @@ private[graft] object Par {
     * shuffle_hash keeps the no-broadcast guarantee without the sorts.
     */
   def shuffleJoin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+
+  /** Partition width for a PAIR-EXPANDING postings self-join, sized to
+    * the FORECAST output — Σ df·(df−1)/2 over kept keys — instead of to
+    * the input or the core count.
+    *
+    * Why the input-proportional default fails: the self-join's output
+    * (candidate pairs) grows with the square of per-key df while its
+    * inputs stay postings-sized, so at `spark.sql.shuffle.partitions` =
+    * cores each join task emits output/cores pair rows regardless of
+    * scale. The map-side partial aggregate over those rows then holds a
+    * hash map far beyond its execution-memory share, spills hundreds of
+    * sort files, and `finishAggregate`'s merge allocates a reader
+    * buffer PER spill file — observed live as a raw
+    * `java.lang.OutOfMemoryError` in `UnsafeSorterSpillReader.<init>`
+    * that killed an 8 GiB executor (local-cluster[4,8,8g] soak, q292 at
+    * the 10× saturated fixture, round 15) and took its localCheckpoint
+    * blocks with it. A 32 GiB single-JVM heap hides this completely —
+    * it is an executor-heap failure mode, the cluster-realistic one.
+    *
+    * The forecast costs one tiny job over the (already staged) postings
+    * frame — a bounded-key aggregate producing ONE row — and makes the
+    * width track the workload: ~cores at fixture scale, thousands of
+    * partitions at the 100 TB point, exactly what a cluster deployment
+    * would hand-tune `spark.sql.shuffle.partitions` to. Both self-join
+    * inputs AND the pair-grain aggregation should repartition to this
+    * width with an explicit count (an explicit count is NOT
+    * AQE-coalescible — AQE cannot see the expansion in the map-stage
+    * stats and would coalesce the small byte-size back to one task, the
+    * q82 lesson). Tunables: `spark.graft.pairsPerPartition` (default
+    * 1e6 pair rows per task — a ~100 MB aggregate map, inside a
+    * busy executor's per-task share even with storage-pinned memo
+    * blocks squeezing the execution pool) and `spark.graft.maxPairWidth` (default
+    * 4096, the local-mode task-overhead cap; raise it on a real
+    * cluster).
+    */
+  def pairExpansionWidth(postings: DataFrame, keyCol: String,
+      maxDf: Int): Int = {
+    val sp = postings.sparkSession
+    val target =
+      sp.conf.get("spark.graft.pairsPerPartition", "1000000").toLong
+    val maxW = sp.conf.get("spark.graft.maxPairWidth", "4096").toInt
+    val twiceMass = postings.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .agg(coalesce(sum(col("__df") * (col("__df") - lit(1L))), lit(0L)))
+      .head().getLong(0)
+    val par = sp.sparkContext.defaultParallelism
+    math.min(maxW,
+      math.max(par, math.ceil(twiceMass / 2.0 / target).toInt))
+  }
 
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -74,9 +74,10 @@ class DriverHotspotLintSpec extends AnyFunSuite {
 
   test(".rdd access stays confined to LogicalRDD checkpoint bookkeeping") {
     assertCeilings(".rdd", """\.rdd\b""", Map(
-      // localCheckpoint block-release plumbing (ids, unpersist) — never
-      // a data path
-      "graft/operators/Scratch.scala" -> 1,
+      // localCheckpoint block-release plumbing (ids, unpersist) plus
+      // stageShared's reliable-mode persist of the checkpointed RDD —
+      // never a data path
+      "graft/operators/Scratch.scala" -> 2,
       "graft/operators/Dedup.scala" -> 1,
       "graft/operators/Similarity.scala" -> 1,
       // counts-memo invalidation: same block-release bookkeeping

@@ -32,7 +32,7 @@ class PlanShapeSpec extends SparkFunSuite {
     // pick off the COMPRESSED shuffle size under-prices id/hash frames
     // 20x+ -- q27 died at the 100x fixture collecting 1.4 GiB of task
     // results into BroadcastExchange. Par.shuffleJoin pins these joins
-    // to sort-merge at every scale; this lint keeps them pinned.
+    // to the shuffle-hash regime at every scale; this lint keeps them pinned.
     // Direct un-keyed operator calls: the keyed (memoized) registrations
     // eagerly stage the pair frame in a separate query execution, which
     // would hide the verification joins from the registered query's
@@ -40,7 +40,8 @@ class PlanShapeSpec extends SparkFunSuite {
     import org.apache.spark.sql.functions.col
     val docs = new graft.cube.Engine(spark, sf).table("documents")
     def assertShuffleOnly(name: String,
-        df: org.apache.spark.sql.DataFrame): Unit = {
+        df: org.apache.spark.sql.DataFrame,
+        forecastWidth: Boolean = false): Unit = {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
@@ -49,10 +50,19 @@ class PlanShapeSpec extends SparkFunSuite {
       assert(plan.contains("ShuffledHashJoin") ||
           plan.contains("SortMergeJoin"),
         s"$name lost its verification joins — lint target drifted")
+      // postings-pair pipelines must carry the forecast-proportional
+      // width as EXPLICIT-count repartitions (REPARTITION_BY_NUM —
+      // non-AQE-coalescible): at cores-wide partitioning the pair
+      // expansion's map-side agg spill-merge OOM'd an 8 GiB executor
+      // (round-15 local-cluster soak, q292 at the 10× fixture)
+      if (forecastWidth)
+        assert(plan.contains("REPARTITION_BY_NUM"),
+          s"$name lost its forecast-width repartitions — the pair " +
+            "expansion is back to input-proportional partitioning")
       graft.operators.Scratch.releaseAll(spark)
     }
     assertShuffleOnly("jaccardPairs",
-      graft.operators.Dedup.jaccardPairs(docs))
+      graft.operators.Dedup.jaccardPairs(docs), forecastWidth = true)
     assertShuffleOnly("minhashPairs",
       graft.operators.Dedup.minhashPairs(docs))
     assertShuffleOnly("simhashPairs",
@@ -62,9 +72,31 @@ class PlanShapeSpec extends SparkFunSuite {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1)))
     assertShuffleOnly("tfidfCosinePairs",
-      graft.operators.Corpus.tfidfCosinePairs(docs))
+      graft.operators.Corpus.tfidfCosinePairs(docs), forecastWidth = true)
     assertShuffleOnly("dedupSpans",
       graft.operators.Corpus.dedupSpans(docs))
+  }
+
+  test("pair expansion width tracks the forecast pair mass, clamped both ways") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.pairsPerPartition", "10")
+    import s2.implicits._
+    val par = s2.sparkContext.defaultParallelism
+    // one gram shared by 12 docs → C(12,2) = 66 pairs → ceil(66/10) = 7
+    val post = (1 to 12).map(i => (i.toLong, "g1")).toDF("doc_id", "g")
+    assert(graft.operators.Par.pairExpansionWidth(post, "g", 1000) == 7)
+    // tiny mass clamps UP to the session parallelism (never narrower
+    // than the default — the width must not serialize small corpora)
+    val tiny = Seq((1L, "g1"), (2L, "g1")).toDF("doc_id", "g")
+    assert(graft.operators.Par.pairExpansionWidth(tiny, "g", 1000) == par)
+    // hot keys above maxDf are excluded from the forecast exactly as
+    // they are excluded from the join itself
+    assert(graft.operators.Par.pairExpansionWidth(post, "g", 5) == par)
+    // the local-mode task-overhead cap clamps DOWN
+    s2.conf.set("spark.graft.maxPairWidth", "6")
+    assert(graft.operators.Par.pairExpansionWidth(post, "g", 1000) == 6)
+    s2.conf.unset("spark.graft.maxPairWidth")
+    s2.conf.unset("spark.graft.pairsPerPartition")
   }
 
   test("banded range join never falls back to a nested-loop join") {
