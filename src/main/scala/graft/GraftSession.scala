@@ -56,9 +56,37 @@ object GraftSession {
     * `setCheckpointDir`) so every harness main — Verify, Bench, Soak —
     * can run the preemptible-cluster configuration unmodified; the
     * measured cost delta of that mode lives in SCALE_r14.json.
+    *
+    * `SPARK_GRAFT_MASTER` overrides the master URL — the multi-process
+    * soak mode. `local-cluster[4,8,8192]` runs 4 executor JVMs × 8 cores
+    * × 8 GiB so exchanges, broadcasts, and task results actually
+    * serialize across process boundaries (a `local[n]` session never
+    * exercises shuffle-block transport or executor-heap — as opposed to
+    * shared-heap — memory pressure, which is exactly where
+    * broadcast-misestimate failures bite on a real cluster). That mode
+    * needs the application classes shipped to the executor JVMs:
+    * `SPARK_GRAFT_JARS=<path/to/packaged.jar>` (sbt package) goes to
+    * `spark.jars`, and the executors get the same JDK-17 --add-opens
+    * set the driver runs with (build.sbt's `jdk17AddOpens`), which
+    * spark-submit would otherwise inject.
     */
   def local(cpus: Int): SparkSession = {
-    val spark = builder(s"local[$cpus]", cpus).getOrCreate()
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = builder(master, cpus)
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => b.config("spark.jars", j))
+    if (master.startsWith("local-cluster")) {
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+      b.config("spark.executor.extraJavaOptions", addOpens)
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_RELIABLE_CKPT_DIR").foreach { dir =>
       spark.conf.set("spark.graft.reliableCheckpoint", "true")

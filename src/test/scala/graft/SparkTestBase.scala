@@ -10,8 +10,11 @@ object SparkTestBase {
   lazy val spark: SparkSession = {
     // Built through GraftSession so tests get the same one-time session
     // conf (UTC, nanosAsLong, TIMESTAMP_MICROS output) production gets —
-    // operators no longer set conf themselves.
-    val s = GraftSession.builder("local[4]", 4)
+    // operators no longer set conf themselves. local[4,2] (not local[4]):
+    // maxFailures=2 gives every task ONE retry, which ChaosRetrySpec
+    // needs to exercise task-retry determinism; genuinely failing tasks
+    // still fail their job (after one extra attempt).
+    val s = GraftSession.builder("local[4,2]", 4)
       .appName("graft-tests")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
