@@ -1943,8 +1943,11 @@ object Corpus {
       .withColumn("cnt", lit(1L))
       .transform(Scratch.stage))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val kept = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+    // df frame staged once (vocab-sized): feeds the idf keep-list AND
+    // the pair-width forecast without re-running the postings groupBy
+    val dfFrame = Scratch.staged(
+      tc.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+    val kept = dfFrame.filter(col("df") <= maxDf)
     // Keep-list, postings self-join, and both norm lookups all join
     // corpus-growing inputs — pinned to the shuffle regime
     // (Par.shuffleJoin; the 1-row nDocs crossJoin broadcast is fine).
@@ -1961,7 +1964,7 @@ object Corpus {
     // expansion spilled hundreds of sort files and the merge OOM'd an
     // 8 GiB executor (local-cluster soak, 10× fixture — the round-15
     // catch); see Par.pairExpansionWidth.
-    val width = Par.pairExpansionWidth(tc, "tok", maxDf)
+    val width = Par.pairExpansionWidth(dfFrame, "df", maxDf)
     weighted.select(col("tok"), col("doc_id").as("doc_a"), col("w").as("wa"))
       .repartition(width, col("tok"))
       .join(Par.shuffleJoin(weighted.select(col("tok"),

@@ -272,11 +272,13 @@ object Dedup {
       .transform(Scratch.stage))
     val post = withSh.select(col("doc_id"), explode(col("sh")).as("g"))
     // count-then-semi-join (not collect_list-then-filter): a mega-hot gram
-    // must never be materialized as one giant postings array on a single row
-    val keptGrams = post.groupBy(col("g"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-      .select(col("g"))
+    // must never be materialized as one giant postings array on a single
+    // row. The df frame is staged ONCE (vocab-sized) and feeds both the
+    // keep-list and the width forecast — the postings groupBy shuffle is
+    // paid a single time.
+    val dfFrame = Scratch.staged(post.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df")))
+    val keptGrams = dfFrame.filter(col("__df") <= maxDf).select(col("g"))
     // Gram keep-list, postings self-join, and set-size lookups all join
     // corpus-growing inputs (vocabulary / postings / per-doc sizes) —
     // every one pinned to the shuffle regime (Par.shuffleJoin). The
@@ -286,7 +288,7 @@ object Dedup {
     // postings-sized, and at cores-wide partitioning the map-side
     // aggregate's spill-merge OOMs an executor-sized heap (measured,
     // q292's twin pipeline at the 10× fixture under 8 GiB executors).
-    val width = Par.pairExpansionWidth(post, "g", maxDf)
+    val width = Par.pairExpansionWidth(dfFrame, "__df", maxDf)
     val keptPost = post.join(Par.shuffleJoin(keptGrams), "g")
     val inter = keptPost.select(col("g"), col("doc_id").as("doc_a"))
       .repartition(width, col("g"))

@@ -66,11 +66,14 @@ private[graft] object Par {
     * blocks with it. A 32 GiB single-JVM heap hides this completely —
     * it is an executor-heap failure mode, the cluster-realistic one.
     *
-    * The forecast costs one tiny job over the (already staged) postings
-    * frame — a bounded-key aggregate producing ONE row — and makes the
-    * width track the workload: ~cores at fixture scale, thousands of
-    * partitions at the 100 TB point, exactly what a cluster deployment
-    * would hand-tune `spark.sql.shuffle.partitions` to. Both self-join
+    * The forecast costs one tiny job over the caller's per-key df
+    * counts frame — which every postings pipeline already computes for
+    * its maxDf keep-list, so callers STAGE that frame once and this
+    * reads the checkpointed blocks (a vocab-sized 1-row aggregate; the
+    * expensive postings groupBy shuffle is never paid twice). It makes
+    * the width track the workload: ~cores at fixture scale, thousands
+    * of partitions at the 100 TB point, exactly what a cluster
+    * deployment would hand-tune `spark.sql.shuffle.partitions` to. Both self-join
     * inputs AND the pair-grain aggregation should repartition to this
     * width with an explicit count (an explicit count is NOT
     * AQE-coalescible — AQE cannot see the expansion in the map-stage
@@ -82,16 +85,15 @@ private[graft] object Par {
     * 4096, the local-mode task-overhead cap; raise it on a real
     * cluster).
     */
-  def pairExpansionWidth(postings: DataFrame, keyCol: String,
+  def pairExpansionWidth(dfCounts: DataFrame, dfCol: String,
       maxDf: Int): Int = {
-    val sp = postings.sparkSession
+    val sp = dfCounts.sparkSession
     val target =
       sp.conf.get("spark.graft.pairsPerPartition", "1000000").toLong
     val maxW = sp.conf.get("spark.graft.maxPairWidth", "4096").toInt
-    val twiceMass = postings.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-      .agg(coalesce(sum(col("__df") * (col("__df") - lit(1L))), lit(0L)))
+    val twiceMass = dfCounts
+      .filter(col(dfCol) <= maxDf)
+      .agg(coalesce(sum(col(dfCol) * (col(dfCol) - lit(1L))), lit(0L)))
       .head().getLong(0)
     val par = sp.sparkContext.defaultParallelism
     math.min(maxW,

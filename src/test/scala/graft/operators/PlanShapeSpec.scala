@@ -82,19 +82,21 @@ class PlanShapeSpec extends SparkFunSuite {
     s2.conf.set("spark.graft.pairsPerPartition", "10")
     import s2.implicits._
     val par = s2.sparkContext.defaultParallelism
-    // one gram shared by 12 docs → C(12,2) = 66 pairs → ceil(66/10) = 7
-    val post = (1 to 12).map(i => (i.toLong, "g1")).toDF("doc_id", "g")
-    assert(graft.operators.Par.pairExpansionWidth(post, "g", 1000) == 7)
+    // one gram shared by 12 docs → C(12,2) = 66 pairs → ceil(66/10) = 7;
+    // the input is the per-key df counts frame the pipelines already
+    // stage for their maxDf keep-list
+    val dfs = Seq(("g1", 12L)).toDF("g", "__df")
+    assert(graft.operators.Par.pairExpansionWidth(dfs, "__df", 1000) == 7)
     // tiny mass clamps UP to the session parallelism (never narrower
     // than the default — the width must not serialize small corpora)
-    val tiny = Seq((1L, "g1"), (2L, "g1")).toDF("doc_id", "g")
-    assert(graft.operators.Par.pairExpansionWidth(tiny, "g", 1000) == par)
+    val tiny = Seq(("g1", 2L)).toDF("g", "__df")
+    assert(graft.operators.Par.pairExpansionWidth(tiny, "__df", 1000) == par)
     // hot keys above maxDf are excluded from the forecast exactly as
     // they are excluded from the join itself
-    assert(graft.operators.Par.pairExpansionWidth(post, "g", 5) == par)
+    assert(graft.operators.Par.pairExpansionWidth(dfs, "__df", 5) == par)
     // the local-mode task-overhead cap clamps DOWN
     s2.conf.set("spark.graft.maxPairWidth", "6")
-    assert(graft.operators.Par.pairExpansionWidth(post, "g", 1000) == 6)
+    assert(graft.operators.Par.pairExpansionWidth(dfs, "__df", 1000) == 6)
     s2.conf.unset("spark.graft.maxPairWidth")
     s2.conf.unset("spark.graft.pairsPerPartition")
   }
