@@ -1289,9 +1289,11 @@ object Corpus {
     // one aggregation yields the cleaned text AND both counts; the struct
     // sort key is blk, restoring original span order regardless of
     // partitioning
-    // span df lookup: both sides corpus-grain — shuffle regime, never
-    // broadcast (Par.shuffleJoin), same for the final doc_id stitch
-    val rebuilt = spans.join(Par.shuffleJoin(counts), "span")
+    // span df lookup: both sides corpus-grain, never broadcast, and the
+    // span-string key side is fat — sort-merge (Par.mergeJoin) so the
+    // build never holds an unspillable string map; same for the final
+    // doc_id stitch whose build side carries full cleaned text
+    val rebuilt = spans.join(Par.mergeJoin(counts), "span")
       .groupBy(col("doc_id"))
       .agg(
         array_join(
@@ -1303,7 +1305,7 @@ object Corpus {
         count(col("blk")).as("n_spans"),
         count(when(col("__nd") > 1, lit(1))).as("n_dropped"))
     docs.select(col("doc_id"))
-      .join(Par.shuffleJoin(rebuilt), Seq("doc_id"), "left")
+      .join(Par.mergeJoin(rebuilt), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),

@@ -187,10 +187,13 @@ object Dedup {
   def verifyJaccard(cand: DataFrame, withSh: DataFrame, threshold: Double): DataFrame =
     cand
       // Both join inputs grow with the corpus (pairs × shingle sets) —
-      // pinned to the shuffle regime, never broadcast (Par.shuffleJoin).
-      .join(Par.shuffleJoin(
+      // pinned off broadcast, and SORT-MERGE specifically: the shingle
+      // ARRAY side is fat (~1 KB/row), and an SHJ build map of it at a
+      // static width cannot spill — it killed q90's pair build at the
+      // 100× fixture under 8 GiB executors (Par.mergeJoin).
+      .join(Par.mergeJoin(
         withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), "doc_a")
-      .join(Par.shuffleJoin(
+      .join(Par.mergeJoin(
         withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), "doc_b")
       // Threshold the UNROUNDED ratio (a pair with true jaccard in
       // [threshold - 5e-5, threshold) must not sneak in via round-up);
@@ -473,8 +476,9 @@ object Dedup {
     val cand = l.bands.join(Par.shuffleJoin(idx.bands), Seq("band", "sig"))
       .select(col("probe_id"), col("match_id")).distinct()
     cand
-      .join(Par.shuffleJoin(l.sh), "probe_id")
-      .join(Par.shuffleJoin(idx.sh), "match_id")
+      // fat shingle-array sides — sort-merge, not SHJ (Par.mergeJoin)
+      .join(Par.mergeJoin(l.sh), "probe_id")
+      .join(Par.mergeJoin(idx.sh), "match_id")
       // Unrounded threshold, rounded display — same as [[verifyJaccard]].
       .withColumn("__j",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

@@ -48,6 +48,26 @@ private[graft] object Par {
     */
   def shuffleJoin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
 
+  /** [[shuffleJoin]]'s sibling for corpus-grain join sides whose ROWS
+    * are FAT — per-doc shingle/embedding arrays, span strings, cleaned
+    * text. Same no-broadcast guarantee, but via sort-merge: a
+    * ShuffledHashJoin build map CANNOT spill, so a fat build side at a
+    * static partition width eventually exceeds the task's
+    * execution-memory share and kills the query outright — observed
+    * live at the 100× fixture under 8 GiB executors (round-15
+    * local-cluster soak): q90's pair-frame build died in
+    * `LongToUnsafeRowMap.grow` ("Can't acquire 33554432 bytes memory to
+    * build hash relation") building the shingle-array side of the
+    * verification join, with no retry able to succeed because the
+    * pressure is structural, not transient. Sort-merge spills both
+    * sides gracefully at any scale; the sort cost is noise next to the
+    * pipelines these joins sit in (banding/aggregation dominate). Thin
+    * id/count/fingerprint sides (≤ ~16 B rows) stay on [[shuffleJoin]]
+    * — their builds are bounded small and the per-partition hash map
+    * beats the sort.
+    */
+  def mergeJoin(df: DataFrame): DataFrame = df.hint("merge")
+
   /** Partition width for a PAIR-EXPANDING postings self-join, sized to
     * the FORECAST output — Σ df·(df−1)/2 over kept keys — instead of to
     * the input or the core count.
