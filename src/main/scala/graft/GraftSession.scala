@@ -31,9 +31,21 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    val b0 = SparkSession.builder().master(master)
+    // `SPARK_GRAFT_EXTRA_CONF="k=v;k=v"` — arbitrary session conf for
+    // harness experiments (e.g. a speculation-mode sweep:
+    // spark.speculation=true;spark.speculation.quantile=0.3) without a
+    // per-experiment rebuild. Applied BEFORE the pinned conf below
+    // (later .config wins in SparkSession.Builder), so an experiment
+    // cannot silently override the correctness-critical pins.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b0.config(k.trim, v.trim)
+      }
+    }
+    b0
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -48,6 +60,7 @@ object GraftSession {
       // files would accumulate until context stop)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
+  }
 
   /** Local session sized to `cpus` threads (the harness shape).
     *
@@ -84,7 +97,14 @@ object GraftSession {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar",
       ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
-      b.config("spark.executor.extraJavaOptions", addOpens)
+      // APPEND to (never clobber) options the user supplied through the
+      // standard programmatic channel — a `spark.executor.extraJavaOptions`
+      // JVM system property (how spark-defaults reach an in-process
+      // SparkConf) — so soak-time GC tuning survives the injection
+      val prior = sys.props.get("spark.executor.extraJavaOptions")
+        .map(_.trim).filter(_.nonEmpty)
+      b.config("spark.executor.extraJavaOptions",
+        (prior.toSeq :+ addOpens).mkString(" "))
     }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

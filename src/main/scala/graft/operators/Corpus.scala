@@ -60,28 +60,33 @@ object Corpus {
     * own distinct key. Unlike the Dedup/Similarity memos, datasetKey
     * here is a defaulted parameter on many public operators
     * (qualityFilter, invertedIndex, zipfReport, …), so misuse is
-    * guarded: each entry records the semanticHash of the analyzed docs
-    * plan it was built from, and a keyed call whose docs frame does not
+    * guarded: each entry retains the analyzed docs plan it was built
+    * from and compares with `sameResult` (full canonicalized-plan
+    * equality, not a hash — an Int `semanticHash` could collide and
+    * silently serve the wrong counts, the exact failure the guard
+    * exists to prevent), and a keyed call whose docs frame does not
     * semantically match the memoized entry's fails fast instead of
     * silently returning another frame's counts.
     */
   private val countsMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, String),
-      (Int, DataFrame)]
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
 
   private def sharedCounts(docs: DataFrame, kind: String,
       datasetKey: Option[String])(build: DataFrame => DataFrame): DataFrame =
     datasetKey match {
       case Some(k) =>
-        // semanticHash is plan-analysis only (no job): same source +
-        // same transformations hash equal, a different or filtered
-        // frame reusing the key is caught at the call site.
-        val docsHash = docs.queryExecution.analyzed.semanticHash()
-        val (memoHash, frame) = countsMemo.getOrElseUpdate(
+        // sameResult is plan-analysis only (no job): same source +
+        // same transformations compare equal, a different or filtered
+        // frame reusing the key is caught at the call site. The
+        // retained plan is an analyzed tree (columns + source paths),
+        // driver-heap noise next to the memoized frame's blocks.
+        val docsPlan = docs.queryExecution.analyzed
+        val (memoPlan, frame) = countsMemo.getOrElseUpdate(
           (docs.sparkSession, kind, k),
-          (docsHash,
+          (docsPlan,
             build(Par.ensure(docs)).transform(Scratch.stageShared)))
-        require(memoHash == docsHash,
+        require(memoPlan.sameResult(docsPlan),
           s"shared counts memo for datasetKey='$k' (kind=$kind) was built " +
             "from a semantically different docs frame — a datasetKey must " +
             "uniquely identify the exact docs frame; pass None (or a " +

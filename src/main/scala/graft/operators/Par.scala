@@ -104,9 +104,35 @@ private[graft] object Par {
     * blocks squeezing the execution pool) and `spark.graft.maxPairWidth` (default
     * 4096, the local-mode task-overhead cap; raise it on a real
     * cluster).
+    *
+    * The forecast is sized to the DISTINCT pair mass Σ C(df,2), while
+    * the self-join physically emits ~2× that (df² rows per key before
+    * the `doc_a < doc_b` filter). That is deliberate: the join's extra
+    * rows STREAM through the filter without buffering, and the
+    * structure the width protects — the pair-grain aggregate's map-side
+    * hash map — holds one entry per distinct pair, so C(df,2) is its
+    * true working set and `pairsPerPartition` is calibrated to it. The
+    * transient 2× row flow is headroom the target already absorbs.
+    *
+    * PRECONDITION (asserted): `dfCounts` must be a STAGED frame
+    * (`Scratch.stage`/`staged` — a checkpointed LogicalRDD — or a
+    * driver-local relation in tests). The forecast runs an EAGER
+    * aggregate over it at plan-construction time; an unstaged postings
+    * groupBy would be silently re-paid in full here and then again by
+    * the caller's keep-list join.
     */
   def pairExpansionWidth(dfCounts: DataFrame, dfCol: String,
       maxDf: Int): Int = {
+    val staged = dfCounts.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+    require(staged,
+      "pairExpansionWidth needs a staged df-counts frame " +
+        "(Scratch.stage/staged): the forecast aggregate is eager, and " +
+        "an unstaged frame would re-pay its postings groupBy shuffle " +
+        "here and again at the caller's keep-list join")
     val sp = dfCounts.sparkSession
     val target =
       sp.conf.get("spark.graft.pairsPerPartition", "1000000").toLong
