@@ -7,12 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // dev-only: an optional 3rd arg restricts the dump to query names
-    // containing the substring (the driver always passes exactly two)
-    val nameFilter = if (args.length > 2) args(2) else ""
+    // containing ANY of the comma-separated substrings (the driver
+    // always passes exactly two args)
+    val nameFilters =
+      (if (args.length > 2) args(2) else "").split(',').filter(_.nonEmpty)
+    def keep(name: String): Boolean =
+      nameFilters.isEmpty || nameFilters.exists(name.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(_._1.contains(nameFilter)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -34,7 +38,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(_._1.contains(nameFilter))
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -714,26 +714,61 @@ object Relational {
     * catalog size; the quadratic pairs-of-parts space is never formed.
     * Lift stays integer-derived (support·N / (nₐ·n_b)) so both engines
     * divide the same exact numerators.
+    *
+    * Scale shape (the q292/q137 postings discipline applied to baskets):
+    * the self-join inputs AND the (part_a, part_b) support aggregate run
+    * at the FORECAST-proportional width — Σ C(basket, 2) over the staged
+    * per-order line counts — because pair mass grows with the corpus
+    * while a session-static width does not: at the 100× fixture the
+    * 32-wide support aggregate's spill-merge killed an executor-sized
+    * heap outright (java.lang.OutOfMemoryError in
+    * UnsafeSorterSpillReader.<init> inside finishAggregate — the exact
+    * round-15 q292 signature, caught by the round-16 local-cluster
+    * soak). The per-part count lookups join a CATALOG-growing frame on
+    * both sides, so they are pinned to the shuffle regime
+    * (Par.shuffleJoin — thin 16-byte rows; a forced broadcast dies
+    * collecting a 100×-catalog side); only the 1-row order-count frame
+    * still broadcasts.
     */
   def marketBasket(spark: SparkSession, dir: String, minSupport: Int = 3,
       k: Int = 15): DataFrame = {
+    // li stays UN-staged: persisting a fact-grain frame storage-pins
+    // ~GBs per 100x of corpus and squeezes the unified pool until agg
+    // tasks cannot allocate their initial hash maps (measured live:
+    // UNABLE_TO_ACQUIRE_MEMORY at BytesToBytesMap init on 8 GiB
+    // executors) — identical subtrees reuse the distinct's exchange
+    // anyway. Only the bounded order-grain counts frame is staged (the
+    // pairExpansionWidth precondition).
     val li = e(spark, dir).table("lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val partN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
     val orders = li.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
-    val pairs = li.alias("a")
-      .join(li.alias("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"),
-        col("b.l_partkey").as("part_b"))
+    val basketN = Scratch.staged(li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__df")))
+    val width = Par.pairExpansionWidth(basketN, "__df", Int.MaxValue)
+    // the self-join's BOTH sides grow with the corpus — pinned off the
+    // broadcast strategy (compressed-size misestimate hazard) and onto
+    // SORT-MERGE: an SHJ build here is fact-grain per partition and
+    // cannot spill — measured live at the 100× fixture as "Can't
+    // acquire … to build hash relation" with 8 concurrent builds per
+    // 8 GiB executor; the sort spills both thin (long, long) sides
+    // gracefully at any scale
+    val pairs = li
+      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .repartition(width, col("l_orderkey"))
+      .join(Par.mergeJoin(
+        li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+          .repartition(width, col("l_orderkey"))), Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .repartition(width, col("part_a"), col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
     pairs
-      .join(broadcast(partN.select(col("l_partkey").as("part_a"),
+      .join(Par.shuffleJoin(partN.select(col("l_partkey").as("part_a"),
         col("n").as("n_a"))), "part_a")
-      .join(broadcast(partN.select(col("l_partkey").as("part_b"),
+      .join(Par.shuffleJoin(partN.select(col("l_partkey").as("part_b"),
         col("n").as("n_b"))), "part_b")
       .crossJoin(broadcast(orders))
       .select(col("part_a"), col("part_b"), col("support"),

@@ -31,6 +31,15 @@ object EventsStream {
     */
   private def streamingEvents(spark: SparkSession, dir: String): DataFrame = {
     val stored = spark.read.parquet(s"$dir/events.parquet").schema
+    // Input-size hint for the drain harness's stateful-partition width
+    // (driver-side metadata stat, like the footer read above). Stateful
+    // state cardinality grows with the input, so the state width must
+    // track the workload, not the fixture tuning — the
+    // Par.pairExpansionWidth lesson applied to streaming state.
+    try spark.conf.set("spark.graft.streaming.inputBytesHint",
+      java.nio.file.Files.size(
+        java.nio.file.Paths.get(dir, "events.parquet")).toString)
+    catch { case _: Throwable => () } // non-local path: keep last/default
     // file stream sources take directories; pathGlobFilter selects the one
     // events file
     val raw = spark.readStream.schema(stored)
@@ -65,40 +74,84 @@ object EventsStream {
       s"${spark.sparkContext.applicationId}_${name}_${System.nanoTime()}")
   }
 
+  /** Scoped session conf every STATEFUL drain runs under (restored on
+    * exit):
+    *
+    *   - Stateful-partition width. Stateful operators keep one state
+    *     store per shuffle partition (per join side) and the store
+    *     bookkeeping dominates at fixture volume — measured 3.5x on the
+    *     stream-stream join going 32 -> 8 partitions, a further ~11%
+    *     across the 17-stream sweep going 8 -> 4 (q109 3.1 -> 2.3 s),
+    *     and 4 -> 2 flat, so 4 is the fixture floor. But state
+    *     CARDINALITY grows with the input, so the floor scales with the
+    *     observed input size (`inputBytesHint`, set by
+    *     [[streamingEvents]]) — at the 100× fixture the WAU drain's
+    *     (window × user) state is ~28M rows, and a fixture-static width
+    *     would put ~7M-row state stores on single cores (the
+    *     `Par.pairExpansionWidth` lesson applied to streaming state). An
+    *     explicit `spark.graft.streaming.partitions` wins verbatim;
+    *     either way the width is capped at the session's shuffle width.
+    *   - State store provider: RocksDB by default — the provider a
+    *     production deployment runs, because HDFS-backed state maps live
+    *     on the executor HEAP and a corpus-growing keyspace (users, join
+    *     keys, window×user dedup state) kills an executor-sized heap
+    *     outright (observed live: q163's drain at the 100× fixture under
+    *     local-cluster[4,8,8192] heap-OOM'd all four executors, raw
+    *     java.lang.OutOfMemoryError). RocksDB keeps state in native
+    *     memory + local disk and results are provider-agnostic
+    *     (RocksDbStateSpec). Opt out per session with
+    *     `spark.graft.streaming.heapState=true` (fixture-scale A/B).
+    */
+  private def withStatefulDrainConf[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val width = spark.conf.getOption("spark.graft.streaming.partitions")
+      .map(_.toInt)
+      .getOrElse {
+        val bytes = spark.conf
+          .get("spark.graft.streaming.inputBytesHint", "0").toLong
+        val per = spark.conf
+          .get("spark.graft.streaming.bytesPerStatePartition",
+            (32L << 20).toString).toLong
+        math.max(4, math.ceil(bytes.toDouble / per).toInt)
+      }
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(prev.toInt, width).toString)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    if (!spark.conf.get("spark.graft.streaming.heapState", "false").toBoolean)
+      spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    // Stateful operators keep one state store per shuffle partition (per
-    // join side); the store bookkeeping dominates at fixture volume —
-    // measured 3.5x on the stream-stream join going 32 -> 8 partitions,
-    // and a further ~11% across the 17-stream sweep going 8 -> 4 (q109
-    // 3.1 -> 2.3 s); 4 -> 2 measured flat, so 4 is the floor of the
-    // store-count effect here. Size state partitioning to the stream's
-    // key cardinality, not the batch shuffle default; production raises
-    // spark.graft.streaming.partitions to match real traffic.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val target = spark.conf.get("spark.graft.streaming.partitions", "4")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prev.toInt, target.toInt).toString)
-    val ckpt = scratchCheckpoint(spark, name)
-    try {
-      // AvailableNow, not default-trigger + processAllAvailable + stop:
-      // the end offsets are computed once at start, the engine runs
-      // exactly the needed micro-batches (including the no-data batch
-      // that advances the watermark and flushes append-finalized state —
-      // the reason AvailableNow replaced Trigger.Once upstream) and then
-      // terminates itself — no trigger-poll idle cycles and no
-      // stop-handshake against a live trigger thread. Semantics per
-      // batch are identical; StreamSemanticsSpec pins the absolute
-      // counts either way.
-      val writer = df.writeStream.outputMode(mode).format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      ckpt.foreach(writer.option("checkpointLocation", _))
-      val q = writer.start()
-      q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      ckpt.foreach(resetSink(spark, _))
+    withStatefulDrainConf(spark) {
+      val ckpt = scratchCheckpoint(spark, name)
+      try {
+        // AvailableNow, not default-trigger + processAllAvailable + stop:
+        // the end offsets are computed once at start, the engine runs
+        // exactly the needed micro-batches (including the no-data batch
+        // that advances the watermark and flushes append-finalized state —
+        // the reason AvailableNow replaced Trigger.Once upstream) and then
+        // terminates itself — no trigger-poll idle cycles and no
+        // stop-handshake against a live trigger thread. Semantics per
+        // batch are identical; StreamSemanticsSpec pins the absolute
+        // counts either way.
+        val writer = df.writeStream.outputMode(mode).format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        ckpt.foreach(writer.option("checkpointLocation", _))
+        val q = writer.start()
+        q.awaitTermination()
+      } finally ckpt.foreach(resetSink(spark, _))
     }
     spark.table(name)
   }
@@ -136,11 +189,43 @@ object EventsStream {
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("user_id"))
       .agg(count(lit(1)).as("__n"))
-    runToMemory(perUserWin, "graft_stream_wau", OutputMode.Complete())
-      .groupBy((col("w.start") + expr("INTERVAL 6 DAYS"))
-        .cast(TimestampNTZType).as("win_day"))
-      .agg(count(lit(1)).as("active_7d"))
-      .orderBy(col("win_day"))
+    // foreachBatch, NOT the memory sink: in Complete mode the sink
+    // receives one row per (window, user) — USER-grain, corpus-growing
+    // (~28M rows at the 100× fixture) — and a memory sink materializes
+    // all of it on the driver. Inside foreachBatch the complete state is
+    // a distributed frame, so the per-window COUNT rolls up executor-side
+    // and only #window-days rows (calendar-bounded) ever exist anywhere
+    // narrow. Each trigger overwrites the parquet sink (Complete
+    // semantics); verdicts per window depend only on the final state, so
+    // the last trigger's rewrite is the drained result — same rows the
+    // old memory-sink plan produced, same oracle.
+    spark.streams.active.filter(_.name == "graft_stream_wau")
+      .foreach(_.stop())
+    val sink = batchSink(spark, "wau")
+    resetSink(spark, sink)
+    withStatefulDrainConf(spark) {
+      val ckpt = scratchCheckpoint(spark, "wau")
+      val writer = perUserWin.writeStream.outputMode(OutputMode.Complete())
+        .queryName("graft_stream_wau")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy((col("w.start") + expr("INTERVAL 6 DAYS"))
+              .cast(TimestampNTZType).as("win_day"))
+            .agg(count(lit(1)).as("active_7d"))
+            .write.mode("overwrite").parquet(sink)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      ckpt.foreach(writer.option("checkpointLocation", _))
+      val q = writer.start()
+      q.awaitTermination()
+      ckpt.foreach(resetSink(spark, _))
+    }
+    val out = if (!sinkExists(spark, sink))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("win_day", TimestampNTZType),
+          StructField("active_7d", LongType))))
+    else spark.read.parquet(sink)
+    out.orderBy(col("win_day"))
   }
 
   /** Streaming CDC consumer — the online twin of the batch

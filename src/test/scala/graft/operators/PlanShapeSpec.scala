@@ -101,6 +101,22 @@ class PlanShapeSpec extends SparkFunSuite {
     s2.conf.unset("spark.graft.pairsPerPartition")
   }
 
+  test("market basket runs pair stages at forecast width, part counts off broadcast") {
+    // round-16 local-cluster catch: the (part_a, part_b) support
+    // aggregate at session-static width killed an 8 GiB executor at the
+    // 100x fixture (UnsafeSorterSpillReader OOM in finishAggregate — the
+    // q292 signature); the per-part count lookups join a catalog-growing
+    // frame on both sides, so a forced broadcast dies collecting it at
+    // scale. Only the 1-row order-count frame may broadcast (its
+    // BroadcastNestedLoopJoin cross join is the legitimate one).
+    val plan = planOf("q184_market_basket")
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      "q184 lost its forecast-width repartitions")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "q184 must not broadcast the catalog-growing part-count frame")
+    graft.operators.Scratch.releaseAll(spark)
+  }
+
   test("banded range join never falls back to a nested-loop join") {
     val plan = planOf("q53_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin"))
