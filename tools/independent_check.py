@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
-"""Oracle-INDEPENDENCE audit: recompute the 20 statistically trickiest
-queries from the RAW fixture parquet in pure Python (textbook formulas,
-stdlib math — no Spark, no DuckDB SQL) and diff against the engine's
-Verify dump.
+"""Oracle-INDEPENDENCE audit: recompute the statistically trickiest
+queries (27) from the RAW fixture parquet in pure Python (textbook
+formulas, stdlib math — no Spark, no DuckDB SQL) and diff against the
+engine's Verify dump.
 
 Why this exists: the driver's correctness gate proves engine ≡ DuckDB
 oracle, but BOTH sides are builder-written — a mirrored misreading
@@ -682,9 +682,166 @@ def q313():
           {"seasonal": ("tol", 6e-7), "mean_abs_residual": ("tol", 6e-3)})
 
 
-CHECKS = [q168, q185, q208, q209, q210, q211, q213, q216, q243, q270,
-          q274, q275, q283, q287, q288, q300, q303, q306, q308, q311,
-          q313]
+# ------------------------------------------------------------ q147 PMI
+def q147():
+    docs = table("documents")
+    uni = defaultdict(int)
+    bi = defaultdict(int)
+    for text in docs.text:
+        toks = text.split(" ")
+        for t in toks:
+            uni[t] += 1
+        for a, b in zip(toks, toks[1:]):
+            bi[a + " " + b] += 1
+    tt = sum(uni.values())
+    tb = sum(bi.values())
+    scored = []
+    for bg, n in bi.items():
+        if n < 5:
+            continue
+        a, b = bg.split(" ")[0], bg.split(" ")[1]
+        pmi = math.log2((n / tb) / ((uni[a] / tt) * (uni[b] / tt)))
+        scored.append((pmi, bg, n))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    rows = [{"bigram": bg, "n": n, "pmi": rnd(pmi, 4)}
+            for pmi, bg, n in scored[:20]]
+    check("q147_collocations", rows, ["bigram"], {"pmi": ("tol", 6e-5)})
+
+
+# ------------------------------------------------------------ q190 entropy
+def q190():
+    docs = table("documents")
+    per_lang = defaultdict(lambda: defaultdict(int))
+    for lang, text in zip(docs.lang, docs.text):
+        d = per_lang[lang]
+        for ch in text:
+            d[ch] += 1
+    rows = []
+    for lang, d in per_lang.items():
+        n = sum(d.values())
+        h = math.log(n) - sum(c * math.log(c) for c in d.values()) / n
+        rows.append({"lang": lang, "n_chars": n,
+                     "distinct_chars": len(d),
+                     "char_entropy": rnd(h, 3)})
+    check("q190_char_entropy", rows, ["lang"],
+          {"char_entropy": ("tol", 6e-4)})
+
+
+# ------------------------------------------------------------ q240 Heaps
+def q240():
+    docs = table("documents")
+    nid = int(max(docs.doc_id)) + 1
+    first = {}
+    for did, text in sorted(zip(docs.doc_id, docs.text)):
+        toks = text.strip().split()
+        grams = set(" ".join(toks[i:i + 3])
+                    for i in range(len(toks) - 2)) if len(toks) >= 3 \
+            else {" ".join(toks)}
+        for g in grams:
+            if g not in first:
+                first[g] = int(did)
+    dec = defaultdict(int)
+    for d in first.values():
+        dec[d * 10 // nid] += 1
+    rows, cum = [], 0
+    for b in sorted(dec):
+        cum += dec[b]
+        rows.append({"decile": b, "vocab_added": dec[b], "cum_vocab": cum})
+    check("q240_heaps_curve", rows, ["decile"], {})
+
+
+# ------------------------------------------------------------ q246 burst
+def q246():
+    ev = table("events")
+    # normalize to MICROsecond ticks regardless of pandas' resolution
+    us = pd.to_datetime(ev.ts).astype("datetime64[us]").astype("int64").tolist()
+    per_user = defaultdict(list)
+    for uid, t in zip(ev.user_id, us):
+        per_user[uid].append(t)
+    hist = defaultdict(int)
+    for ts_list in per_user.values():
+        ts_list.sort()
+        peak = 0
+        j = 0
+        for i, t in enumerate(ts_list):
+            while ts_list[j] < t:        # anchor window [t, t + 1h)
+                j += 1
+            hi = i
+            while hi + 1 < len(ts_list) and ts_list[hi + 1] < t + 3_600_000_000:
+                hi += 1
+            peak = max(peak, hi - j + 1)
+        hist[peak] += 1
+    rows = [{"peak_burst": p, "n_users": n} for p, n in hist.items()]
+    check("q246_burstiness", rows, ["peak_burst"], {})
+
+
+# ------------------------------------------------------------ q302 MRL
+def q302():
+    vecs = embeddings()
+    hist = defaultdict(int)
+    anchors = [(v, e) for v, e, _ in vecs if v < 128]
+    for a_id, ea in anchors:
+        pairs = [(b_id, rnd(cos(ea, eb), 4), rnd(cos(ea[:16], eb[:16]), 4))
+                 for b_id, eb, _ in vecs if b_id != a_id]
+        top_full = {b for b, _, _ in
+                    sorted(pairs, key=lambda t: (-t[1], t[0]))[:10]}
+        top_trunc = {b for b, _, _ in
+                     sorted(pairs, key=lambda t: (-t[2], t[0]))[:10]}
+        hist[len(top_full & top_trunc)] += 1
+    rows = [{"n_common": c, "n_anchors": n,
+             "recall_at_k": rnd(c / 10.0, 4)} for c, n in hist.items()]
+    check("q302_matryoshka_recall", rows, ["n_common"], {})
+
+
+# ------------------------------------------------------------ q310 coherence
+def q310():
+    docs = table("documents")
+    cnt = defaultdict(int)
+    doc_toks = []
+    for did, src, text in zip(docs.doc_id, docs.source, docs.text):
+        toks = text.split(" ")
+        for t in toks:
+            cnt[(src, t)] += 1
+        doc_toks.append((did, set(toks)))
+    n_docs = len(doc_toks)
+    top = defaultdict(list)
+    for (src, t), n in sorted(cnt.items(), key=lambda kv: (kv[0][0],
+                                                           -kv[1], kv[0][1])):
+        if len(top[src]) < 5:
+            top[src].append(t)
+    sel = {t for ts in top.values() for t in ts}
+    df = defaultdict(int)
+    co = defaultdict(int)
+    for _, toks in doc_toks:
+        present = sorted(toks & sel)
+        for t in present:
+            df[t] += 1
+        for i, a in enumerate(present):
+            for b in present[i + 1:]:
+                co[(a, b)] += 1
+    rows = []
+    for src, ts in top.items():
+        pmis, zero = [], 0
+        ts_sorted = sorted(ts)
+        for i, a in enumerate(ts_sorted):
+            for b in ts_sorted[i + 1:]:
+                ab = co.get((a, b), 0)
+                if ab == 0:
+                    zero += 1
+                else:
+                    pmis.append(math.log2(ab * n_docs / (df[a] * df[b])))
+        n_pairs = len(pmis) + zero
+        rows.append({"source": src, "n_pairs": n_pairs,
+                     "n_zero_pairs": zero,
+                     "mean_pmi": rnd(sum(pmis) / len(pmis), 4)
+                     if pmis else None})
+    check("q310_source_coherence", rows, ["source"],
+          {"mean_pmi": ("tol", 6e-5)})
+
+
+CHECKS = [q147, q168, q185, q190, q208, q209, q210, q211, q213, q216,
+          q240, q243, q246, q270, q274, q275, q283, q287, q288, q300,
+          q302, q303, q306, q308, q310, q311, q313]
 
 for fn in CHECKS:
     try:
