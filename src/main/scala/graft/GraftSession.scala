@@ -31,20 +31,25 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Parsed `SPARK_GRAFT_EXTRA_CONF="k=v;k=v"` pairs — arbitrary session
+    * conf for harness experiments (e.g. a speculation-mode sweep:
+    * spark.speculation=true;spark.speculation.quantile=0.3) without a
+    * per-experiment rebuild.
+    */
+  private def extraConf: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).filter(_.contains('='))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        (k.trim, v.trim)
+      }
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
     val b0 = SparkSession.builder().master(master)
-    // `SPARK_GRAFT_EXTRA_CONF="k=v;k=v"` — arbitrary session conf for
-    // harness experiments (e.g. a speculation-mode sweep:
-    // spark.speculation=true;spark.speculation.quantile=0.3) without a
-    // per-experiment rebuild. Applied BEFORE the pinned conf below
-    // (later .config wins in SparkSession.Builder), so an experiment
-    // cannot silently override the correctness-critical pins.
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
-      s.split(';').filter(_.contains('=')).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        b0.config(k.trim, v.trim)
-      }
-    }
+    // Extra conf applied BEFORE the pinned conf below (later .config
+    // wins in SparkSession.Builder), so an experiment cannot silently
+    // override the correctness-critical pins.
+    extraConf.foreach { case (k, v) => b0.config(k, v) }
     b0
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -97,14 +102,17 @@ object GraftSession {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar",
       ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
-      // APPEND to (never clobber) options the user supplied through the
-      // standard programmatic channel — a `spark.executor.extraJavaOptions`
+      // APPEND to (never clobber) options the user supplied through
+      // either external channel — a `spark.executor.extraJavaOptions`
       // JVM system property (how spark-defaults reach an in-process
-      // SparkConf) — so soak-time GC tuning survives the injection
-      val prior = sys.props.get("spark.executor.extraJavaOptions")
+      // SparkConf) or the SPARK_GRAFT_EXTRA_CONF env hook (whose
+      // builder-time .config this pinned one would otherwise silently
+      // shadow) — so soak-time GC tuning survives the injection
+      val prior = (sys.props.get("spark.executor.extraJavaOptions").toSeq ++
+        extraConf.collect { case ("spark.executor.extraJavaOptions", v) => v })
         .map(_.trim).filter(_.nonEmpty)
       b.config("spark.executor.extraJavaOptions",
-        (prior.toSeq :+ addOpens).mkString(" "))
+        (prior :+ addOpens).mkString(" "))
     }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

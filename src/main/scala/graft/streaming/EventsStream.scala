@@ -35,18 +35,50 @@ object EventsStream {
     // (driver-side metadata stat, like the footer read above). Stateful
     // state cardinality grows with the input, so the state width must
     // track the workload, not the fixture tuning — the
-    // Par.pairExpansionWidth lesson applied to streaming state.
-    try spark.conf.set("spark.graft.streaming.inputBytesHint",
-      java.nio.file.Files.size(
-        java.nio.file.Paths.get(dir, "events.parquet")).toString)
-    catch { case _: Throwable => () } // non-local path: keep last/default
-    // file stream sources take directories; pathGlobFilter selects the one
-    // events file
-    val raw = spark.readStream.schema(stored)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    graft.cube.Engine.adaptTs(raw)
+    // Par.pairExpansionWidth lesson applied to streaming state. Summed
+    // through the Hadoop FS API (java.nio Files.size on a MULTI-FILE
+    // parquet directory returns the ~4 KB directory entry, silently
+    // collapsing the width to the floor), and refreshed per dir — on
+    // failure the hint is CLEARED, never left stale from a previous
+    // dataset in the same session.
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      spark.conf.set("spark.graft.streaming.inputBytesHint",
+        fs.getContentSummary(p).getLength.toString)
+    } catch { case _: Throwable =>
+      spark.conf.set("spark.graft.streaming.inputBytesHint", "0")
+    }
+    graft.cube.Engine.adaptTs(streamTable(spark, dir, "events", stored))
       .withColumn("ts", col("ts").cast(TimestampType))
+  }
+
+  /** Stream a fixture table, handling both physical layouts a parquet
+    * table ships in: a single FILE `$dir/<table>.parquet` (the fixture
+    * generator's shape — file stream sources take directories, so the
+    * file is selected with pathGlobFilter against its parent) and a
+    * DIRECTORY of part files (the layout every distributed writer
+    * produces — streamed directly, which is also what lets
+    * `maxFilesPerTrigger` split the load into real micro-batches).
+    * `spark.graft.streaming.maxFilesPerTrigger` bounds per-trigger file
+    * count when set — the multi-batch knob the driver-restart chaos
+    * harness uses to make checkpoint RESUME meaningful (some batches
+    * committed, some not).
+    */
+  private def streamTable(spark: SparkSession, dir: String, table: String,
+      schema: StructType): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val reader = spark.readStream.schema(schema)
+    spark.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+      .foreach(reader.option("maxFilesPerTrigger", _))
+    val isDir =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).isDirectory
+      } catch { case _: Throwable => false }
+    if (isDir) reader.parquet(path)
+    else reader.option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
   /** Ephemeral checkpoint dir for the in-process drain harness. The
@@ -64,15 +96,34 @@ object EventsStream {
     * drain harness below.
     */
   private def scratchCheckpoint(spark: SparkSession, name: String): Option[String] = {
-    val root = spark.conf.getOption("spark.graft.streaming.scratchDir")
-      .orElse {
-        val shm = java.nio.file.Paths.get("/dev/shm")
-        if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) Some("/dev/shm") else None
-      }
-    root.map(r => s"$r/graft_ckpt_" +
-      s"${spark.sparkContext.applicationId}_${name}_${System.nanoTime()}")
+    // `spark.graft.streaming.pinnedCkptRoot`: a STABLE per-drain
+    // checkpoint path (no applicationId/nanoTime) — the driver-restart
+    // chaos mode. A restarted JVM finds the killed run's offsets/state
+    // under the same path and RESUMES instead of reprocessing from
+    // offset zero; on clean completion the drain still deletes it, so
+    // the pin changes nothing for successful runs.
+    spark.conf.getOption("spark.graft.streaming.pinnedCkptRoot") match {
+      case Some(root) => Some(s"$root/$name")
+      case None =>
+        val root = spark.conf.getOption("spark.graft.streaming.scratchDir")
+          .orElse {
+            val shm = java.nio.file.Paths.get("/dev/shm")
+            if (java.nio.file.Files.isDirectory(shm) &&
+              java.nio.file.Files.isWritable(shm)) Some("/dev/shm") else None
+          }
+        root.map(r => s"$r/graft_ckpt_" +
+          s"${spark.sparkContext.applicationId}_${name}_${System.nanoTime()}")
+    }
   }
+
+  /** True when a pinned checkpoint from an interrupted prior run exists
+    * for this drain — the restarted JVM must then KEEP the sink (batches
+    * the dead run committed live there; the resumed stream writes only
+    * the rest) instead of resetting it.
+    */
+  private def resuming(spark: SparkSession, name: String): Boolean =
+    spark.conf.getOption("spark.graft.streaming.pinnedCkptRoot")
+      .exists(root => sinkExists(spark, s"$root/$name"))
 
   /** Scoped session conf every STATEFUL drain runs under (restored on
     * exit):
@@ -131,11 +182,60 @@ object EventsStream {
     }
   }
 
+  /** Drain a Complete-mode stateful stream through `foreachBatch` into
+    * an overwrite parquet sink, the per-trigger `rollup` applied
+    * EXECUTOR-SIDE — the q163 lesson made reusable: in Complete mode a
+    * memory sink materializes the FULL state (user-grain,
+    * corpus-growing) on the driver, while inside foreachBatch the
+    * state is a distributed frame, so the rollup and the write both
+    * stay on executors and the driver only ever holds the stream
+    * handle. Each trigger overwrites the sink (Complete semantics —
+    * results depend only on the final state, so the last trigger's
+    * rewrite is the drained answer). Returns the sunk frame, or None
+    * when no trigger fired (empty source) so callers can supply their
+    * empty-schema frame.
+    */
+  private def drainCompleteToParquet(df: DataFrame, name: String)(
+      rollup: DataFrame => DataFrame): Option[DataFrame] = {
+    val spark = df.sparkSession
+    spark.streams.active.filter(_.name == s"graft_stream_$name")
+      .foreach(_.stop())
+    val sink = batchSink(spark, name)
+    if (!resuming(spark, name)) resetSink(spark, sink)
+    withStatefulDrainConf(spark) {
+      val ckpt = scratchCheckpoint(spark, name)
+      val writer = df.writeStream.outputMode(OutputMode.Complete())
+        .queryName(s"graft_stream_$name")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          rollup(batch).write.mode("overwrite").parquet(sink)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      ckpt.foreach(writer.option("checkpointLocation", _))
+      // try/finally: a failed or interrupted stream must not leak the
+      // scratch/reliable checkpoint directory (matches runToMemory)
+      try {
+        val q = writer.start()
+        q.awaitTermination()
+      } finally ckpt.foreach(resetSink(spark, _))
+    }
+    if (sinkExists(spark, sink)) Some(spark.read.parquet(sink)) else None
+  }
+
   private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     spark.streams.active.filter(_.name == name).foreach(_.stop())
     withStatefulDrainConf(spark) {
       val ckpt = scratchCheckpoint(spark, name)
+      // A PINNED checkpoint left behind by a killed run is DELETED here,
+      // never resumed: this drain's memory sink died with the old
+      // process, so resuming the offsets would leave the new sink
+      // permanently missing every pre-kill Append/Update emission.
+      // Resume-on-restart is only valid when the sink outlives the
+      // process (drainCompleteToParquet / the __bid parquet sinks); a
+      // volatile-sink drain restarts from zero. No-op for the default
+      // nanoTime scratch paths (they never pre-exist).
+      ckpt.foreach(resetSink(spark, _))
       try {
         // AvailableNow, not default-trigger + processAllAvailable + stop:
         // the end offsets are computed once at start, the engine runs
@@ -189,42 +289,20 @@ object EventsStream {
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("user_id"))
       .agg(count(lit(1)).as("__n"))
-    // foreachBatch, NOT the memory sink: in Complete mode the sink
-    // receives one row per (window, user) — USER-grain, corpus-growing
-    // (~28M rows at the 100× fixture) — and a memory sink materializes
-    // all of it on the driver. Inside foreachBatch the complete state is
-    // a distributed frame, so the per-window COUNT rolls up executor-side
-    // and only #window-days rows (calendar-bounded) ever exist anywhere
-    // narrow. Each trigger overwrites the parquet sink (Complete
-    // semantics); verdicts per window depend only on the final state, so
-    // the last trigger's rewrite is the drained result — same rows the
-    // old memory-sink plan produced, same oracle.
-    spark.streams.active.filter(_.name == "graft_stream_wau")
-      .foreach(_.stop())
-    val sink = batchSink(spark, "wau")
-    resetSink(spark, sink)
-    withStatefulDrainConf(spark) {
-      val ckpt = scratchCheckpoint(spark, "wau")
-      val writer = perUserWin.writeStream.outputMode(OutputMode.Complete())
-        .queryName("graft_stream_wau")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.groupBy((col("w.start") + expr("INTERVAL 6 DAYS"))
-              .cast(TimestampNTZType).as("win_day"))
-            .agg(count(lit(1)).as("active_7d"))
-            .write.mode("overwrite").parquet(sink)
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      ckpt.foreach(writer.option("checkpointLocation", _))
-      val q = writer.start()
-      q.awaitTermination()
-      ckpt.foreach(resetSink(spark, _))
-    }
-    val out = if (!sinkExists(spark, sink))
+    // drainCompleteToParquet, NOT the memory sink: in Complete mode the
+    // sink receives one row per (window, user) — USER-grain,
+    // corpus-growing (~28M rows at the 100× fixture) — so the
+    // per-window COUNT rolls up executor-side inside foreachBatch and
+    // only #window-days rows (calendar-bounded) ever exist anywhere
+    // narrow.
+    val out = drainCompleteToParquet(perUserWin, "wau") { batch =>
+      batch.groupBy((col("w.start") + expr("INTERVAL 6 DAYS"))
+          .cast(TimestampNTZType).as("win_day"))
+        .agg(count(lit(1)).as("active_7d"))
+    }.getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("win_day", TimestampNTZType),
-          StructField("active_7d", LongType))))
-    else spark.read.parquet(sink)
+          StructField("active_7d", LongType)))))
     out.orderBy(col("win_day"))
   }
 
@@ -236,9 +314,13 @@ object EventsStream {
     * bounded by key cardinality, no raw-log retention) — and the
     * snapshot merge runs batch-side on the drained latest-op table
     * through the SAME `Merge.applyLatestOps` the batch path uses, so the
-    * two paths cannot diverge semantically. At scale the memory sink is
-    * the state-store changelog and the merge is the periodic snapshot
-    * publish.
+    * two paths cannot diverge semantically. The latest-op state is
+    * USER-grain and corpus-growing — the exact structure q163's WAU
+    * drain heap-killed the driver-side memory sink with, one multiplier
+    * later on the curve — so it drains through
+    * [[drainCompleteToParquet]]: the changelog lands in a distributed
+    * parquet sink executor-side and the snapshot merge scans it back;
+    * at scale that sink IS the periodic snapshot publish.
     */
   def cdcStream(spark: SparkSession, dir: String,
       cutoff: String = "2024-01-16 00:00:00"): DataFrame = {
@@ -253,10 +335,16 @@ object EventsStream {
       .agg(max_by(
         struct(col("event_type"), col("value")),
         struct(col("ts"), col("event_id"))).as("op"))
-    val drained = runToMemory(latestOp, "graft_stream_cdc",
-      OutputMode.Complete())
-      .select(col("user_id"), col("op.event_type").as("event_type"),
+    val drained = drainCompleteToParquet(latestOp, "cdc") { batch =>
+      // struct flatten runs executor-side; the sink holds the drained
+      // latest-op changelog as a distributed table, never a driver frame
+      batch.select(col("user_id"), col("op.event_type").as("event_type"),
         col("op.value").as("value"))
+    }.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))))
     graft.operators.Merge.applyLatestOps(snapshot, drained)
   }
 
@@ -386,9 +474,18 @@ object EventsStream {
     * index layouts.
     */
   private def batchSink(spark: SparkSession, name: String): String = {
-    val root = spark.conf.get("spark.graft.indexDir",
-      System.getProperty("java.io.tmpdir"))
-    s"$root/graft_${name}_sink_${spark.sparkContext.applicationId}"
+    // `spark.graft.streaming.pinnedSinkRoot`: a STABLE per-drain sink
+    // path (no applicationId) — paired with pinnedCkptRoot in the
+    // driver-restart chaos mode, so the restarted JVM appends to the
+    // sink holding the dead run's committed batches instead of starting
+    // a fresh one keyed by its new applicationId.
+    spark.conf.getOption("spark.graft.streaming.pinnedSinkRoot") match {
+      case Some(root) => s"$root/graft_${name}_sink"
+      case None =>
+        val root = spark.conf.get("spark.graft.indexDir",
+          System.getProperty("java.io.tmpdir"))
+        s"$root/graft_${name}_sink_${spark.sparkContext.applicationId}"
+    }
   }
 
   private def hadoopFs(spark: SparkSession, path: String) =
@@ -426,31 +523,37 @@ object EventsStream {
     Similarity.ivfIndex(corpus, dir, nlist = 8) // warm: batches probe only
     // footer-only driver read at plan time; the stream reads the data
     val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    val queries = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
+    val queries = streamTable(spark, dir, "embeddings", schema)
       .filter(col("vec_id") < 5)
     spark.streams.active.filter(_.name == "graft_stream_ann").foreach(_.stop())
     val sink = batchSink(spark, "ann")
-    resetSink(spark, sink)
+    if (!resuming(spark, "ann")) resetSink(spark, sink)
     val ckpt = scratchCheckpoint(spark, "ann")
+    // per-batch IDEMPOTENT append: each micro-batch overwrites its OWN
+    // `__bid=<batchId>` partition directory. foreachBatch is
+    // at-least-once — a driver killed between the parquet write and the
+    // commit-log write re-runs that batch on restart, and a plain
+    // mode("append") would then hold its rows TWICE. Re-overwriting the
+    // same batch directory is a no-op instead, which upgrades the sink
+    // to exactly-once read-back under driver/executor loss.
     val writer = queries.writeStream.outputMode(OutputMode.Append())
       .queryName("graft_stream_ann")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         Similarity.ivfKnnJoin(corpus, batch, k = 3,
           nlist = 8, nprobe = 8, datasetKey = dir)
-          .write.mode("append").parquet(sink)
+          .write.mode("overwrite").parquet(s"$sink/__bid=$bid")
         ()
       }
     writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     ckpt.foreach(writer.option("checkpointLocation", _))
-    val q = writer.start()
-    q.awaitTermination() // AvailableNow self-terminates — see runToMemory
-    ckpt.foreach(resetSink(spark, _))
+    try {
+      val q = writer.start()
+      q.awaitTermination() // AvailableNow self-terminates — see runToMemory
+    } finally ckpt.foreach(resetSink(spark, _))
     val out = if (!sinkExists(spark, sink))
       Similarity.ivfKnnJoin(corpus, corpus.limit(0), k = 3,
         nlist = 8, nprobe = 8, datasetKey = dir)
-    else spark.read.parquet(sink)
+    else spark.read.parquet(sink).drop("__bid") // partition-dir batch id
     out.orderBy(col("q_id"), col("rk"))
   }
 
@@ -482,8 +585,7 @@ object EventsStream {
     // triggers probe the checkpointed frames
     val idx = Dedup.minhashJoinIndexShared(corpus, s"$dir#gate-corpus-50")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val stream = streamTable(spark, dir, "documents", schema)
       .filter(col("doc_id") < 50)
     spark.streams.active.filter(_.name == "graft_stream_gate").foreach(_.stop())
     def gate(batch: DataFrame): DataFrame = {
@@ -497,21 +599,25 @@ object EventsStream {
           coalesce(col("__n"), lit(0)).as("n_dups"), col("max_jaccard"))
     }
     val sink = batchSink(spark, "gate")
-    resetSink(spark, sink)
+    if (!resuming(spark, "gate")) resetSink(spark, sink)
     val ckpt = scratchCheckpoint(spark, "gate")
+    // per-batch idempotent append — see annEnrich: re-running a batch
+    // after a mid-write kill overwrites its own __bid directory instead
+    // of double-appending
     val writer = stream.writeStream.outputMode(OutputMode.Append())
       .queryName("graft_stream_gate")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        gate(batch).write.mode("append").parquet(sink)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        gate(batch).write.mode("overwrite").parquet(s"$sink/__bid=$bid")
         ()
       }
     writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     ckpt.foreach(writer.option("checkpointLocation", _))
-    val q = writer.start()
-    q.awaitTermination() // AvailableNow self-terminates — see runToMemory
-    ckpt.foreach(resetSink(spark, _))
+    try {
+      val q = writer.start()
+      q.awaitTermination() // AvailableNow self-terminates — see runToMemory
+    } finally ckpt.foreach(resetSink(spark, _))
     val out = if (!sinkExists(spark, sink)) gate(docs.filter(lit(false)))
-    else spark.read.parquet(sink)
+    else spark.read.parquet(sink).drop("__bid") // partition-dir batch id
     out.orderBy(col("doc_id"))
   }
 
@@ -774,9 +880,19 @@ object EventsStream {
           state.update(next)
           UserSummary(uid, next.n, next.lastType, next.total)
       }
+    // latest-state read of the Update-mode changelog: the memory table
+    // holds one row per (user, trigger that touched it) — per-user the
+    // running n_events is strictly monotone, so max_by(n_events) IS the
+    // final state. Without this fold the drain was only correct when
+    // the fixture drove as a single micro-batch (caught live by the
+    // multi-batch driver-restart chaos probe).
     runToMemory(summarized.toDF(), "graft_stream_users", OutputMode.Update())
-      .select(col("user_id"), col("n_events"), col("last_type"),
-        round(col("total_value"), 2).as("total_value"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_events"), col("last_type"),
+        col("total_value")), col("n_events")).as("__s"))
+      .select(col("user_id"), col("__s.n_events").as("n_events"),
+        col("__s.last_type").as("last_type"),
+        round(col("__s.total_value"), 2).as("total_value"))
       .orderBy(col("user_id"))
   }
 
@@ -824,9 +940,15 @@ object EventsStream {
     try {
       val out = evs.groupByKey(_.user_id)
         .transformWithState(new SpendProcessor, TimeMode.None(), OutputMode.Update())
+      // latest-state changelog fold — see userSummaries: one row per
+      // (user, touching trigger) in Update mode; monotone n_events
+      // selects the final state
       runToMemory(out.toDF(), "graft_stream_tws", OutputMode.Update())
-        .select(col("user_id"), col("n_events"),
-          round(col("total_value"), 2).as("total_value"))
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("n_events"), col("total_value")),
+          col("n_events")).as("__s"))
+        .select(col("user_id"), col("__s.n_events").as("n_events"),
+          round(col("__s.total_value"), 2).as("total_value"))
         .orderBy(col("user_id"))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)

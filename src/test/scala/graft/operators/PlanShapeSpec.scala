@@ -109,7 +109,11 @@ class PlanShapeSpec extends SparkFunSuite {
     // frame on both sides, so a forced broadcast dies collecting it at
     // scale. Only the 1-row order-count frame may broadcast (its
     // BroadcastNestedLoopJoin cross join is the legitimate one).
+    // final plan only: the no-broadcast assertion must not trip on
+    // AQE's pre-final "== Initial Plan ==" text (same normalization as
+    // the shuffle-regime lint above)
     val plan = planOf("q184_market_basket")
+      .split("== Initial Plan ==").head
     assert(plan.contains("REPARTITION_BY_NUM"),
       "q184 lost its forecast-width repartitions")
     assert(!plan.contains("BroadcastHashJoin"),

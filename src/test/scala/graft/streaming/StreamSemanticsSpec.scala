@@ -483,6 +483,20 @@ class StreamSemanticsSpec extends SparkFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("user-grain Complete drains never reach a driver memory sink") {
+    // the q163 lesson, structurally asserted for both corpus-growing
+    // Complete-mode drains: a memory sink would register a temp view
+    // named after the query; the foreachBatch parquet shape registers
+    // nothing, so the view's absence proves the user-grain state only
+    // ever existed as a distributed frame
+    graft.streaming.EventsStream.cdcStream(spark, sf).collect()
+    assert(!spark.catalog.tableExists("graft_stream_cdc"),
+      "q175's latest-op changelog leaked into a driver memory sink")
+    graft.streaming.EventsStream.slidingActiveUsers(spark, sf).collect()
+    assert(!spark.catalog.tableExists("graft_stream_wau"),
+      "q163's (window, user) state leaked into a driver memory sink")
+  }
+
   test("session paths: every path has at most 3 hops and counts sum to sessions") {
     val paths = graft.streaming.EventsStream.topSessionPaths(spark, sf)
       .collect()

@@ -7,6 +7,10 @@
 # oracle check); this script only injects the failures, mimicking what a
 # spot/preemptible cluster does to executors mid-query.
 #
+# Victims are scoped to DESCENDANTS of the launched main (sbt → driver
+# JVM → executor JVMs), so a concurrent Spark app on the same host can
+# never be collateral damage.
+#
 # Usage: chaos_run.sh <logfile> <kill_at_s> <kill_at_s> -- <cmd...>
 set -u
 LOG=$1
@@ -14,15 +18,32 @@ K1=$2
 K2=$3
 shift 4
 
+if [ "$K2" -le "$K1" ]; then
+  echo "[chaos] K2 ($K2) must be > K1 ($K1)" >&2
+  exit 2
+fi
+
 "$@" >"$LOG" 2>&1 &
 MAIN=$!
+
+descendants() { # transitive child pids of $1, space-separated
+  local k
+  for k in $(pgrep -P "$1" 2>/dev/null); do
+    printf '%s ' "$k"
+    descendants "$k"
+  done
+}
 
 kill_one() {
   # Newest executor first: the replacement executor a standalone worker
   # respawns after the first kill must not be the only process we ever
   # target, and the driver-side backend is not named ExecutorBackend.
-  local victim
-  victim=$(pgrep -f CoarseGrainedExecutorBackend | tail -1)
+  local desc victim p
+  desc=" $(descendants "$MAIN")"
+  victim=""
+  for p in $(pgrep -f CoarseGrainedExecutorBackend); do
+    case "$desc" in *" $p "*) victim=$p ;; esac
+  done
   if [ -n "${victim:-}" ]; then
     kill -9 "$victim" && echo "[chaos] killed executor pid $victim at T+$1s"
   else
