@@ -114,6 +114,22 @@ object GraftSession {
       b.config("spark.executor.extraJavaOptions",
         (prior :+ addOpens).mkString(" "))
     }
+    if (master.startsWith("local-cluster")) {
+      // local-cluster[n, cores, mem] sizes each WORKER's capacity at
+      // `mem` MiB — but the executor JVM still launches at the
+      // spark.executor.memory DEFAULT (-Xmx1024M) unless set, a silent
+      // 8x heap under-provision (discovered round 17: every
+      // "[4,8,8192]" soak executor had been running on a 1 GiB heap —
+      // 8 task threads x 128 MiB). Default the executor heap to the
+      // worker capacity so the master string means what it says; an
+      // explicit spark.executor.memory (sys-prop or extra-conf hook)
+      // still wins.
+      val memMb = master.stripPrefix("local-cluster[").stripSuffix("]")
+        .split(',')(2).trim
+      if (sys.props.get("spark.executor.memory").isEmpty &&
+          !extraConf.exists(_._1 == "spark.executor.memory"))
+        b.config("spark.executor.memory", s"${memMb}m")
+    }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_RELIABLE_CKPT_DIR").foreach { dir =>
