@@ -163,12 +163,30 @@ object Dedup {
       exploded: DataFrame,
       bucketCols: Seq[String],
       idCol: String,
-      maxBucketSize: Int): DataFrame = {
-    val grouped = exploded
+      maxBucketSize: Int,
+      width: Option[Int] = None): DataFrame = {
+    // `width` (from Par.starPairWidth — Σ capped pair mass over the
+    // bucket-size frame) spreads the in-bucket expansion: the bucket
+    // frame is tiny in BYTES but quadratic in what each row explodes
+    // into, so AQE coalesces the aggregate's read side to a handful of
+    // tasks and the explode plus the pair-distinct's map-side hash map
+    // serialize there — observed live on q27 at the 100× fixture as one
+    // 49 s stage: 10 tasks, 219M pair rows, 10.6 GB of spill. An
+    // explicit-count repartition is not AQE-coalescible; the pair-grain
+    // repartition BELOW the distinct additionally satisfies its
+    // distribution, so no partial aggregate forms on the exploding side
+    // at all — pair rows stream thin into the exchange and the distinct
+    // map (the unspillable working set the width protects) builds at
+    // forecast grain. Callers without a cheaply-staged bucket-size
+    // frame (minhash's band hashes would re-pay 64 hash passes per doc
+    // to count) keep the default; their pair mass is verify-bounded and
+    // has stayed inside the session width at every probed scale.
+    val grouped0 = exploded
       .groupBy(bucketCols.map(col): _*)
       .agg(collect_set(col(idCol)).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(sort_array(col("ids")).as("ids"))
+    val grouped = width.fold(grouped0)(w => grouped0.repartition(w))
     val allPairs = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
         struct(x.as("a"), y.as("b")))))
@@ -176,9 +194,10 @@ object Dedup {
       struct(element_at(col("ids"), 1).as("a"), y.as("b")))
     val pairs = when(size(col("ids")) <= maxBucketSize, allPairs)
       .otherwise(starPairs)
-    grouped.select(explode(pairs).as("p"))
+    val flat = grouped.select(explode(pairs).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
+    width.fold(flat.distinct())(w =>
+      flat.repartition(w, col("doc_a"), col("doc_b")).distinct())
   }
 
   /** Exact n-gram Jaccard on candidate pairs: join shingle sets back and
@@ -780,7 +799,21 @@ object Dedup {
           shiftrightunsigned(col("fp"), c * width).bitwiseAND(lit(mask)).as("sig"))
       }: _*)).as("c"))
       .select(col("doc_id"), col("c.chunk").as("chunk"), col("c.sig").as("sig"))
-    val cand = bucketPairs(exploded, Seq("chunk", "sig"), "doc_id", maxBucketSize)
+    // Pair stages at FORECAST width (Par.starPairWidth over the staged
+    // bucket-size frame): 16-bit pigeonhole chunks collide at C(n,2)/2^16
+    // per chunk even on random text, so the candidate mass grows with
+    // the SQUARE of the corpus while the bucket frame's byte size does
+    // not — the q184/q292 width class. The count groupBy reads the
+    // checkpointed (doc_id, fp) blocks — a thin re-slice, not a second
+    // signature pass — and its bucket-grain output (filtered to
+    // colliding buckets) is what gets staged, never the postings.
+    val dfc = Scratch.staged(exploded
+      .groupBy(col("chunk"), col("sig"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2))
+    val pairWidth = Par.starPairWidth(dfc, "__df", maxBucketSize)
+    val cand = bucketPairs(exploded, Seq("chunk", "sig"), "doc_id",
+      maxBucketSize, Some(pairWidth))
     // Candidate pairs × fingerprints: both sides corpus-grain — shuffle
     // regime (q27 died at the 100x fixture when AQE broadcast the 1.4 GiB
     // candidate frame off its compressed-shuffle underestimate).

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
 
 /** Parallelism guard for heavy per-row map stages.
   *
@@ -122,14 +122,44 @@ private[graft] object Par {
     * the caller's keep-list join.
     */
   def pairExpansionWidth(dfCounts: DataFrame, dfCol: String,
-      maxDf: Int): Int = {
+      maxDf: Int): Int =
+    widthFromTwiceMass(dfCounts, dfCounts
+      .filter(col(dfCol) <= maxDf)
+      .agg(coalesce(sum(col(dfCol) * (col(dfCol) - lit(1L))), lit(0L))))
+
+  /** [[pairExpansionWidth]] for STAR-degrading bucket expansions
+    * ([[Dedup.bucketPairs]]): a bucket over `cap` is not DROPPED from
+    * the output — it emits a linear star of (size − 1) pairs — so its
+    * mass is counted linearly instead of excluded. Same knobs, same
+    * staged-frame precondition, same explicit-count contract (pass the
+    * result as `repartition(width, …)` — AQE cannot see the in-bucket
+    * expansion in the map-stage byte stats and would otherwise coalesce
+    * the bucket frame to a handful of tasks, serializing the explode
+    * and the pair-distinct's map-side aggregate; observed live as q27's
+    * 219M-record, 10.6 GB-spill, 10-task stage at the 100× fixture).
+    */
+  def starPairWidth(dfCounts: DataFrame, dfCol: String, cap: Int): Int =
+    widthFromTwiceMass(dfCounts, dfCounts
+      .agg(coalesce(sum(
+        when(col(dfCol) <= cap, col(dfCol) * (col(dfCol) - lit(1L)))
+          .otherwise((col(dfCol) - lit(1L)) * lit(2L))), lit(0L))))
+
+  /** Common tail of the pair-width forecasts: assert the staged-frame
+    * precondition, run the 1-row eager mass aggregate (`massAgg` must
+    * produce 2× the distinct-pair mass — the C(df,2) sums are written
+    * un-divided as df·(df−1) to stay integer-exact), and clamp to
+    * [defaultParallelism, spark.graft.maxPairWidth] at
+    * `spark.graft.pairsPerPartition` pairs per task.
+    */
+  private def widthFromTwiceMass(dfCounts: DataFrame,
+      massAgg: DataFrame): Int = {
     val staged = dfCounts.queryExecution.analyzed.collectLeaves().forall {
       case _: org.apache.spark.sql.execution.LogicalRDD => true
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
       case _ => false
     }
     require(staged,
-      "pairExpansionWidth needs a staged df-counts frame " +
+      "pair-width forecasts need a staged df-counts frame " +
         "(Scratch.stage/staged): the forecast aggregate is eager, and " +
         "an unstaged frame would re-pay its postings groupBy shuffle " +
         "here and again at the caller's keep-list join")
@@ -137,10 +167,7 @@ private[graft] object Par {
     val target =
       sp.conf.get("spark.graft.pairsPerPartition", "1000000").toLong
     val maxW = sp.conf.get("spark.graft.maxPairWidth", "4096").toInt
-    val twiceMass = dfCounts
-      .filter(col(dfCol) <= maxDf)
-      .agg(coalesce(sum(col(dfCol) * (col(dfCol) - lit(1L))), lit(0L)))
-      .head().getLong(0)
+    val twiceMass = massAgg.head().getLong(0)
     val par = sp.sparkContext.defaultParallelism
     math.min(maxW,
       math.max(par, math.ceil(twiceMass / 2.0 / target).toInt))

@@ -66,7 +66,7 @@ class PlanShapeSpec extends SparkFunSuite {
     assertShuffleOnly("minhashPairs",
       graft.operators.Dedup.minhashPairs(docs))
     assertShuffleOnly("simhashPairs",
-      graft.operators.Dedup.simhashPairs(docs))
+      graft.operators.Dedup.simhashPairs(docs), forecastWidth = true)
     assertShuffleOnly("minhashJoin",
       graft.operators.Dedup.minhashJoin(
         docs.filter(col("doc_id") % 2 === 0),
@@ -94,6 +94,12 @@ class PlanShapeSpec extends SparkFunSuite {
     // hot keys above maxDf are excluded from the forecast exactly as
     // they are excluded from the join itself
     assert(graft.operators.Par.pairExpansionWidth(dfs, "__df", 5) == par)
+    // star-degrading buckets (bucketPairs): a bucket over the cap is
+    // counted LINEARLY (size − 1 star pairs), not excluded — 12 docs in
+    // one capped bucket forecast 11 pairs, not 66 and not 0 — the
+    // linear mass clamps up to the session parallelism like any tiny mass
+    assert(graft.operators.Par.starPairWidth(dfs, "__df", 1000) == 7)
+    assert(graft.operators.Par.starPairWidth(dfs, "__df", 5) == par)
     // the local-mode task-overhead cap clamps DOWN
     s2.conf.set("spark.graft.maxPairWidth", "6")
     assert(graft.operators.Par.pairExpansionWidth(dfs, "__df", 1000) == 6)

@@ -22,6 +22,8 @@ for line in open(path, errors="replace"):
         ev = json.loads(line)
     except json.JSONDecodeError:
         continue
+    if not isinstance(ev, dict):  # rolling-log version marker line
+        continue
     t = ev.get("Event")
     if t == "SparkListenerStageCompleted":
         si = ev["Stage Info"]
