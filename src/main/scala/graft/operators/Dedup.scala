@@ -805,12 +805,17 @@ object Dedup {
     // the SQUARE of the corpus while the bucket frame's byte size does
     // not — the q184/q292 width class. The count groupBy reads the
     // checkpointed (doc_id, fp) blocks — a thin re-slice, not a second
-    // signature pass — and its bucket-grain output (filtered to
-    // colliding buckets) is what gets staged, never the postings.
-    val dfc = Scratch.staged(exploded
+    // signature pass — so the counts frame is passed UN-staged: its
+    // LEAVES are the staged sigd (which is what the forecast's
+    // precondition actually guards — truncated upstream), and with the
+    // forecast as its only consumer a checkpoint of the bucket-grain
+    // counts would be a pure extra materialization job (measured
+    // +~1 s at sf0.1; the postings-pair pipelines stage theirs because
+    // the keep-list join reads it a second time).
+    val dfc = exploded
       .groupBy(col("chunk"), col("sig"))
       .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2))
+      .filter(col("__df") >= 2)
     val pairWidth = Par.starPairWidth(dfc, "__df", maxBucketSize)
     val cand = bucketPairs(exploded, Seq("chunk", "sig"), "doc_id",
       maxBucketSize, Some(pairWidth))
