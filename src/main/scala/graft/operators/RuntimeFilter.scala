@@ -52,9 +52,9 @@ object RuntimeFilter {
     * ANSI semi join: the bloom is exact by construction.
     */
   def bloomNationLineitems(spark: SparkSession, dir: String): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    val sup = spark.read.parquet(s"$dir/supplier.parquet")
-    val nat = spark.read.parquet(s"$dir/nation.parquet")
+    val li = graft.cube.Engine.datasetTable(spark, s"$dir/lineitem.parquet")
+    val sup = graft.cube.Engine.datasetTable(spark, s"$dir/supplier.parquet")
+    val nat = graft.cube.Engine.datasetTable(spark, s"$dir/nation.parquet")
     val germanSup = sup.join(nat, sup("s_nationkey") === nat("n_nationkey"))
       .filter(col("n_name") === "NATION_7")
       .select(col("s_suppkey"))

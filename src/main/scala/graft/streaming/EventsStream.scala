@@ -30,7 +30,7 @@ object EventsStream {
     * at the output edge.
     */
   private def streamingEvents(spark: SparkSession, dir: String): DataFrame = {
-    val stored = spark.read.parquet(s"$dir/events.parquet").schema
+    val stored = graft.cube.Engine.datasetSchema(spark, s"$dir/events.parquet")
     // Input-size hint for the drain harness's stateful-partition width
     // (driver-side metadata stat, like the footer read above). Stateful
     // state cardinality grows with the input, so the state width must
@@ -522,7 +522,7 @@ object EventsStream {
     val corpus = new graft.cube.Engine(spark, dir).table("embeddings")
     Similarity.ivfIndex(corpus, dir, nlist = 8) // warm: batches probe only
     // footer-only driver read at plan time; the stream reads the data
-    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val schema = graft.cube.Engine.datasetSchema(spark, s"$dir/embeddings.parquet")
     val queries = streamTable(spark, dir, "embeddings", schema)
       .filter(col("vec_id") < 5)
     spark.streams.active.filter(_.name == "graft_stream_ann").foreach(_.stop())
@@ -584,7 +584,7 @@ object EventsStream {
     // warm: the corpus is shingled + signed once per (session, dataset);
     // triggers probe the checkpointed frames
     val idx = Dedup.minhashJoinIndexShared(corpus, s"$dir#gate-corpus-50")
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val schema = graft.cube.Engine.datasetSchema(spark, s"$dir/documents.parquet")
     val stream = streamTable(spark, dir, "documents", schema)
       .filter(col("doc_id") < 50)
     spark.streams.active.filter(_.name == "graft_stream_gate").foreach(_.stop())
@@ -820,7 +820,7 @@ object EventsStream {
     // physical-type assumption (the old getLong-of-nanos math broke when
     // the fixture moved to timestamp[us])
     val cutoffMicros = graft.cube.Engine
-      .adaptTs(spark.read.parquet(s"$dir/events.parquet"))
+      .adaptTs(graft.cube.Engine.datasetTable(spark, s"$dir/events.parquet"))
       .agg(least(
         max(when(col("event_type") === "click",
           unix_micros(col("ts").cast(TimestampType)))),
