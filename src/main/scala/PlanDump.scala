@@ -1,0 +1,22 @@
+/** Dev tool (delete before round close): dump .explain("formatted") for
+  * the named queries to <outDir>/<query>_<tag>.txt.
+  * Usage: sbt "runMain PlanDump <sfDir> <outDir> <tag> <q1,q2,...>"
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0); val out = args(1); val tag = args(2)
+    val names = args(3).split(',').toSeq
+    val spark = graft.GraftSession.local(32)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/${n}_$tag.txt"), txt)
+      println(s"PLANDUMP wrote $out/${n}_$tag.txt")
+      graft.operators.Scratch.releaseAll(spark)
+    }
+    spark.stop()
+  }
+}

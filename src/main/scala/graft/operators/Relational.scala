@@ -1505,12 +1505,25 @@ object Relational {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("o_orderkey").as("okey"),
         col("o_orderdate").as("start"), col("last_ship").as("end"))
-    val b = spans.select(col("cust"), col("okey").as("okey2"),
-      col("start").as("start2"), col("end").as("end2"))
-    val perCust = spans.join(b, "cust")
-      .filter(col("okey") < col("okey2") &&
-        col("start") <= col("end2") && col("start2") <= col("end"))
-      .groupBy(col("cust")).agg(count(lit(1)).as("n_overlap_pairs"))
+    // Pair counting per customer via one collect + an in-row
+    // higher-order aggregate instead of the customer-keyed self-join
+    // (the q184/q289 restructure family): the per-customer order list
+    // is business-bounded, the codegen'd lambda counts qualifying pairs
+    // without ever materializing them, and the plan drops from two
+    // exchanges of the span frame (both self-join sides) plus a
+    // customer-grain aggregate to ONE exchange plus the bounded
+    // histogram rollup. Same O(orders²) per-customer comparison mass,
+    // done where the data already sits.
+    val perCust = spans
+      .groupBy(col("cust"))
+      .agg(collect_list(struct(col("okey"), col("start"), col("end")))
+        .as("__os"))
+      .select(expr(
+        """aggregate(__os, 0L, (acc, x) -> acc +
+          |  size(filter(__os, y -> y.okey > x.okey AND
+          |    x.start <= y.end AND y.start <= x.end)))""".stripMargin)
+        .as("n_overlap_pairs"))
+      .filter(col("n_overlap_pairs") > 0)
     perCust.groupBy(col("n_overlap_pairs"))
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("n_overlap_pairs"))

@@ -124,6 +124,15 @@ class PlanShapeSpec extends SparkFunSuite {
       "q184 lost its forecast-width repartitions")
     assert(!plan.contains("BroadcastHashJoin"),
       "q184 must not broadcast the catalog-growing part-count frame")
+    // round-17 restructure: pair emission is a grouped collect_set +
+    // nested explodes over ONE fact exchange — the fact-grain self-join
+    // (and its two extra exchanges + sorts) must not come back; the
+    // only remaining joins are the thin part-count SHJ lookups
+    assert(!plan.contains("SortMergeJoin"),
+      "q184's fact self-join returned — pair emission should be the " +
+        "grouped collect_set, one fact exchange, no join")
+    assert(plan.contains("ObjectHashAggregate"),
+      "q184 lost its collect_set basket aggregate")
     graft.operators.Scratch.releaseAll(spark)
   }
 
