@@ -149,6 +149,19 @@ object Bench {
     // remains in the process log.
     def r2(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // Per-query visibility for the driver (additive, round 18): the full
+    // per-query line above never survives the ~2000-char tail, so the
+    // driver's PERF per-query/scaling blocks have been empty for rounds.
+    // This SECOND compact line carries the slowest 25 medians with full
+    // names at 2 decimals (~800 chars — it and the final totals line fit
+    // the tail together), mirroring the full line's schema so the same
+    // parser reads it; "partial" marks it as a slowest-25 subset, and
+    // failed queries (-1) are excluded like everywhere else. The final
+    // totals-only line below stays LAST and unchanged.
+    val slow25 = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r2(total)},"value_min":${r2(totalMin)},"builds_total":${r2(buildsTotal)},"unit":"sec","queries":$slow25,"partial":"slowest25","sf":"$sfDir"}""")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")

@@ -708,17 +708,21 @@ object Relational {
   }
 
   /** Market-basket mining: co-purchased part pairs within an order with
-    * support and lift — the a-priori association primitive. The pair
-    * join is keyed by the ORDER (self-join on l_orderkey), so fanout per
-    * key is C(lines-per-order, 2) — bounded by basket size, never by
-    * catalog size; the quadratic pairs-of-parts space is never formed.
-    * Lift stays integer-derived (support·N / (nₐ·n_b)) so both engines
-    * divide the same exact numerators.
+    * support and lift — the a-priori association primitive. Pair
+    * emission is GROUPED, not joined: one collect_set per order builds
+    * the (sorted, distinct) basket, and an in-row combination walk
+    * emits each part_a < part_b pair exactly once — fanout per order is
+    * C(lines-per-order, 2), bounded by basket size, never by catalog
+    * size; the quadratic pairs-of-parts space is never formed and the
+    * fact is exchanged ONCE (the old self-join exchanged it twice more
+    * and sorted both sides). Lift stays integer-derived
+    * (support·N / (nₐ·n_b)) so both engines divide the same exact
+    * numerators.
     *
     * Scale shape (the q292/q137 postings discipline applied to baskets):
-    * the self-join inputs AND the (part_a, part_b) support aggregate run
-    * at the FORECAST-proportional width — Σ C(basket, 2) over the staged
-    * per-order line counts — because pair mass grows with the corpus
+    * the (part_a, part_b) support aggregate runs at the
+    * FORECAST-proportional width — Σ C(basket, 2) over the staged
+    * per-order basket sizes — because pair mass grows with the corpus
     * while a session-static width does not: at the 100× fixture the
     * 32-wide support aggregate's spill-merge killed an executor-sized
     * heap outright (java.lang.OutOfMemoryError in
@@ -732,35 +736,44 @@ object Relational {
     */
   def marketBasket(spark: SparkSession, dir: String, minSupport: Int = 3,
       k: Int = 15): DataFrame = {
-    // li stays UN-staged: persisting a fact-grain frame storage-pins
-    // ~GBs per 100x of corpus and squeezes the unified pool until agg
-    // tasks cannot allocate their initial hash maps (measured live:
-    // UNABLE_TO_ACQUIRE_MEMORY at BytesToBytesMap init on 8 GiB
-    // executors) — identical subtrees reuse the distinct's exchange
-    // anyway. Only the bounded order-grain counts frame is staged (the
-    // pairExpansionWidth precondition).
-    val li = e(spark, dir).table("lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val partN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-    val orders = li.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val basketN = Scratch.staged(li.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("__df")))
-    val width = Par.pairExpansionWidth(basketN, "__df", Int.MaxValue)
-    // the self-join's BOTH sides grow with the corpus — pinned off the
-    // broadcast strategy (compressed-size misestimate hazard) and onto
-    // SORT-MERGE: an SHJ build here is fact-grain per partition and
-    // cannot spill — measured live at the 100× fixture as "Can't
-    // acquire … to build hash relation" with 8 concurrent builds per
-    // 8 GiB executor; the sort spills both thin (long, long) sides
-    // gracefully at any scale
-    val pairs = li
-      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .repartition(width, col("l_orderkey"))
-      .join(Par.mergeJoin(
-        li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-          .repartition(width, col("l_orderkey"))), Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
+    // ONE fact-grain exchange for the whole query: the grouped
+    // collect_set BOTH dedupes (orderkey, partkey) — so the separate
+    // distinct's exchange disappears — and assembles the basket array
+    // the pair emission needs. Baskets are business-bounded (≤
+    // lines-per-order parts, ≤ C(7,2)=21 pairs at this schema), so the
+    // order-grain basket frame is safe to stage, and staging it lets
+    // the part counts, the order count, the width forecast AND the pair
+    // emission all read the checkpointed blocks instead of re-running
+    // the fact aggregate. This replaces the fact-grain sort-merge
+    // self-join (two extra exchanges + sorts of (long, long) fact rows,
+    // and a 2× transient row flow through the part_a < part_b filter)
+    // with an in-row combination walk over the sorted basket: pairs are
+    // emitted exactly once, where the data already sits.
+    val baskets = Scratch.staged(e(spark, dir).table("lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts")))
+    val partN = baskets.select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val orders = baskets.agg(count(lit(1)).as("n_orders"))
+    val width = Par.pairExpansionWidth(
+      baskets.select(size(col("parts")).cast("long").as("__df")),
+      "__df", Int.MaxValue)
+    // parts is sorted ascending and distinct, so pairing element i with
+    // every later element enumerates exactly the part_a < part_b pairs
+    // the old self-join kept. The higher-order transform/slice builds
+    // the ≤21-entry pair array per order in-row (interpreted
+    // expressions, but over business-bounded arrays — the fact-grain
+    // join it replaces shuffled the whole corpus twice); the support
+    // aggregate still runs at the forecast-proportional width (an
+    // explicit count repartition — AQE cannot see the in-row expansion
+    // in the map-stage byte stats, the q27/q292 lesson).
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts) - i - 1),
+          |    y -> named_struct('part_a', x, 'part_b', y))))"""
+          .stripMargin)).as("pr"))
+      .select(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
       .repartition(width, col("part_a"), col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("support"))
@@ -1508,13 +1521,20 @@ object Relational {
     // Pair counting per customer via one collect + an in-row
     // higher-order aggregate instead of the customer-keyed self-join
     // (the q184/q289 restructure family): the per-customer order list
-    // is business-bounded, the codegen'd lambda counts qualifying pairs
-    // without ever materializing them, and the plan drops from two
-    // exchanges of the span frame (both self-join sides) plus a
-    // customer-grain aggregate to ONE exchange plus the bounded
-    // histogram rollup. Same O(orders²) per-customer comparison mass,
-    // done where the data already sits.
+    // is business-bounded, the interpreted aggregate/filter lambdas
+    // count qualifying pairs without ever materializing them (HOF
+    // expressions are not whole-stage-codegen'd, but they run over
+    // ≤~30-element arrays — noise next to the two fact exchanges they
+    // replace), and the plan drops from two exchanges of the span frame
+    // (both self-join sides) plus a customer-grain aggregate to ONE
+    // exchange plus the bounded histogram rollup. Same O(orders²)
+    // per-customer comparison mass, done where the data already sits.
+    // The isNotNull filter pins the old inner-self-join semantics (an
+    // equi-join never matches NULL keys; groupBy would keep a NULL
+    // group) — o_custkey is never null in this schema, so it is a
+    // no-op on results, asserted by the oracle hash.
     val perCust = spans
+      .filter(col("cust").isNotNull)
       .groupBy(col("cust"))
       .agg(collect_list(struct(col("okey"), col("start"), col("end")))
         .as("__os"))
