@@ -742,25 +742,45 @@ object Corpus {
     * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Lucene form,
     * always positive).
     *
-    * Scale shape: TWO corpus scans total. The tf scan carries the doc
-    * length alongside the exploded tokens, and the term IN-list prunes
-    * BELOW the aggregation (plan-asserted), so the shuffle holds at most
-    * |terms| rows per doc and no join back to the corpus is needed; the
-    * stats scan is a 1-row aggregate. df (|terms| rows) and stats are
-    * broadcast; the final top-k is TakeOrderedAndProject. FP op order
-    * matches the registered oracle exactly (constants written as the
-    * same expressions, left-associated), so scores hash-compare at 4 dp.
+    * Scale shape: ONE corpus scan total (round 18; was two). A single
+    * tokenize pass stages the doc-grain (dl, in-row-pruned query-term
+    * occurrences) frame; corpus stats aggregate those blocks and the tf
+    * explode emits only query-term rows, so the shuffle holds at most
+    * |terms| rows per doc and no join back to the corpus is needed.
+    * df (|terms| rows) and stats are broadcast; the final top-k is
+    * TakeOrderedAndProject. FP op order matches the registered oracle
+    * exactly (constants written as the same expressions,
+    * left-associated), so scores hash-compare at 4 dp.
     */
   def bm25TopDocs(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75, topK: Int = 10): DataFrame = {
     require(terms.nonEmpty, "bm25TopDocs needs at least one query term")
     val toks = graft.functions.TextAnalysis.tokens(col("text"))
-    val stats = docs
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(size(toks).cast("double")).as("avgdl"))
-    // two consumers (the score join and df) — materialize the tiny
-    // post-filter frame once, as in the surprisal family
-    val tf = Scratch.register(bm25Tf(docs, terms).transform(Scratch.stage))
+    // ONE corpus scan for stats AND tf (round 18, guide §1.2/§2.3): the
+    // per-doc frame keeps the full-doc length alongside the query-term
+    // occurrences pruned IN-ROW (the HOF filter preserves duplicates, so
+    // tf counts are intact), replacing the old TWO full tokenize passes
+    // (a stats scan + the tf scan) and the tf scan's explode-every-token
+    // row flow (fact × tokens rows built just to be dropped by the
+    // IN-list). The frame is doc-grain bounded (a double + ≤|query-term
+    // occurrences| strings per doc) — safe to stage; stats reads the
+    // same checkpointed blocks instead of re-scanning the corpus. The
+    // two __toks consumers live in one Project over a separate tokenize
+    // Project — CollapseProject keeps the non-cheap split() single
+    // because its alias is referenced twice.
+    val perDoc = Scratch.register(docs
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("double").as("dl"),
+        filter(col("__toks"), t => t.isin(terms: _*)).as("__kept"))
+      .transform(Scratch.stage))
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // tf's two consumers (df and the score join) share the aggregate's
+    // exchange via ReusedExchange; the frame is query-term rows only.
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), explode(col("__kept")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"), first(col("dl")).as("dl"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
@@ -788,11 +808,14 @@ object Corpus {
     * [[Similarity.knnJoin]], and the pipeline-shaped form of
     * [[bm25TopDocs]] (which scores ONE literal term set).
     *
-    * Scale shape: still two corpus scans regardless of query count. The
-    * tf scan prunes to the UNION of all query terms via a broadcast
-    * semi-join BELOW the (doc_id, tok) aggregation (plan-asserted), so
-    * the shuffle holds at most |distinct terms| rows per doc; df and
-    * corpus stats are computed once and broadcast. The per-query fan-out
+    * Scale shape: ONE corpus scan regardless of query count in the
+    * broadcast regime (round 18; was two) — a single tokenize pass
+    * stages the doc-grain frame with the query-term occurrences pruned
+    * in-row against the broadcast distinct-term array, and corpus stats
+    * aggregate the same blocks; the tf shuffle holds at most |distinct
+    * terms| rows per doc; df and corpus stats are broadcast. The
+    * shuffle regime keeps the two-pass shape with the shuffle semi-join
+    * prune below the (doc_id, tok) aggregation. The per-query fan-out
     * is a broadcast join of the scored tf frame against the exploded
     * (query_id, tok) pairs — the corpus is never re-scanned per query —
     * followed by a (query_id, doc_id) aggregation and a window top-k per
@@ -812,14 +835,47 @@ object Corpus {
       b: Double = 0.75, topK: Int = 5,
       broadcastQueries: Option[Boolean] = None): DataFrame = {
     val toks = graft.functions.TextAnalysis.tokens(col("text"))
-    val stats = docs
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(size(toks).cast("double")).as("avgdl"))
     val qterms = queries
       .select(col("query_id"), explode(col("terms")).as("tok")).distinct()
-    // two consumers (df and the score join) — materialize once
-    val tf = Scratch.register(
-      bm25TfForQueries(docs, qterms, broadcastQueries).transform(Scratch.stage))
+    // BROADCAST regime (the retrieval-batch contract — bounded distinct
+    // term set): ONE corpus scan serves stats AND tf (round 18, guide
+    // §1.2/§2.3). The distinct query terms collapse to a 1-row broadcast
+    // array and the prune happens IN-ROW (HOF filter, duplicates
+    // preserved for tf), so the old second full-tokenize stats pass and
+    // the explode-every-token row flow (fact × tokens rows built just
+    // to be dropped by the semi-join) both disappear. The staged frame
+    // is doc-grain bounded; stats aggregates its blocks. SHUFFLE regime
+    // (corpus-scale term sets — the distinct-term array would not fit a
+    // broadcast, let alone a row): the previous two-pass shape with the
+    // shuffle semi-join prune, unchanged.
+    val (tf, stats) =
+      if (Similarity.wantsBroadcast(qterms.select(col("tok")).distinct(),
+          broadcastQueries)) {
+        val qset = qterms.select(col("tok")).distinct()
+          .agg(collect_set(col("tok")).as("__qs"))
+        val perDoc = Scratch.register(docs
+          .select(col("doc_id"), toks.as("__toks"))
+          .crossJoin(broadcast(qset))
+          .select(col("doc_id"), size(col("__toks")).cast("double").as("dl"),
+            filter(col("__toks"),
+              t => array_contains(col("__qs"), t)).as("__kept"))
+          .transform(Scratch.stage))
+        val tf0 = perDoc
+          .select(col("doc_id"), col("dl"), explode(col("__kept")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("cnt"), first(col("dl")).as("dl"))
+        val st = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dl")).as("avgdl"))
+        (tf0, st)
+      } else {
+        val st = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg(size(toks).cast("double")).as("avgdl"))
+        // two consumers (df and the score join) — materialize once
+        val tf0 = Scratch.register(
+          bm25TfForQueries(docs, qterms, broadcastQueries)
+            .transform(Scratch.stage))
+        (tf0, st)
+      }
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
     val scored = tf.join(Similarity.queryRegime(dfreq, broadcastQueries), "tok")
       .crossJoin(broadcast(stats))
@@ -848,11 +904,11 @@ object Corpus {
     * once and `pos div chunkTokens` is the chunk key, so chunking is
     * free on top of the tokenize scan; the term prune (broadcast
     * semi-join against the union of query terms) sits BELOW the
-    * (doc, chunk, tok) aggregation exactly as in q115, so the shuffle
-    * carries only query-term rows. Chunk lengths and counts are
-    * arithmetic over per-doc token counts (one tiny frame), never a
-    * second corpus pass. Per-query fan-out and the top-k window are
-    * q115's bounded shapes.
+    * (doc, chunk, tok) aggregation, so the shuffle carries only
+    * query-term rows. Chunk lengths and counts are arithmetic over
+    * per-doc token counts (one tiny frame). This query keeps TWO
+    * corpus passes deliberately — the round-18 single-scan A/B is in
+    * the method comment inside.
     */
   def chunkRetrieval(docs: DataFrame, queries: DataFrame,
       chunkTokens: Int = 32, k1: Double = 1.2, b: Double = 0.75,
@@ -860,7 +916,17 @@ object Corpus {
     val toksArr = graft.functions.TextAnalysis.tokens(col("text"))
     val qterms = queries
       .select(col("query_id"), explode(col("terms")).as("tok")).distinct()
-    // chunk grid + lengths: pure arithmetic over per-doc token counts
+    // TWO corpus passes, deliberately (round-18 triage): the q115-style
+    // single-scan in-row prune NEEDS token POSITIONS here (`pos div
+    // chunkTokens` is the chunk key), and every positional spelling of
+    // the prune (filter over a sequence of indices, or per-token
+    // (pos, tok) structs) is an interpreted HOF evaluated once per
+    // token — measured 13.4 s min vs 10.7 s for this codegen'd
+    // posexplode + broadcast-semi shape at the 100× fixture (same box,
+    // same hour; the struct-per-token spelling was worse still). q115's
+    // position-free `filter(toks, t -> array_contains(...))` prune wins
+    // 2.7× at 100× and keeps its single-scan shape; chunk grain keeps
+    // the whole-stage-codegen explode.
     val lens = docs
       .select(col("doc_id"), size(toksArr).cast("long").as("__n"))
       .select(col("doc_id"), col("__n"),
@@ -1017,27 +1083,13 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
-  /** [[bm25TopDocs]]'s term-frequency scan, pre-materialization: one
-    * corpus pass carrying the doc length alongside the exploded tokens,
-    * with the query-term IN-list pruning BELOW the (doc_id, tok)
-    * aggregation (PlanShapeSpec asserts the filter sits over the
-    * Generate) so the shuffle holds at most |terms| rows per doc.
-    */
-  private[graft] def bm25Tf(docs: DataFrame, terms: Seq[String]): DataFrame = {
-    val toks = graft.functions.TextAnalysis.tokens(col("text"))
-    docs
-      .select(col("doc_id"), size(toks).cast("double").as("dl"),
-        explode(toks).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"), first(col("dl")).as("dl"))
-  }
-
-  /** [[bm25Retrieval]]'s tf scan: as [[bm25Tf]], but the term set comes
-    * from a TABLE, so pruning is a broadcast left-semi join against the
-    * distinct query terms instead of a literal IN-list — still BELOW the
-    * (doc_id, tok) aggregation (plan-asserted), so the shuffle carries
-    * only query-term rows.
+  /** [[bm25Retrieval]]'s SHUFFLE-regime tf scan (corpus-scale term
+    * sets; the broadcast regime uses the single-scan in-row prune
+    * inline in [[bm25Retrieval]]): one corpus pass carrying the doc
+    * length alongside the exploded tokens, pruned by a left-semi join
+    * against the distinct query terms BELOW the (doc_id, tok)
+    * aggregation (plan-asserted), so the shuffle carries only
+    * query-term rows.
     */
   private[graft] def bm25TfForQueries(docs: DataFrame,
       qterms: DataFrame,

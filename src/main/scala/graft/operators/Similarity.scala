@@ -780,8 +780,17 @@ object Similarity {
     * uses, so the auto choice degrades exactly when Spark's would.
     */
   private[operators] def queryRegime(qProbes: DataFrame,
-      regime: Option[Boolean]): DataFrame = {
-    val doBroadcast = regime.getOrElse {
+      regime: Option[Boolean]): DataFrame =
+    if (wantsBroadcast(qProbes, regime)) broadcast(qProbes) else qProbes
+
+  /** [[queryRegime]]'s decision alone — for callers that pick a whole
+    * PLAN SHAPE by regime (e.g. the bm25 single-scan in-row term prune,
+    * which only exists in the broadcast regime) rather than just a join
+    * hint.
+    */
+  private[operators] def wantsBroadcast(qProbes: DataFrame,
+      regime: Option[Boolean]): Boolean =
+    regime.getOrElse {
       val raw = qProbes.sparkSession.conf
         .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
       val thr =
@@ -792,8 +801,6 @@ object Similarity {
       thr > 0 &&
         qProbes.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
     }
-    if (doBroadcast) broadcast(qProbes) else qProbes
-  }
 
   /** Batch ANN join through the IVF index — the scale path of [[knnJoin]]:
     * every query row probes only its `nprobe` nearest cells. The probe

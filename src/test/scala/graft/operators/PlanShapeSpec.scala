@@ -294,7 +294,7 @@ class PlanShapeSpec extends SparkFunSuite {
     }
   }
 
-  test("bm25 prunes to query terms below the aggregation and takes top-k, no global sort") {
+  test("bm25 runs on one corpus scan, takes top-k, no global sort") {
     val df = SparkEntry.queries("q110_bm25")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
@@ -303,36 +303,45 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected a top-k take in:\n${plan.take(1200)}")
     assert(!plan.contains("CartesianProduct"))
-    // the term IN-list prunes before the (doc_id, tok) aggregation: in
-    // the tf scan's optimized plan (pre-checkpoint — the checkpoint
-    // truncates lineage in the full query) the Filter sits under the
-    // Aggregate, directly over the Generate, so the shuffle carries only
-    // query-term rows
-    val docs = new graft.cube.Engine(spark, sf).table("documents")
-    val opt = graft.operators.Corpus.bm25Tf(docs, Seq("spark", "query"))
-      .queryExecution.optimizedPlan.toString
-    val aggIdx = opt.indexOf("Aggregate")
-    val filterIdx = opt.indexOf("Filter tok")
-    val genIdx = opt.indexOf("Generate explode")
-    assert(aggIdx >= 0 && filterIdx > aggIdx && genIdx > filterIdx,
-      s"term filter must sit between the aggregation and the explode:\n$opt")
+    // round 18: stats and tf both derive from the ONE staged per-doc
+    // frame (in-row term prune), so the registered plan must not scan
+    // the corpus again — a FileScan here means the second tokenize
+    // pass came back
+    assert(!plan.contains("FileScan"),
+      "q110 re-scans the corpus — stats/tf must read the staged " +
+        "single-scan per-doc frame")
   }
 
-  test("bm25 retrieval join prunes to query terms below the aggregation, per-query top-k stays windowed") {
+  test("bm25 retrieval runs on one corpus scan in the broadcast regime, shuffle regime prunes below the aggregation") {
     val df = SparkEntry.queries("q115_bm25_join")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
       "per-query top-k must prune below the window")
     assert(!plan.contains("CartesianProduct"))
-    // the broadcast semi-join against the query terms sits under the
-    // (doc_id, tok) aggregation, directly over the explode — the shuffle
-    // carries only query-term rows (the table-driven analogue of q110's
-    // literal IN-list gate)
+    // round 18 broadcast regime: stats and tf derive from ONE staged
+    // per-doc frame (in-row term prune against the broadcast term set)
+    // — no second corpus scan in the registered plan
+    assert(!plan.contains("FileScan"),
+      "q115 re-scans the corpus — stats/tf must read the staged " +
+        "single-scan per-doc frame")
+    // q145 deliberately keeps its two-pass codegen shape (the
+    // positional in-row prune measured SLOWER at 100× — see
+    // chunkRetrieval's method comment); only pin that it stays
+    // cartesian-free
+    val cdf = SparkEntry.queries("q145_chunk_retrieval")(spark, sf)
+    cdf.collect()
+    val cplan = cdf.queryExecution.executedPlan.toString
+    assert(!cplan.contains("CartesianProduct"))
+    // SHUFFLE regime (corpus-scale term sets): the two-pass shape stays
+    // — the shuffle semi-join against the query terms sits under the
+    // (doc_id, tok) aggregation, directly over the explode, so the
+    // shuffle carries only query-term rows
     import graft.SparkTestBase.spark.implicits._
     val docs = new graft.cube.Engine(spark, sf).table("documents")
     val qterms = Seq((0L, "spark"), (0L, "query")).toDF("query_id", "tok")
-    val opt = graft.operators.Corpus.bm25TfForQueries(docs, qterms)
+    val opt = graft.operators.Corpus
+      .bm25TfForQueries(docs, qterms, broadcastQueries = Some(false))
       .queryExecution.optimizedPlan.toString
     val aggIdx = opt.indexOf("Aggregate")
     val semiIdx = opt.indexOf("Join LeftSemi")
