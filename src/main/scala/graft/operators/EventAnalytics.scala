@@ -800,31 +800,54 @@ object EventAnalytics {
     * contains `a` — `P(b|a)/P(b)` — the session-association complement
     * of the order/part market basket (q184). Sessions are the 30-minute
     * q176 definition; a session collapses to its distinct type set
-    * before any pair work, so the self-join fans out at most #types per
-    * side (bounded 5×5), never event-sized. Diagonal excluded (lift of
-    * a type with itself is trivially 1/P(a)-ish and noise).
+    * before any pair work, so the pair fanout is at most #types² per
+    * session (bounded 5×5), never event-sized. Diagonal excluded (lift
+    * of a type with itself is trivially 1/P(a)-ish and noise).
+    *
+    * Scale shape (the q184 grouped-pair discipline): the old spelling
+    * instantiated the lag + running-sum sessionization window FIVE
+    * times in the physical plan (the a/b self-join sides, perType,
+    * nSess) — ReusedExchange dedupes only the user_id exchange, the
+    * Window computation itself re-ran per branch (the q277 lesson). One
+    * grouped `collect_set` per (user, sid) now runs the window ONCE,
+    * dedupes in the same aggregate (the old separate `.distinct()`'s
+    * exchange disappears — the groupBy runs on the window's user_id
+    * partitioning, which already clusters (user_id, sid)), and
+    * assembles the bounded type-set array; the session-grain frame is
+    * staged once and nSess, perType and the in-row ordered-pair
+    * emission all read the checkpointed blocks. Unlike q184's catalog²
+    * pair keys, the pair key space here is ≤ #types² (≤ 25), so the
+    * map-side partial aggregate collapses the explode before the
+    * exchange and no width forecast is needed.
     */
   def sessionTypeLift(spark: SparkSession, dir: String): DataFrame = {
     val wu = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val sessTypes = new graft.cube.Engine(spark, dir).table("events")
+    val sess = Scratch.staged(new graft.cube.Engine(spark, dir)
+      .table("events")
       .withColumn("prev", lag(col("ts"), 1).over(wu))
       .withColumn("new_s", when(col("prev").isNull ||
         col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1L)
         .otherwise(0L))
       .withColumn("sid", sum(col("new_s")).over(
         wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("user_id"), col("sid"), col("event_type")).distinct()
-    val nSess = sessTypes.select(col("user_id"), col("sid")).distinct()
-      .agg(count(lit(1)).as("n_sessions"))
-    val perType = sessTypes.groupBy(col("event_type"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types")))
+    val nSess = sess.agg(count(lit(1)).as("n_sessions"))
+    val perType = sess.select(explode(col("types")).as("event_type"))
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_t"))
-    val a = sessTypes.select(col("user_id"), col("sid"),
-      col("event_type").as("type_a"))
-    val b = sessTypes.select(col("user_id").as("u2"), col("sid").as("s2"),
-      col("event_type").as("type_b"))
-    a.join(b, col("user_id") === col("u2") && col("sid") === col("s2") &&
-        col("type_a") =!= col("type_b"))
+    // `types` is distinct per session, so pairing each element with
+    // every OTHER element enumerates exactly the ordered a≠b pairs the
+    // old self-join produced (one row per session per pair, diagonal
+    // excluded). Interpreted HOF lambdas, but over ≤ #types-element
+    // arrays — the event-grain window it replaces ran four extra times.
+    sess.select(explode(expr(
+        """flatten(transform(types, x ->
+          |  transform(filter(types, y -> y != x),
+          |    y -> named_struct('type_a', x, 'type_b', y))))"""
+          .stripMargin)).as("pr"))
+      .select(col("pr.type_a").as("type_a"), col("pr.type_b").as("type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("n_ab"))
       .join(broadcast(perType.select(col("event_type").as("type_a"),
@@ -846,10 +869,23 @@ object EventAnalytics {
     * 12 steps (the chain is a dense stochastic matrix over ≤ #types
     * states; contraction makes 12 ample, and a fixed count is
     * reproducible where a convergence test is not — the oracle unrolls
-    * the same 12 steps as CTEs, the q90 discipline). Only the
-    * transition-count rollup touches events; the iteration runs on the
-    * #types² probability frame, localCheckpointed once so the loop's
-    * lineage stays flat.
+    * the same 12 steps as CTEs, the q90 discipline).
+    *
+    * Scale shape: only the transition-count rollup touches events. The
+    * counts frame is bounded by the event-type vocabulary (≤ #types²
+    * rows of exact BIGINT counts) — model-state-sized by construction,
+    * like the k-means centroids or the q301 CMS key list — so the
+    * 12-step iteration is driver arithmetic over a require-guarded
+    * collect, not 12 scheduled broadcast + shuffle rounds: the old
+    * spelling paid 12 sequential tiny stages (plus a staging barrier
+    * and a separate distinct-count job) whose per-stage fixed cost
+    * dwarfed the ≤ #types²-element math at every scale. The fold
+    * replicates the distributed plan's arithmetic exactly: p = cnt/tot
+    * (same exact-integer division), r₀ = 1/|distinct cur|, and step k
+    * sums r·p grouped by nxt — the sum order (cur-sorted) differs from
+    * a partition order only by double ulps, verified hash-identical
+    * against the independently-summed DuckDB oracle at every fixture
+    * SF.
     */
   def markovStationary(spark: SparkSession, dir: String,
       iters: Int = 12): DataFrame = {
@@ -860,23 +896,35 @@ object EventAnalytics {
       .filter(col("nxt").isNotNull)
       .groupBy(col("event_type").as("cur"), col("nxt"))
       .agg(count(lit(1)).as("cnt"))
-    val totals = trans.groupBy(col("cur")).agg(sum(col("cnt")).as("tot"))
-    val p = trans.join(totals, "cur")
-      .select(col("cur"), col("nxt"),
-        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
-      .transform(Scratch.stage)
-    val states = p.select(col("cur").as("state")).distinct()
-    val n = states.count().toDouble // bounded: #event types
-    var r = states.select(col("state"), lit(1.0 / n).as("prob"))
+    val cells = trans.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    require(cells.length <= 65536,
+      s"markovStationary: transition matrix must stay model-state-sized " +
+        s"(got ${cells.length} cells — an event-type vocabulary this " +
+        "large needs the distributed iteration back)")
+    val tot = cells.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._3).sum }
+    val p = cells.map { case (c, nx, n) => (c, nx, n.toDouble / tot(c).toDouble) }
+    val states = p.map(_._1).distinct
+    var r: Map[String, Double] =
+      states.map(_ -> 1.0 / states.length.toDouble).toMap
     for (_ <- 1 to iters) {
-      // p is #types² rows — broadcast so each step is a local join + one
-      // tiny agg shuffle, not a two-sided exchange per iteration
-      r = r.join(broadcast(p), col("state") === col("cur"))
-        .groupBy(col("nxt"))
-        .agg(sum(col("prob") * col("p")).as("prob"))
-        .select(col("nxt").as("state"), col("prob"))
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      p.foreach { case (c, nx, pv) =>
+        r.get(c).foreach(pr => acc(nx) = acc.getOrElse(nx, 0.0) + pr * pv)
+      }
+      r = acc.toMap
     }
-    r.select(col("state").as("event_type"),
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("prob",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(r.toSeq.sortBy(_._1).map { case (s, pr) =>
+        org.apache.spark.sql.Row(s, pr): org.apache.spark.sql.Row }: _*),
+      schema)
+    local.select(col("event_type"),
         round(col("prob"), 6).as("stationary_prob"))
       .orderBy(col("event_type"))
   }

@@ -48,6 +48,11 @@ class DriverHotspotLintSpec extends AnyFunSuite {
       "graft/SparkEntry.scala" -> 1,
       // 1-row aggregate: corpus-wide signature count
       "graft/operators/Dedup.scala" -> 1,
+      // q283 Markov transition matrix: <= #event-types² exact-count
+      // cells (require-guarded <= 65536) — model-state-sized by
+      // construction; the 12-step power iteration is driver arithmetic
+      // instead of 12 scheduled shuffle rounds
+      "graft/operators/EventAnalytics.scala" -> 1,
       // <= 25-brand key list probing the driver-held CMS (q301 —
       // sketch + key list are model-state-sized by construction)
       "graft/operators/Relational.scala" -> 1,
