@@ -1166,9 +1166,29 @@ object Relational {
     */
   def openOrderBacklog(spark: SparkSession, dir: String): DataFrame = {
     val en = e(spark, dir)
+    val parallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val lastShip = en.table("lineitem")
       .groupBy(col("l_orderkey"))
       .agg(max(col("l_shipdate")).as("last_ship"))
+      // The orderkey rollup's partial output is tiny in BYTES (thin
+      // (key, date) rows), so AQE coalesces its exchange to ~1 partition
+      // — and the broadcast join + month explode + month rollup that sit
+      // ABOVE it then run on that one task (measured: 1.44 s single-task
+      // stage at sf0.1, the whole query's dominant cost), because the
+      // map-side stats cannot see the ~4× downstream expansion — the
+      // documented q82 blind spot. The pin must be an explicit-count
+      // repartition (not AQE-coalescible), and it must hash on MORE than
+      // the aggregate key: a same-key repartition above the aggregate is
+      // elided by the planner in favor of the (coalescible) ENSURE
+      // exchange, and moving it below the aggregate would forfeit the
+      // map-side combine (raw fact rows through the exchange — 4× the
+      // bytes at this schema). Keyed on (orderkey, last_ship) it is
+      // deterministic under retry, keeps the combine, and costs one
+      // order-grain THIN exchange — at deployment scale the rollup's
+      // output is big enough that AQE keeps it wide anyway, but any
+      // mid-size tenant (partials under the advisory size, explode
+      // output far over it) hits exactly the fixture's stall without it.
+      .repartition(parallelism, col("l_orderkey"), col("last_ship"))
     en.table("orders")
       .join(lastShip, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_totalprice"),
