@@ -55,6 +55,20 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's coalescer never splits below this floor, and the Spark
+      // default (1m) binds exactly when a shuffle's TOTAL bytes are
+      // small (< ~cores × 1 MiB): bounded rollup/window frames collapse
+      // to 1-2 partitions and every sort/window/aggregate ABOVE them
+      // runs on 1-2 cores while the rest of the session idles (measured:
+      // the events-table window family's user_id exchanges all ran
+      // single-task at the bench fixture — 0.6-1.1 s serialized stages;
+      // 64k keeps them at `parallelismFirst` width, a ~18 s/318-query
+      // suite win). Scale-neutral by construction: the floor only
+      // matters when a shuffle is tiny — at deployment bytes the
+      // advisory/parallelism sizing dominates long before a 64k floor is
+      // reachable, and `parallelismFirst` (Spark default, kept) still
+      // caps the width at the session's parallelism.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

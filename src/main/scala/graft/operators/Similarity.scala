@@ -1506,7 +1506,14 @@ object Similarity {
       maxId: Long = 128L): DataFrame = {
     val anchors = emb.filter(col("vec_id") < maxId)
       .select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
-    val pairs = emb.select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+    // Par.ensure: the ×|anchors| broadcast pair kernel (two cosines per
+    // pair) runs ON the corpus scan's splits, and the embeddings table
+    // arrives as ONE split at fixture scale (single row group) — the
+    // whole expansion then computes on one core (measured: 0.9 s
+    // single-task stage emitting 256 k pair rows at sf0.1 — the q309
+    // lesson). The guard is a no-op whenever the scan is already wide.
+    val pairs = Par.ensure(emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("e_b")))
       .join(broadcast(anchors), col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(cosine(col("e_a"), col("e_b")), 4).as("c_full"),
@@ -1670,7 +1677,10 @@ object Similarity {
       maxId: Long = 128L): DataFrame = {
     val anchors = emb.filter(col("vec_id") < maxId)
       .select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
-    val pairs = emb.select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+    // same width guard as [[matryoshkaRecall]] — the pair kernel must
+    // not inherit a 1-split fixture scan (q309 lesson)
+    val pairs = Par.ensure(emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("e_b")))
       .join(broadcast(anchors), col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(cosine(col("e_a"), col("e_b")), 4).as("c_full"),
