@@ -209,7 +209,15 @@ object Similarity {
       struct(lit(t).as("tbl"),
         lshKeyOffset(col("embedding"), t * bits, bits, dim).as("bucket"))
     }: _*)
-    val keyed = emb.select(col("vec_id"), explode(keys).as("k"))
+    // Par.ensure: the hyperplane keying (tables × bits dot products per
+    // vector) is the pipeline's hot map kernel and would otherwise run
+    // at the SCAN's width — the embeddings table arrives as 1-2 parquet
+    // row groups even at the 100× fixture (49 MB, 2 row groups → 2
+    // working tasks behind 13 byte-splits; measured 66.6 s of q118's
+    // 105 s x100 cold pass in that one stage). The q309 guard, same as
+    // every text pipeline's shingle kernel (Dedup.scala).
+    val keyed = Par.ensure(emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), explode(keys).as("k"))
       .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
     // one aggregation per bucket (see Dedup.bucketPairs): sigs computed
     // once, single shuffle, size-filter cap — no self-join, no window
