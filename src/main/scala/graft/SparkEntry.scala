@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.cube.{CubeQuery, Engine}
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, Corpus, Dedup, EventAnalytics, Fuzzy, Graph, Merge, Quality, RangeJoin, Relational, RuntimeFilter, Similarity, Skew}
+import graft.operators.{AsOf, Corpus, Dedup, EventAnalytics, Fuzzy, Graph, Merge, Par, Quality, RangeJoin, Relational, RuntimeFilter, Similarity, Skew}
 import graft.sources.Sink
 import graft.streaming.EventsStream
 
@@ -991,7 +991,14 @@ object SparkEntry {
         datasetKey = Some(d))),
     // langid eval: labeled lang vs q24's predicted lang, the confusion
     // matrix of the heuristic classifier
-    "q150_langid_confusion" -> ((s, d) => eng(s, d).table("documents")
+    // Par.ensure: langId is the suite's most expensive per-row text
+    // kernel and the confusion rollup cannot be column-pruned past it —
+    // without the guard it runs at the documents SCAN's width (1 split
+    // at sf0.1, 5 row groups at the 100× fixture; measured 16.6 s at
+    // 100× on ~5 cores). The q309/q118 width lesson; counts below are
+    // order-free so the round-robin is hash-safe.
+    "q150_langid_confusion" -> ((s, d) => Par
+      .ensure(eng(s, d).table("documents").select(col("lang"), col("text")))
       .select(col("lang"),
         graft.functions.TextAnalysis.langId(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted"))
